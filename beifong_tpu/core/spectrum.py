@@ -1,0 +1,104 @@
+"""Spectral sampling and color conversion.
+
+Replaces reference `include/mitsuba/core/spectrum.h` / `src/libcore/spectrum.cpp`.
+For non-visible bands (radar/sonar) the reference falls back to uniform
+wavelength sampling (`spectrum.h:341-376`); we do the same, parameterized by the
+runtime `Band`.  For optical rendering we provide CIE XYZ via the analytic
+multi-lobe Gaussian fit of Wyman, Sloan & Shirley (JCGT 2013) instead of the
+reference's embedded tables.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .config import Band
+
+
+def sample_uniform_wavelength(u, band: Band):
+    """Uniform wavelength sample in the band; returns (wavelength [m], pdf [1/m]).
+
+    Mirrors reference `sample_wavelength` / non-visible `sample_rgb_spectrum`
+    branch (`spectrum.h:341-376`).
+    """
+    wl = band.wavelength_min + u * (band.wavelength_max - band.wavelength_min)
+    pdf = 1.0 / (band.wavelength_max - band.wavelength_min)
+    return wl, jnp.full(jnp.shape(wl), pdf)
+
+
+def sample_uniform_frequency(u, band: Band):
+    f = band.freq_min + u * (band.freq_max - band.freq_min)
+    pdf = 1.0 / (band.freq_max - band.freq_min)
+    return f, jnp.full(jnp.shape(f), pdf)
+
+
+def sample_shifted(u, n: int = 4):
+    """Stratified shift of one uniform into n spectral samples
+    (reference `math::sample_shifted`)."""
+    offs = jnp.arange(n, dtype=jnp.float32) / n
+    v = u[..., None] + offs
+    return v - jnp.floor(v)
+
+
+# ---------------------------------------------------------------------------
+# CIE 1931 XYZ (analytic fit; wavelength in nanometres)
+# ---------------------------------------------------------------------------
+
+
+def _gauss(x, alpha, mu, s1, s2):
+    s = jnp.where(x < mu, s1, s2)
+    t = (x - mu) / s
+    return alpha * jnp.exp(-0.5 * t * t)
+
+
+def cie1931_xyz(wl_nm):
+    """Approximate CIE 1931 color matching functions (Wyman et al. 2013)."""
+    x = (_gauss(wl_nm, 1.056, 599.8, 37.9, 31.0)
+         + _gauss(wl_nm, 0.362, 442.0, 16.0, 26.7)
+         + _gauss(wl_nm, -0.065, 501.1, 20.4, 26.2))
+    y = (_gauss(wl_nm, 0.821, 568.8, 46.9, 40.5)
+         + _gauss(wl_nm, 0.286, 530.9, 16.3, 31.1))
+    z = (_gauss(wl_nm, 1.217, 437.0, 11.8, 36.0)
+         + _gauss(wl_nm, 0.681, 459.0, 26.0, 13.8))
+    return jnp.stack([x, y, z], axis=-1)
+
+
+# Column-major sRGB (D65) <-> XYZ matrices.
+_XYZ_TO_SRGB = jnp.array([
+    [3.240479, -1.537150, -0.498535],
+    [-0.969256, 1.875991, 0.041556],
+    [0.055648, -0.204043, 1.057311]], jnp.float32)
+_SRGB_TO_XYZ = jnp.array([
+    [0.412453, 0.357580, 0.180423],
+    [0.212671, 0.715160, 0.072169],
+    [0.019334, 0.119193, 0.950227]], jnp.float32)
+
+
+def xyz_to_srgb(xyz):
+    return jnp.einsum('ij,...j->...i', _XYZ_TO_SRGB, xyz)
+
+
+def srgb_to_xyz(rgb):
+    return jnp.einsum('ij,...j->...i', _SRGB_TO_XYZ, rgb)
+
+
+def luminance(rgb):
+    return (0.212671 * rgb[..., 0] + 0.715160 * rgb[..., 1]
+            + 0.072169 * rgb[..., 2])
+
+
+def srgb_gamma(linear):
+    """Linear -> sRGB gamma encode (reference Bitmap convert path)."""
+    a = 0.055
+    lin = jnp.maximum(linear, 0.0)
+    return jnp.where(lin <= 0.0031308, 12.92 * lin,
+                     (1 + a) * jnp.power(jnp.maximum(lin, 1e-8), 1 / 2.4) - a)
+
+
+def blackbody(wl_m, temperature):
+    """Planck spectral radiance [W / (m^2 sr m)] (reference `src/spectra/blackbody.cpp`)."""
+    h = 6.62607015e-34
+    c = 299792458.0
+    kb = 1.380649e-23
+    wl5 = wl_m ** 5
+    return (2 * h * c * c) / (wl5 * (jnp.exp(h * c / (wl_m * kb * temperature)) - 1.0))
