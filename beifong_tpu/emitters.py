@@ -1,0 +1,246 @@
+"""Optical emitter tables + NEE sampling.
+
+Replaces reference `src/emitters/*.cpp` (area, point, spot, directional,
+constant, projector, pointbeam) with one SoA table.  The radar-flavored
+emitters (wigner/coherent/incoherent/phased) live in `radar/transmitter.py`
+as transmitters; the plain `pointbeam` (angular falloff point source,
+reference `src/emitters/pointbeam.cpp:67-90`) is included here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.math import normalize, InvFourPi, Pi, safe_rsqrt
+from .geometry.sample import sample_position
+from .geometry.shapes import ShapeTable
+from .interaction import DirectionSample
+
+AREA = 0
+POINT = 1
+SPOT = 2
+DIRECTIONAL = 3
+CONSTANT = 4
+POINTBEAM = 5
+PROJECTOR = 6
+
+MAX_C = 3
+
+
+@dataclasses.dataclass
+class EmitterSpec:
+    id: str
+    type: int
+    value: np.ndarray                   # radiance / intensity / irradiance
+    to_world: np.ndarray = None
+    cutoff_angle: float = 20.0          # spot (deg)
+    beam_width: float = 15.0            # spot inner angle (deg) / pointbeam
+    shape: Optional[str] = None         # area: owning shape id (set by Scene)
+    texture: Optional[str] = None
+
+
+def _c(v):
+    a = np.asarray(v, np.float32).reshape(-1)
+    return np.repeat(a, MAX_C) if a.size == 1 else a
+
+
+def _m4(m):
+    return np.eye(4, dtype=np.float32) if m is None else np.asarray(m, np.float32)
+
+
+def area(id, radiance=1.0, texture=None) -> EmitterSpec:
+    return EmitterSpec(id=id, type=AREA, value=_c(radiance), texture=texture)
+
+
+def point(id, intensity=1.0, position=(0, 0, 0)) -> EmitterSpec:
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = position
+    return EmitterSpec(id=id, type=POINT, value=_c(intensity), to_world=m)
+
+
+def spot(id, intensity=1.0, cutoff_angle=20.0, beam_width=None, to_world=None) -> EmitterSpec:
+    """Spot light; local +z is the beam axis (reference `src/emitters/spot.cpp`)."""
+    if beam_width is None:
+        beam_width = cutoff_angle * 0.75
+    return EmitterSpec(id=id, type=SPOT, value=_c(intensity), to_world=_m4(to_world),
+                       cutoff_angle=float(cutoff_angle), beam_width=float(beam_width))
+
+
+def directional(id, irradiance=1.0, direction=(0, 0, -1)) -> EmitterSpec:
+    d = np.asarray(direction, np.float32)
+    d /= np.linalg.norm(d)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 2] = d
+    return EmitterSpec(id=id, type=DIRECTIONAL, value=_c(irradiance), to_world=m)
+
+
+def constant(id, radiance=1.0) -> EmitterSpec:
+    return EmitterSpec(id=id, type=CONSTANT, value=_c(radiance))
+
+
+def pointbeam(id, intensity=1.0, beam_width=15.0, to_world=None) -> EmitterSpec:
+    return EmitterSpec(id=id, type=POINTBEAM, value=_c(intensity),
+                       to_world=_m4(to_world), beam_width=float(beam_width))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EmitterTable:
+    type: jax.Array        # (E,) int32
+    value: jax.Array       # (E,MAX_C)
+    to_world: jax.Array    # (E,4,4)
+    cos_cutoff: jax.Array  # (E,)
+    cos_beam: jax.Array    # (E,)
+    shape_idx: jax.Array   # (E,) int32 (-1 for point-likes)
+    texture_idx: jax.Array
+
+    @property
+    def n(self) -> int:
+        return self.type.shape[0]
+
+    @staticmethod
+    def build(specs, shape_of, resolve_texture) -> "EmitterTable":
+        n = max(len(specs), 1)
+        typ = np.zeros(n, np.int32)
+        val = np.zeros((n, MAX_C), np.float32)
+        tw = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        cc = np.zeros(n, np.float32)
+        cb = np.zeros(n, np.float32)
+        sidx = np.full(n, -1, np.int32)
+        tex = np.full(n, -1, np.int32)
+        for i, s in enumerate(specs):
+            typ[i] = s.type
+            val[i] = s.value
+            if s.to_world is not None:
+                tw[i] = s.to_world
+            cc[i] = np.cos(np.deg2rad(s.cutoff_angle))
+            cb[i] = np.cos(np.deg2rad(s.beam_width))
+            sidx[i] = shape_of(s.id)
+            tex[i] = resolve_texture(s.texture)
+        return EmitterTable(type=jnp.asarray(typ), value=jnp.asarray(val),
+                            to_world=jnp.asarray(tw), cos_cutoff=jnp.asarray(cc),
+                            cos_beam=jnp.asarray(cb), shape_idx=jnp.asarray(sidx),
+                            texture_idx=jnp.asarray(tex))
+
+
+def eval_hit(em: EmitterTable, em_idx, cos_theta_surface):
+    """Radiance of an area emitter seen from direction with local cosine
+    cos_theta_surface (>0 = front).  em_idx (n,), -1 = none."""
+    i = jnp.maximum(em_idx, 0)
+    live = (em_idx >= 0) & (em.type[i] == AREA) & (cos_theta_surface > 0.0)
+    return jnp.where(live[..., None], em.value[i], 0.0)
+
+
+def eval_env(em: EmitterTable, d_world):
+    """Environment radiance for escaped rays: sum of CONSTANT emitters."""
+    is_const = (em.type == CONSTANT)[:, None]
+    total = jnp.sum(jnp.where(is_const, em.value, 0.0), axis=0)
+    return jnp.broadcast_to(total, d_world.shape[:-1] + (MAX_C,))
+
+
+def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
+    """NEE: pick an emitter uniformly, sample a point/direction toward it.
+
+    Equivalent of reference `Scene::sample_emitter_direction`
+    (`scene.cpp:181-246`) minus the visibility test (the caller traces the
+    shadow ray).  Returns (DirectionSample, weight (n,C) = value/pdf).
+    pdf in the returned sample is the full solid-angle density including
+    the 1/E emitter-choice factor.
+    """
+    n_em = em.n
+    e = jnp.clip((u_sel * n_em).astype(jnp.int32), 0, n_em - 1)
+    typ = em.type[e]
+    tw = em.to_world[e]
+    val = em.value[e]
+
+    # --- area: sample position on the owning shape ---
+    sidx = jnp.maximum(em.shape_idx[e], 0)
+    p_s, n_s, pdf_a, uv = sample_position(shapes, sidx, u_pos)
+    d_vec_a = p_s - ref_p
+    dist2_a = jnp.sum(d_vec_a * d_vec_a, axis=-1)
+    dist_a = jnp.sqrt(jnp.maximum(dist2_a, 1e-20))
+    d_a = d_vec_a / dist_a[..., None]
+    cos_l = jnp.sum(-d_a * n_s, axis=-1)
+    pdf_sa = jnp.where(cos_l > 1e-6, pdf_a * dist2_a / jnp.maximum(cos_l, 1e-6), 0.0)
+
+    # --- point-likes: delta toward position ---
+    p_pt = tw[:, :3, 3]
+    d_vec_p = p_pt - ref_p
+    dist2_p = jnp.sum(d_vec_p * d_vec_p, axis=-1)
+    dist_p = jnp.sqrt(jnp.maximum(dist2_p, 1e-20))
+    d_p = d_vec_p / dist_p[..., None]
+    # Spot falloff along local -z→beam axis: direction from light to ref
+    axis = tw[:, :3, 2]
+    cos_dir = jnp.sum(-d_p * axis, axis=-1)
+    t = (cos_dir - em.cos_cutoff[e]) / jnp.maximum(
+        em.cos_beam[e] - em.cos_cutoff[e], 1e-6)
+    spot_fall = jnp.clip(t, 0.0, 1.0)
+    spot_fall = jnp.where(cos_dir >= em.cos_beam[e], 1.0, spot_fall)
+    spot_fall = jnp.where(cos_dir <= em.cos_cutoff[e], 0.0, spot_fall)
+    beam_fall = jnp.exp(-jnp.maximum(1.0 - cos_dir, 0.0) /
+                        jnp.maximum(1.0 - em.cos_beam[e], 1e-6))
+
+    is_area = typ == AREA
+    is_delta = ~is_area
+    d = jnp.where(is_area[..., None], d_a, d_p)
+    dist = jnp.where(is_area, dist_a, dist_p)
+    p = jnp.where(is_area[..., None], p_s, p_pt)
+    nrm = jnp.where(is_area[..., None], n_s, -d)
+
+    # Intensity → radiance-equivalent weight: I/r^2 for point-likes
+    inv_d2 = 1.0 / jnp.maximum(dist * dist, 1e-20)
+    w_pt = val * inv_d2[..., None]
+    w_pt = jnp.where((typ == SPOT)[..., None], w_pt * spot_fall[..., None], w_pt)
+    w_pt = jnp.where((typ == POINTBEAM)[..., None], w_pt * beam_fall[..., None], w_pt)
+    # directional: constant irradiance from fixed direction
+    dir_axis = tw[:, :3, 2]
+    d = jnp.where((typ == DIRECTIONAL)[..., None], -dir_axis, d)
+    dist = jnp.where(typ == DIRECTIONAL, 1e7, dist)
+    w_pt = jnp.where((typ == DIRECTIONAL)[..., None], val, w_pt)
+
+    # constant (environment): uniform sphere direction, non-delta
+    from .core import warp as _warp
+    d_env = _warp.square_to_uniform_sphere(u_pos)
+    is_env = typ == CONSTANT
+    d = jnp.where(is_env[..., None], d_env, d)
+    dist = jnp.where(is_env, 1e7, dist)
+    w_pt = jnp.where(is_env[..., None], val / InvFourPi, w_pt)
+    is_delta = is_delta & ~is_env
+
+    pdf_sel = 1.0 / n_em
+    pdf = jnp.where(is_area, pdf_sa * pdf_sel,
+                    jnp.where(is_env, InvFourPi * pdf_sel, pdf_sel))
+    w_area = val / jnp.maximum(pdf_sa, 1e-20)[..., None]
+    weight = jnp.where(is_area[..., None],
+                       jnp.where((pdf_sa > 0.0)[..., None], w_area, 0.0),
+                       w_pt / pdf_sel)
+
+    ds = DirectionSample(p=p, n=nrm, d=d, dist=dist, pdf=pdf,
+                         delta=is_delta, uv=uv)
+    return ds, weight, e
+
+
+def pdf_direction_env(em: EmitterTable):
+    """Solid-angle NEE pdf of hitting any CONSTANT env emitter (for MIS on
+    escaped rays)."""
+    has_env = jnp.any(em.type == CONSTANT)
+    return jnp.where(has_env, InvFourPi / em.n, 0.0)
+
+
+def pdf_direction_area(em: EmitterTable, shapes: ShapeTable, em_idx, d, dist,
+                       cos_at_emitter):
+    """Solid-angle pdf that `sample_direction` would produce the area-emitter
+    hit described by (d, dist, cos) — used for MIS after a BSDF sample
+    (reference `Scene::pdf_emitter_direction`)."""
+    i = jnp.maximum(em_idx, 0)
+    live = (em_idx >= 0) & (em.type[i] == AREA)
+    sidx = jnp.maximum(em.shape_idx[i], 0)
+    area_pdf = 1.0 / jnp.maximum(shapes.surface_area[sidx], 1e-20)
+    pdf = area_pdf * dist * dist / jnp.maximum(cos_at_emitter, 1e-6)
+    pdf = pdf / em.n
+    return jnp.where(live & (cos_at_emitter > 1e-6), pdf, 0.0)

@@ -1,0 +1,253 @@
+"""Batched ray–primitive intersection (pure XLA path).
+
+Replaces the reference's per-shape virtual `ray_intersect_preliminary`
+(`src/shapes/*.cpp`) and embree/kd-tree accel (`scene_embree.inl`,
+`render/kdtree.h`) with fully batched (ray × primitive) tests + argmin —
+the natural formulation for a vector machine.  A Pallas-tiled variant for
+large triangle counts lives in `pallas_intersect.py`.
+
+Conventions (same unit-object spaces as the reference):
+  rectangle: [-1,1]^2 in z=0 plane, normal +z
+  sphere:    unit radius at origin
+  disk:      unit radius in z=0 plane
+  cylinder:  radius 1, z in [0,1]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..core import transform as tfm
+from ..core.math import safe_rsqrt, safe_sqrt, normalize, TwoPi
+from ..interaction import SurfaceInteraction
+from .shapes import RECTANGLE, SPHERE, DISK, CYLINDER, ShapeTable
+
+INF = jnp.float32(jnp.inf)
+
+
+def _object_ray(to_object, o, d):
+    """Transform rays into each primitive's object space.
+    o, d: (R,3); to_object: (P,4,4) -> (R,P,3)."""
+    oo = jnp.einsum('pij,rj->rpi', to_object[:, :3, :3], o) + to_object[None, :, :3, 3]
+    od = jnp.einsum('pij,rj->rpi', to_object[:, :3, :3], d)
+    return oo, od
+
+
+def _t_rectangle(oo, od):
+    dz = od[..., 2]
+    t = -oo[..., 2] / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+    p = oo + t[..., None] * od
+    hit = (jnp.abs(dz) > 1e-12) & (jnp.abs(p[..., 0]) <= 1.0) & (jnp.abs(p[..., 1]) <= 1.0)
+    return jnp.where(hit, t, INF)
+
+
+def _t_sphere(oo, od):
+    a = jnp.sum(od * od, axis=-1)
+    b = 2.0 * jnp.sum(oo * od, axis=-1)
+    c = jnp.sum(oo * oo, axis=-1) - 1.0
+    disc = b * b - 4 * a * c
+    sq = safe_sqrt(disc)
+    sgn_b = jnp.where(b >= 0.0, 1.0, -1.0)
+    q = -0.5 * (b + sgn_b * sq)
+    t0 = q / jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
+    t1 = c / jnp.where(jnp.abs(q) > 1e-20, q, jnp.inf)
+    tn = jnp.minimum(t0, t1)
+    tf_ = jnp.maximum(t0, t1)
+    t = jnp.where(tn > 0.0, tn, tf_)
+    return jnp.where((disc >= 0.0) & (t > 0.0), t, INF)
+
+
+def _t_disk(oo, od):
+    dz = od[..., 2]
+    t = -oo[..., 2] / jnp.where(jnp.abs(dz) > 1e-12, dz, 1e-12)
+    p = oo + t[..., None] * od
+    r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+    hit = (jnp.abs(dz) > 1e-12) & (r2 <= 1.0)
+    return jnp.where(hit, t, INF)
+
+
+def _t_cylinder(oo, od):
+    a = od[..., 0] ** 2 + od[..., 1] ** 2
+    b = 2.0 * (oo[..., 0] * od[..., 0] + oo[..., 1] * od[..., 1])
+    c = oo[..., 0] ** 2 + oo[..., 1] ** 2 - 1.0
+    disc = b * b - 4 * a * c
+    sq = safe_sqrt(disc)
+    a_safe = jnp.where(jnp.abs(a) > 1e-20, a, 1e-20)
+    t0 = (-b - sq) / (2 * a_safe)
+    t1 = (-b + sq) / (2 * a_safe)
+
+    def z_ok(t):
+        z = oo[..., 2] + t * od[..., 2]
+        return (z >= 0.0) & (z <= 1.0) & (t > 0.0)
+
+    v0 = z_ok(t0) & (disc >= 0.0)
+    v1 = z_ok(t1) & (disc >= 0.0)
+    t = jnp.where(v0, t0, jnp.where(v1, t1, INF))
+    return t
+
+
+_T_FNS = {RECTANGLE: _t_rectangle, SPHERE: _t_sphere, DISK: _t_disk,
+          CYLINDER: _t_cylinder}
+
+
+def analytic_ts(table: ShapeTable, o, d, tmin=1e-4, tmax=None):
+    """Distances of all (ray, analytic-prim) pairs: (R, P), inf = miss.
+
+    NOTE: t values are in *world* units only when to_world has uniform scale
+    per-axis along d; we renormalize below by the object-space direction norm.
+    To keep world-space t we instead scale: t_world = t_obj (since we didn't
+    normalize od, p = o + t*d holds in both spaces for affine maps).
+    """
+    oo, od = _object_ray(table.to_object, o, d)
+    t = jnp.full(oo.shape[:2], INF)
+    kinds = table.kind  # (P,)
+    for code, fn in _T_FNS.items():
+        mask = (kinds == code)[None, :]
+        t = jnp.where(mask, fn(oo, od), t)
+    valid = (t > tmin)
+    if tmax is not None:
+        valid &= (t < tmax)
+    return jnp.where(valid, t, INF)
+
+
+def analytic_attrs(table: ShapeTable, o, d, t, idx):
+    """Shading attributes for winning analytic prims.
+    o,d: (R,3); t: (R,); idx: (R,) prim indices (clipped valid).
+    Returns (p, n_world, uv) each (R,...)."""
+    to_obj = table.to_object[idx]            # (R,4,4)
+    to_wld = table.to_world[idx]
+    kind = table.kind[idx]
+    flip = table.flip[idx]
+    p_world = o + t[..., None] * d
+    po = jnp.einsum('rij,rj->ri', to_obj[:, :3, :3], p_world) + to_obj[:, :3, 3]
+
+    # Normals/uv per kind in object space
+    n_rect = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), po.shape)
+    uv_rect = 0.5 * (po[..., :2] + 1.0)
+
+    n_sph = normalize(po)
+    uv_sph = jnp.stack([
+        jnp.arctan2(po[..., 1], po[..., 0]) / TwoPi + 0.5,
+        jnp.arccos(jnp.clip(po[..., 2], -1.0, 1.0)) / jnp.pi], axis=-1)
+
+    n_cyl = normalize(po * jnp.array([1.0, 1.0, 0.0], jnp.float32))
+    uv_cyl = jnp.stack([jnp.arctan2(po[..., 1], po[..., 0]) / TwoPi + 0.5,
+                        po[..., 2]], axis=-1)
+
+    n_o = jnp.where((kind == SPHERE)[..., None], n_sph,
+                    jnp.where((kind == CYLINDER)[..., None], n_cyl, n_rect))
+    uv = jnp.where((kind == SPHERE)[..., None], uv_sph,
+                   jnp.where((kind == CYLINDER)[..., None], uv_cyl, uv_rect))
+
+    # Normal to world: (M^-1)^T n
+    n_w = normalize(jnp.einsum('rji,rj->ri', to_obj[:, :3, :3], n_o))
+    n_w = n_w * flip[..., None]
+    del to_wld
+    return p_world, n_w, uv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriData:
+    """Pre-transformed triangle soup (world space), SoA per face."""
+
+    v0: jax.Array          # (F,3)
+    e1: jax.Array          # (F,3) v1-v0
+    e2: jax.Array          # (F,3) v2-v0
+    n: jax.Array           # (F,3) geometric normal (normalized)
+    shape_idx: jax.Array   # (F,) int32 row in the scene shape table
+
+    @property
+    def n_faces(self) -> int:
+        return self.v0.shape[0]
+
+
+def triangle_ts(tri: TriData, o, d, tmin=1e-4, tmax=None):
+    """Möller–Trumbore over all (ray, face): returns t (R,F), u, v."""
+    # (R,1,3) vs (1,F,3)
+    pvec = jnp.cross(d[:, None, :], tri.e2[None, :, :])
+    det = jnp.sum(tri.e1[None] * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o[:, None, :] - tri.v0[None]
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, tri.e1[None, :, :])
+    v = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+    t = jnp.sum(tri.e2[None] * qvec, axis=-1) * inv_det
+    hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > tmin)
+    if tmax is not None:
+        hit &= t < tmax
+    return jnp.where(hit, t, INF), u, v
+
+
+def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
+                tmin=1e-4, tmax=None) -> SurfaceInteraction:
+    """Full closest-hit query over analytic prims + triangle soup.
+
+    Equivalent of reference `Scene::ray_intersect` (`scene.cpp` +
+    `scene_embree.inl:200-260`), vectorized over the ray wavefront.
+    """
+    R = o.shape[0]
+    t_an = analytic_ts(table, o, d, tmin, tmax)          # (R,P)
+    best_an = jnp.argmin(t_an, axis=1)
+    t_best_an = jnp.take_along_axis(t_an, best_an[:, None], axis=1)[:, 0]
+
+    if tri is not None and tri.n_faces > 0:
+        t_tr, u_tr, v_tr = triangle_ts(tri, o, d, tmin, tmax)  # (R,F)
+        best_tr = jnp.argmin(t_tr, axis=1)
+        t_best_tr = jnp.take_along_axis(t_tr, best_tr[:, None], axis=1)[:, 0]
+    else:
+        best_tr = jnp.zeros((R,), jnp.int32)
+        t_best_tr = jnp.full((R,), INF)
+
+    use_tri = t_best_tr < t_best_an
+    t = jnp.minimum(t_best_an, t_best_tr)
+    valid = jnp.isfinite(t)
+    t_safe = jnp.where(valid, t, 1.0)
+
+    # Analytic attributes
+    p_a, n_a, uv_a = analytic_attrs(table, o, d, t_safe, best_an)
+    shape_a = best_an.astype(jnp.int32)
+
+    if tri is not None and tri.n_faces > 0:
+        p_t = o + t_safe[:, None] * d
+        n_t = tri.n[best_tr]
+        uv_t = jnp.stack([jnp.take_along_axis(u_tr, best_tr[:, None], 1)[:, 0],
+                          jnp.take_along_axis(v_tr, best_tr[:, None], 1)[:, 0]], -1)
+        shape_t = tri.shape_idx[best_tr]
+        p = jnp.where(use_tri[:, None], p_t, p_a)
+        n = jnp.where(use_tri[:, None], n_t, n_a)
+        uv = jnp.where(use_tri[:, None], uv_t, uv_a)
+        shape_idx = jnp.where(use_tri, shape_t, shape_a)
+        prim_idx = jnp.where(use_tri, best_tr.astype(jnp.int32), -1)
+    else:
+        p, n, uv, shape_idx = p_a, n_a, uv_a, shape_a
+        prim_idx = jnp.full((R,), -1, jnp.int32)
+
+    # Two-sided shading frame: flip normal to face the incoming ray
+    facing = jnp.sum(n * d, axis=-1) < 0.0
+    n_sh = jnp.where(facing[:, None], n, -n)
+    frame = tfm.frame_from_normal(n_sh)
+    wi_world = -d
+    wi = tfm.to_local(frame, wi_world)
+
+    shape_idx = jnp.where(valid, shape_idx, -1)
+    return SurfaceInteraction(
+        valid=valid, t=jnp.where(valid, t, INF), p=p, n=jnp.where(valid[:, None], n, 0.0),
+        sh_frame=frame, uv=uv, wi=wi, wi_world=wi_world,
+        shape_idx=shape_idx, prim_idx=jnp.where(valid, prim_idx, -1))
+
+
+def any_hit(table: ShapeTable, tri: TriData | None, o, d, maxt,
+            tmin=1e-4):
+    """Shadow/visibility test: True where something blocks before maxt
+    (reference `Scene::ray_test`)."""
+    eps = 1.0 - 1e-3
+    t_an = analytic_ts(table, o, d, tmin, maxt[:, None] * eps)
+    hit = jnp.any(jnp.isfinite(t_an), axis=1)
+    if tri is not None and tri.n_faces > 0:
+        t_tr, _, _ = triangle_ts(tri, o, d, tmin, maxt[:, None] * eps)
+        hit |= jnp.any(jnp.isfinite(t_tr), axis=1)
+    return hit

@@ -1,0 +1,149 @@
+"""Triangle meshes + OBJ/PLY loaders.
+
+Replaces reference `src/librender/mesh.cpp` (886 LoC) and the obj/ply shape
+plugins (`src/shapes/obj.cpp`, `src/shapes/ply.cpp`): host-side numpy loading
+and a pre-transformed triangle-soup compile step (vertices baked into world
+space so the device intersector needs no per-ray transforms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import Optional
+
+import numpy as np
+
+from .shapes import ShapeSpec, TRIANGLE, _m4
+
+
+@dataclasses.dataclass
+class MeshSpec(ShapeSpec):
+    """Host-side triangle mesh (kind=TRIANGLE)."""
+
+    vertices: np.ndarray = None   # (V,3) float32, object space
+    faces: np.ndarray = None      # (F,3) int32
+
+    def __init__(self, vertices, faces, to_world=None, **kw):
+        super().__init__(kind=TRIANGLE, to_world=_m4(to_world), **kw)
+        self.vertices = np.asarray(vertices, np.float32).reshape(-1, 3)
+        self.faces = np.asarray(faces, np.int32).reshape(-1, 3)
+
+    def world_vertices(self) -> np.ndarray:
+        m = self.to_world
+        return self.vertices @ m[:3, :3].T + m[:3, 3]
+
+    def surface_area_world(self) -> float:
+        v = self.world_vertices()
+        a, b, c = v[self.faces[:, 0]], v[self.faces[:, 1]], v[self.faces[:, 2]]
+        return float(0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum())
+
+
+def load_obj(path: str, to_world=None, **kw) -> MeshSpec:
+    """Minimal Wavefront OBJ loader: v / f records, fan-triangulated
+    (reference `src/shapes/obj.cpp` semantics for positions)."""
+    verts, faces = [], []
+    with open(path, 'r', errors='ignore') as fh:
+        for line in fh:
+            if line.startswith('v '):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith('f '):
+                idx = []
+                for tok in line.split()[1:]:
+                    i = tok.split('/')[0]
+                    k = int(i)
+                    idx.append(k - 1 if k > 0 else len(verts) + k)
+                for j in range(1, len(idx) - 1):   # fan triangulation
+                    faces.append([idx[0], idx[j], idx[j + 1]])
+    return MeshSpec(np.array(verts, np.float32), np.array(faces, np.int32),
+                    to_world=to_world, **kw)
+
+
+def load_ply(path: str, to_world=None, **kw) -> MeshSpec:
+    """PLY loader: ascii and binary_little_endian, vertex xyz + face lists
+    (reference `src/shapes/ply.cpp`)."""
+    with open(path, 'rb') as fh:
+        if fh.readline().strip() != b'ply':
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(type, name)])
+        cur = None
+        while True:
+            line = fh.readline().strip()
+            if line == b'end_header':
+                break
+            parts = line.split()
+            if parts[0] == b'format':
+                fmt = parts[1].decode()
+            elif parts[0] == b'element':
+                cur = (parts[1].decode(), int(parts[2]), [])
+                elements.append(cur)
+            elif parts[0] == b'property':
+                if parts[1] == b'list':
+                    cur[2].append(('list', parts[2].decode(), parts[3].decode(),
+                                   parts[4].decode()))
+                else:
+                    cur[2].append((parts[1].decode(), parts[2].decode()))
+        verts, faces = None, []
+        np_types = {'float': 'f4', 'float32': 'f4', 'double': 'f8',
+                    'uchar': 'u1', 'uint8': 'u1', 'char': 'i1', 'int8': 'i1',
+                    'short': 'i2', 'ushort': 'u2', 'int': 'i4', 'int32': 'i4',
+                    'uint': 'u4', 'uint32': 'u4'}
+        for name, count, props in elements:
+            if fmt == 'ascii':
+                if name == 'vertex':
+                    rows = [fh.readline().split() for _ in range(count)]
+                    arr = np.array(rows, np.float64)
+                    cols = [i for i, p in enumerate(props) if p[1] in ('x', 'y', 'z')]
+                    verts = arr[:, cols[:3]].astype(np.float32)
+                elif name == 'face':
+                    for _ in range(count):
+                        row = fh.readline().split()
+                        k = int(row[0])
+                        idx = [int(x) for x in row[1:1 + k]]
+                        for j in range(1, k - 1):
+                            faces.append([idx[0], idx[j], idx[j + 1]])
+                else:
+                    for _ in range(count):
+                        fh.readline()
+            elif fmt == 'binary_little_endian':
+                if name == 'vertex':
+                    dt = np.dtype([(p[1], '<' + np_types[p[0]]) for p in props])
+                    arr = np.frombuffer(fh.read(dt.itemsize * count), dtype=dt)
+                    verts = np.stack([arr['x'], arr['y'], arr['z']], -1).astype(np.float32)
+                elif name == 'face':
+                    # assume single list property
+                    lp = props[0]
+                    cnt_t = '<' + np_types[lp[1]]
+                    idx_t = '<' + np_types[lp[2]]
+                    cnt_sz = np.dtype(cnt_t).itemsize
+                    idx_sz = np.dtype(idx_t).itemsize
+                    for _ in range(count):
+                        k = int(np.frombuffer(fh.read(cnt_sz), cnt_t)[0])
+                        idx = np.frombuffer(fh.read(idx_sz * k), idx_t)
+                        for j in range(1, k - 1):
+                            faces.append([int(idx[0]), int(idx[j]), int(idx[j + 1])])
+                else:
+                    raise ValueError(f"unhandled binary element {name}")
+            else:
+                raise ValueError(f"unsupported PLY format {fmt}")
+    return MeshSpec(verts, np.array(faces, np.int32).reshape(-1, 3),
+                    to_world=to_world, **kw)
+
+
+def make_grid(nx: int = 1, ny: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Unit grid mesh on [-1,1]^2 z=0 (test helper, like the reference's
+    `mesh_generation.py`)."""
+    xs = np.linspace(-1, 1, nx + 1)
+    ys = np.linspace(-1, 1, ny + 1)
+    vv = np.array([[x, y, 0.0] for y in ys for x in xs], np.float32)
+    ff = []
+    for j in range(ny):
+        for i in range(nx):
+            a = j * (nx + 1) + i
+            b = a + 1
+            c = a + nx + 1
+            d = c + 1
+            ff += [[a, b, d], [a, d, c]]
+    return vv, np.array(ff, np.int32)

@@ -1,0 +1,190 @@
+"""Scene: host-side builder + compiled device pytree.
+
+Replaces the reference `Scene` (`src/librender/scene.cpp:22-120` constructor
+sorting children into emitters/transmitters/sensors/receivers + accel init)
+and the XML object graph: here a `Scene` collects host-side spec dataclasses,
+and `compile()` flattens everything into `SceneData` — a pytree of SoA device
+arrays that every jitted kernel takes as an argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.config import Band, ULTRASOUND_40K
+from .geometry.shapes import ShapeSpec, ShapeTable, TRIANGLE
+from .geometry.mesh import MeshSpec
+from .geometry.intersect import TriData, closest_hit, any_hit
+from .bsdf.tables import BSDFSpec, BSDFTable
+from .textures import TextureSpec, TextureTable
+from .emitters import EmitterSpec, EmitterTable
+from .sensors import SensorSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Everything a jitted kernel needs, as device arrays."""
+
+    band: Band = dataclasses.field(metadata=dict(static=True))
+    shapes: ShapeTable
+    tris: Optional[TriData]
+    bsdfs: BSDFTable
+    textures: TextureTable
+    emitters: EmitterTable
+    transmitters: object   # radar.TransmitterTable | None
+    receivers: object      # radar.ReceiverTable | None
+
+    # --- queries (reference Scene::ray_intersect / ray_test) ---
+
+    def ray_intersect(self, o, d, tmax=None):
+        return closest_hit(self.shapes, self.tris, o, d, tmax=tmax)
+
+    def ray_test(self, o, d, maxt):
+        return any_hit(self.shapes, self.tris, o, d, maxt)
+
+    # --- per-hit attribute gathers ---
+
+    def bsdf_of(self, shape_idx):
+        return jnp.where(shape_idx >= 0,
+                         self.shapes.bsdf_idx[jnp.maximum(shape_idx, 0)], -1)
+
+    def emitter_of(self, shape_idx):
+        return jnp.where(shape_idx >= 0,
+                         self.shapes.emitter_idx[jnp.maximum(shape_idx, 0)], -1)
+
+    def transmitter_of(self, shape_idx):
+        return jnp.where(shape_idx >= 0,
+                         self.shapes.transmitter_idx[jnp.maximum(shape_idx, 0)], -1)
+
+    def velocity_of(self, shape_idx):
+        return jnp.where((shape_idx >= 0)[..., None],
+                         self.shapes.velocity[jnp.maximum(shape_idx, 0)], 0.0)
+
+
+@dataclasses.dataclass
+class Scene:
+    """Host-side scene description (mutable builder)."""
+
+    band: Band = ULTRASOUND_40K
+    shapes: list = dataclasses.field(default_factory=list)
+    bsdfs: list = dataclasses.field(default_factory=list)
+    textures: list = dataclasses.field(default_factory=list)
+    emitters: list = dataclasses.field(default_factory=list)
+    transmitters: list = dataclasses.field(default_factory=list)
+    receivers: list = dataclasses.field(default_factory=list)
+    sensors: list = dataclasses.field(default_factory=list)
+
+    def add(self, *objs) -> "Scene":
+        for o in objs:
+            if isinstance(o, MeshSpec) or isinstance(o, ShapeSpec):
+                self.shapes.append(o)
+            elif isinstance(o, BSDFSpec):
+                self.bsdfs.append(o)
+            elif isinstance(o, TextureSpec):
+                self.textures.append(o)
+            elif isinstance(o, EmitterSpec):
+                self.emitters.append(o)
+            elif isinstance(o, SensorSpec):
+                self.sensors.append(o)
+            else:
+                # radar transmitter/receiver specs (duck-typed by attribute)
+                kind = getattr(o, 'endpoint_kind', None)
+                if kind == 'transmitter':
+                    self.transmitters.append(o)
+                elif kind == 'receiver':
+                    self.receivers.append(o)
+                else:
+                    raise TypeError(f"don't know where to put {o!r}")
+        return self
+
+    # ------------------------------------------------------------------
+
+    def _index_of(self, lst, id_) -> int:
+        if id_ is None:
+            return -1
+        for i, s in enumerate(lst):
+            if s.id == id_:
+                return i
+        raise KeyError(f"unresolved reference {id_!r}")
+
+    def shape_index_of_endpoint(self, kind: str, endpoint_id: str) -> int:
+        """Row of the shape that carries endpoint `endpoint_id` (-1 if free)."""
+        for i, s in enumerate(self.shapes):
+            if getattr(s, kind, None) == endpoint_id:
+                return i
+        return -1
+
+    def sensor_shape_index(self, sensor_idx: int = 0) -> int:
+        return self.shape_index_of_endpoint('sensor', self.sensors[sensor_idx].id)
+
+    def compile(self) -> SceneData:
+        resolve = lambda kind, id_: {
+            'bsdf': lambda: self._index_of(self.bsdfs, id_),
+            'emitter': lambda: self._index_of(self.emitters, id_),
+            'transmitter': lambda: self._index_of(self.transmitters, id_),
+            'sensor': lambda: self._index_of(self.sensors, id_),
+            'receiver': lambda: self._index_of(self.receivers, id_),
+        }[kind]()
+        resolve_tex = lambda id_: self._index_of(self.textures, id_)
+
+        shape_table = ShapeTable.build(self.shapes, resolve)
+        # Override surface areas for meshes
+        areas = np.asarray(shape_table.surface_area).copy()
+        tri_chunks = []
+        for i, s in enumerate(self.shapes):
+            if isinstance(s, MeshSpec):
+                areas[i] = s.surface_area_world()
+                v = s.world_vertices()
+                a = v[s.faces[:, 0]]
+                b = v[s.faces[:, 1]]
+                c = v[s.faces[:, 2]]
+                e1, e2 = b - a, c - a
+                n = np.cross(e1, e2)
+                nl = np.linalg.norm(n, axis=1, keepdims=True)
+                n = n / np.maximum(nl, 1e-20)
+                tri_chunks.append((a, e1, e2, n,
+                                   np.full(len(a), i, np.int32)))
+        shape_table = dataclasses.replace(shape_table,
+                                          surface_area=jnp.asarray(areas))
+        if tri_chunks:
+            v0 = np.concatenate([t[0] for t in tri_chunks])
+            tris = TriData(
+                v0=jnp.asarray(v0, jnp.float32),
+                e1=jnp.asarray(np.concatenate([t[1] for t in tri_chunks]), jnp.float32),
+                e2=jnp.asarray(np.concatenate([t[2] for t in tri_chunks]), jnp.float32),
+                n=jnp.asarray(np.concatenate([t[3] for t in tri_chunks]), jnp.float32),
+                shape_idx=jnp.asarray(np.concatenate([t[4] for t in tri_chunks])))
+        else:
+            tris = None
+
+        bsdf_table = BSDFTable.build(self.bsdfs, resolve_tex)
+        tex_table = TextureTable.build(self.textures)
+        em_table = EmitterTable.build(
+            self.emitters,
+            shape_of=lambda eid: self.shape_index_of_endpoint('emitter', eid),
+            resolve_texture=resolve_tex)
+
+        tx_table = rx_table = None
+        if self.transmitters or self.receivers:
+            from .radar.endpoints import TransmitterTable, ReceiverTable
+            if self.transmitters:
+                tx_table = TransmitterTable.build(
+                    self.transmitters,
+                    shape_of=lambda tid: self.shape_index_of_endpoint(
+                        'transmitter', tid))
+            if self.receivers:
+                rx_table = ReceiverTable.build(
+                    self.receivers,
+                    shape_of=lambda rid: self.shape_index_of_endpoint(
+                        'receiver', rid))
+
+        return SceneData(band=self.band, shapes=shape_table, tris=tris,
+                         bsdfs=bsdf_table, textures=tex_table,
+                         emitters=em_table, transmitters=tx_table,
+                         receivers=rx_table)
