@@ -1,0 +1,315 @@
+"""Radar path tracers: reverse tracing from the receiver with retarded time,
+compensated phase, per-bounce Doppler, and NEE against transmitters.
+
+TPU-native re-expression of the reference's radar integrators:
+  - `pathtimefrequency` (`src/integrators/pathtimefrequency.cpp:103-460`):
+    backward time via `ray.update_state(-si.t)`, transmitter NEE
+    (`scene->sample_transmitter_direction` at `:290`), transmitter-hit eval
+    (`:192`), MIS (`:396`).
+  - `pathlength`/`pathtime` (`pathlength.cpp:114-325`, `pathtime.cpp`):
+    path-length/time accumulation for film-mode range/time binning.
+
+Improvements over the reference (documented deviations):
+  - every transmitter connection is binned individually with its own
+    emission time/frequency (the reference writes one wavelength back per
+    sample, `pathtimefrequency.cpp:449-454`, which smears multi-bounce FMCW
+    returns — its comments call these "ghost signals");
+  - phase is accumulated in a compensated double-single wavelength-count
+    accumulator (exact over arbitrarily long paths);
+  - per-bounce Doppler from shape velocities is active (the reference's
+    Doppler hooks are commented out, `pathtimefrequency.cpp:252-274`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..core.rng import SampleStream
+from ..bsdf.eval import bsdf_eval_pdf, bsdf_sample
+from ..textures import texture_eval
+from ..radar.endpoints import (tx_sample_direction, tx_eval, tx_pdf_direction,
+                               ADCConfig)
+from .. import film as film_mod
+from ..scene import SceneData
+
+
+def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
+               coherent: bool = False):
+    """Scatter one batch of connection events into the ADC grid.
+
+    adc: (n_time, n_freq, C+2); t_off [s] receive-time offset; f_out [Hz].
+    In coherent mode two channels (I, Q) accumulate sqrt(power)*e^{i phase}.
+    """
+    x = (f_out - cfg.freq_lo) / max(cfg.freq_hi - cfg.freq_lo, 1e-30) * cfg.n_freq
+    y = t_off / cfg.sampling_time * cfg.n_time
+    pos = jnp.stack([x, y], axis=-1)
+    if coherent:
+        amp = jnp.sqrt(jnp.maximum(value, 0.0))
+        vals = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)], -1)
+    else:
+        vals = value[:, None]
+    return film_mod.splat(adc, pos, vals, active, cfg.rfilter)
+
+
+def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
+                        t_rx, f_rx, ray_weight, adc, cfg: ADCConfig,
+                        receive_type: str, lo_wf, rx_velocity,
+                        max_depth: int = 4, coherent: bool = False):
+    """Trace one wavefront of receive rays, splatting every transmitter
+    connection into `adc`.  Returns (adc, stream).
+
+    o, d: (n,3) receive ray; t_rx: (n,) absolute receive time [s];
+    f_rx: (n,) sampled receive frequency [Hz]; ray_weight: (n,) receiver
+    importance weight (aperture area/pdf terms).
+    """
+    n = o.shape[0]
+    c = scene.band.c
+    inv_wl_unit = None  # computed per-connection from wavelength
+
+    throughput = ray_weight
+    active = jnp.ones((n,), bool)
+    time = t_rx                                   # runs backward
+    plen = m.ds(jnp.zeros((n,), jnp.float32))     # path length (double-single)
+    # Doppler: cumulative factor D with f_received = f_emitted * D.
+    # Receiver motion: physical arrival direction at rx is -d.
+    dop = 1.0 + jnp.sum(d * rx_velocity[None, :], axis=-1) / c
+
+    d_cur = d
+    si = scene.ray_intersect(o, d)
+    active &= si.valid
+    emission_weight = jnp.ones((n,), jnp.float32)
+
+    t_off = t_rx - cfg.sampling_start
+
+    def lo_freq(t):
+        if lo_wf is None:
+            return jnp.zeros_like(t)
+        return lo_wf.inst_freq(t)
+
+    def bin_freq(f_recv):
+        if receive_type == 'mix_resample':
+            return jnp.abs(f_recv - lo_freq(t_rx))
+        return f_recv
+
+    for depth in range(max_depth):
+        # -------- advance ray state to the hit (backward time) --------
+        dt = jnp.where(active, si.t, 0.0)
+        time = time - dt / c
+        plen = m.ds_add_f(plen, dt)
+
+        seg_boundary = scene.band.boundary_phase   # per-reflection phase
+
+        # -------- direct transmitter hit --------
+        tx_idx = scene.transmitter_of(si.shape_idx)
+        cos_hit = jnp.sum(-d_cur * si.n, axis=-1)
+        hit_tx = active & (tx_idx >= 0)
+        f_at_tx = f_rx / jnp.maximum(dop, 1e-6)
+        w_hit, f_emit_hit = tx_eval(scene, tx_idx, si.p, -d_cur, cos_hit,
+                                    time, f_at_tx,
+                                    c / jnp.maximum(f_at_tx, 1e-6))
+        f_recv_hit = f_emit_hit * dop
+        val_hit = throughput * emission_weight * w_hit
+        if coherent:
+            tx_row = jnp.maximum(tx_idx, 0)
+            wf_ph = jnp.where(hit_tx, _wf_phase(scene, tx_row, time), 0.0)
+            wl_hit = c / jnp.maximum(f_recv_hit, 1e-6)
+            prop_ph = _prop_phase(plen, wl_hit, depth, seg_boundary)
+            ph_hit = wf_ph + prop_ph
+        else:
+            ph_hit = None
+        adc = _adc_splat(adc, cfg, t_off, bin_freq(f_recv_hit), val_hit,
+                         hit_tx & (val_hit != 0.0), ph_hit, coherent)
+
+        # -------- NEE toward transmitters --------
+        bsdf_idx = scene.bsdf_of(si.shape_idx)
+        has_bsdf = bsdf_idx >= 0
+        tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv)
+
+        u_sel, stream = stream.next_1d()
+        u_pos, stream = stream.next_2d()
+        # Doppler of the connection vertex: arrival a = d_cur, departure = ds.d
+        vel_here = scene.velocity_of(si.shape_idx)
+        ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
+            scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos)
+        # per-connection Doppler: vertex bounce + tx motion
+        dop_vtx = 1.0 + jnp.sum((ds.d - d_cur) * vel_here, axis=-1) / c
+        tx_vel = scene.transmitters.velocity[tx_row]
+        dop_tx = 1.0 - jnp.sum(ds.d * tx_vel, axis=-1) / c
+        dop_conn = dop * dop_vtx * dop_tx
+        f_recv_nee = f_emit_nee * dop_conn
+
+        spawn_o = si.spawn_origin(ds.d)
+        occluded = scene.ray_test(spawn_o, ds.d, ds.dist)
+        wo_nee = si.to_local(ds.d)
+        f_b, pdf_b_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
+                                       refl_scale)
+        mis = m.mis_weight(ds.pdf, pdf_b_nee)
+        nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
+        val_nee = throughput * f_b[:, 0] * w_nee * mis
+        t_nee = time - ds.dist / c   # = t_emit
+        del t_nee
+        if coherent:
+            plen_nee = m.ds_add_f(plen, jnp.where(nee_ok, ds.dist, 0.0))
+            wl_nee = c / jnp.maximum(f_recv_nee, 1e-6)
+            wf_ph = _wf_phase(scene, tx_row, t_emit)
+            prop_ph = _prop_phase(plen_nee, wl_nee, depth + 1, seg_boundary)
+            ph_nee = wf_ph + prop_ph
+        else:
+            ph_nee = None
+        adc = _adc_splat(adc, cfg, t_off, bin_freq(f_recv_nee), val_nee,
+                         nee_ok & (val_nee != 0.0), ph_nee, coherent)
+
+        if depth == max_depth - 1:
+            break
+
+        # -------- BSDF continuation --------
+        u_lobe, stream = stream.next_1d()
+        u_dir, stream = stream.next_2d()
+        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
+                                                  u_lobe, u_dir, refl_scale)
+        throughput = jnp.where(active, throughput * w_b[:, 0], throughput)
+        alive = active & has_bsdf & (pdf_b > 0.0) & (throughput != 0.0)
+
+        d_new = si.to_world(wo)
+        # bounce Doppler for the continued path
+        dop = dop * (1.0 + jnp.sum((d_new - d_cur) * vel_here, axis=-1) / c)
+        o_new = si.spawn_origin(d_new)
+        si2 = scene.ray_intersect(o_new, d_new)
+
+        # MIS weight for a transmitter hit on the continued ray
+        tx2 = scene.transmitter_of(si2.shape_idx)
+        cos2 = jnp.sum(-d_new * si2.n, axis=-1)
+        pdf_tx = tx_pdf_direction(scene, tx2, si2.t, cos2)
+        emission_weight = jnp.where(is_delta, 1.0, m.mis_weight(pdf_b, pdf_tx))
+
+        active = alive & si2.valid
+        si = si2
+        d_cur = d_new
+
+    return adc, stream
+
+
+def _wf_phase(scene, tx_row, t):
+    wfr = jax.tree_util.tree_map(lambda x: x[tx_row], scene.transmitters.wf)
+    return wfr.phase(t)
+
+
+def _prop_phase(plen, wavelength, n_bounces, boundary_phase):
+    """Propagation + boundary phase from the compensated path length."""
+    inv = m.ds_inv(wavelength)
+    acc = m.wlfrac_zero(plen[0].shape)
+    # single "distance" add of the accumulated (hi, lo) pair
+    acc = m.wlfrac_add_dist(acc, plen[0], inv)
+    acc = m.wlfrac_add_dist(acc, plen[1], inv)
+    acc = m.wlfrac_add_phase(acc, jnp.asarray(n_bounces * boundary_phase,
+                                              jnp.float32))
+    return m.wlfrac_phase(acc)
+
+
+# ---------------------------------------------------------------------------
+# Film-mode path-length tracer (reference pathlength/pathtime + range/time
+# binning wrappers)
+# ---------------------------------------------------------------------------
+
+
+def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
+                         ray_weight, grid, pixel_idx, n_bins: int,
+                         bin_width: float, quantity: str = 'length',
+                         max_depth: int = 4, rfilter: int = film_mod.TENT):
+    """Trace optical paths (NEE against EMITTERS) and histogram each
+    contribution by total path length (or time = length/c).
+
+    Re-expresses `range` over `pathlength` (`src/integrators/range.cpp:
+    136-161` + `pathlength.cpp:114-325`) and `time` over `pathtime`
+    (`time.cpp:134-167`): instead of AOV channel bins compiled into the
+    wrapper, contributions scatter-add into `grid` of shape
+    (n_pixels, n_bins, 3) at their exact fractional bin.
+
+    pixel_idx: (n,) int32 flat pixel id per lane.
+    """
+    from .. import emitters as em_mod
+
+    n = o.shape[0]
+    em = scene.emitters
+    scale = 1.0 / scene.band.c if quantity == 'time' else 1.0
+
+    throughput = ray_weight[:, None] * jnp.ones((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    plen = jnp.zeros((n,), jnp.float32)
+
+    d_cur = d
+    si = scene.ray_intersect(o, d)
+    active &= si.valid
+    em_weight = jnp.ones((n,), jnp.float32)
+
+    def put(grid, value, length, ok):
+        b = length * scale / bin_width
+        x = jnp.zeros_like(b)
+        pos = jnp.stack([x, b], -1)
+        # reuse film splat over a (n_pixels*n_bins, 1) virtual image per pixel:
+        # do it directly with tent weights over the bin axis
+        b0 = jnp.floor(b - 0.5).astype(jnp.int32)
+        for db in (0, 1):
+            bi = b0 + db
+            w = film_mod.filter_eval(rfilter, bi.astype(jnp.float32) + 0.5 - b)
+            okb = ok & (bi >= 0) & (bi < n_bins) & (w > 0)
+            idx = pixel_idx * n_bins + jnp.clip(bi, 0, n_bins - 1)
+            contrib = jnp.concatenate([value[:, :1] * w[:, None],
+                                       w[:, None], jnp.ones((n, 1))], -1)
+            contrib = jnp.where(okb[:, None], contrib, 0.0)
+            grid = grid.reshape(-1, grid.shape[-1]).at[idx].add(contrib).reshape(grid.shape)
+        return grid
+
+    for depth in range(max_depth):
+        dt = jnp.where(active, si.t, 0.0)
+        plen = plen + dt
+
+        # direct emitter hit
+        em_idx = scene.emitter_of(si.shape_idx)
+        cos_hit = jnp.sum(-d_cur * si.n, axis=-1)
+        L_hit = em_mod.eval_hit(em, em_idx, cos_hit)
+        val = throughput * em_weight[:, None] * L_hit
+        grid = put(grid, val, plen, active & jnp.any(val != 0, -1))
+
+        # NEE
+        bsdf_idx = scene.bsdf_of(si.shape_idx)
+        tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv)
+        u_sel, stream = stream.next_1d()
+        u_pos, stream = stream.next_2d()
+        ds, w_em, _ = em_mod.sample_direction(em, scene.shapes, si.p, u_sel, u_pos)
+        spawn_o = si.spawn_origin(ds.d)
+        occluded = scene.ray_test(spawn_o, ds.d, ds.dist)
+        wo_nee = si.to_local(ds.d)
+        f_nee, pdf_bn = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
+                                      refl_scale)
+        mis = jnp.where(ds.delta, 1.0, m.mis_weight(ds.pdf, pdf_bn))
+        ok = active & ~occluded & (ds.pdf > 0.0)
+        val = throughput * f_nee * w_em * mis[:, None]
+        grid = put(grid, val, plen + ds.dist, ok & jnp.any(val != 0, -1))
+
+        if depth == max_depth - 1:
+            break
+
+        u_lobe, stream = stream.next_1d()
+        u_dir, stream = stream.next_2d()
+        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
+                                                  u_lobe, u_dir, refl_scale)
+        throughput = jnp.where(active[:, None], throughput * w_b, throughput)
+        alive = active & (pdf_b > 0.0) & jnp.any(throughput != 0, -1)
+        d_new = si.to_world(wo)
+        o_new = si.spawn_origin(d_new)
+        si2 = scene.ray_intersect(o_new, d_new)
+        em2 = scene.emitter_of(si2.shape_idx)
+        cos2 = jnp.sum(-d_new * si2.n, axis=-1)
+        pdf_em = em_mod.pdf_direction_area(em, scene.shapes, em2, d_new,
+                                           si2.t, cos2)
+        em_weight = jnp.where(is_delta, 1.0, m.mis_weight(pdf_b, pdf_em))
+        active = alive & si2.valid
+        si = si2
+        d_cur = d_new
+
+    return grid, stream

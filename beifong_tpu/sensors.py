@@ -86,7 +86,7 @@ def sample_ray(spec: SensorSpec, shapes: ShapeTable, shape_idx: int,
     when radiance integrates to 1 — matches reference fluxmeter which
     divides by position/direction pdf, `fluxmeter.cpp:60-85`).
     """
-    m = jnp.asarray(spec.to_world)
+    m = jnp.asarray(spec.to_world if spec.to_world is not None else np.eye(4))
     n = uv.shape[0]
     if spec.type in (PERSPECTIVE, THINLENS):
         w, h = spec.film_size

@@ -1,0 +1,192 @@
+"""Radar end-to-end physics tests.
+
+Fixes the reference's biggest testing gap (SURVEY.md §4: "radar components
+are effectively untested"): analytic point-target returns, waveform WDF
+properties, FMCW beat-frequency law, and film-mode range profiles.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import beifong_tpu as bt
+from beifong_tpu import scene as sc, emitters as em, sensors as sn
+from beifong_tpu.bsdf import diffuse
+from beifong_tpu.geometry import shapes as sh
+from beifong_tpu.core import transform as tf
+from beifong_tpu.core.config import Band
+from beifong_tpu.radar import (linfmcw, pulse, cw, wigner_transmitter,
+                               wigner_receiver, ADCConfig)
+from beifong_tpu.receive import receive, develop_signal, render_binned
+
+C = 340.0  # sonar in air
+
+
+def _sonar_band(fc=40e3, bw=10e3):
+    return Band.from_freq(C, fc, bw)
+
+
+def test_waveform_wdf_properties():
+    wf = linfmcw(f_centre=40e3, crf=10.0, chirp_len=0.05, freq_sweep=2e3)
+    # On-ridge value at chirp centre = 2 a^2 w
+    t = jnp.float32(0.025)  # centre of chirp (ti = t_ext/2)
+    f = wf.inst_freq(t)
+    assert float(f) == pytest.approx(40e3, rel=1e-6)
+    assert float(wf.eval_wdf(t, f)) == pytest.approx(2 * 0.05, rel=1e-4)
+    # Instantaneous frequency sweeps linearly: at chirp start f = fc - sweep/2
+    assert float(wf.inst_freq(jnp.float32(0.0))) == pytest.approx(39e3, rel=1e-4)
+    assert float(wf.inst_freq(jnp.float32(0.05))) == pytest.approx(41e3, rel=1e-4)
+    # Periodic in the CRF
+    assert float(wf.inst_freq(jnp.float32(0.1 + 0.02))) == pytest.approx(
+        float(wf.inst_freq(jnp.float32(0.02))), rel=1e-4)
+
+
+def test_pulse_wdf_time_gating():
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=1e-3, f_ext=2e3)
+    f = jnp.float32(40e3)
+    assert float(wf.eval_wdf(jnp.float32(0.5e-3), f)) > 0
+    assert float(wf.eval_wdf(jnp.float32(5e-3), f)) == 0.0
+
+
+def _point_target_scene(R=4.0, pulse_len=2e-3, target_size=0.5):
+    """Small Tx/Rx apertures at origin facing -y; diffuse square target at
+    distance R."""
+    band = _sonar_band()
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=pulse_len, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(target_size)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+    return s, rx
+
+
+def test_point_target_round_trip_delay():
+    """Received power must peak at fast time 2R/c + pulse centre."""
+    R = 4.0
+    pulse_len = 2e-3
+    s, rx = _point_target_scene(R=R, pulse_len=pulse_len)
+    adc, n = receive(s, receiver=rx, spp=1 << 15, max_depth=2, seed=0)
+    sig = np.asarray(develop_signal(adc, n, rx.adc))[:, 0, 0]
+    assert sig.sum() > 0, "no signal received"
+    t_axis = (np.arange(64) + 0.5) / 64 * rx.adc.sampling_time
+    t_expect = 2 * R / C + pulse_len / 2
+    t_peak = t_axis[np.argmax(sig)]
+    bin_w = rx.adc.sampling_time / 64
+    assert abs(t_peak - t_expect) < 2.5 * bin_w, (
+        f"peak at {t_peak*1e3:.2f} ms, expected {t_expect*1e3:.2f} ms")
+    # Received energy should be concentrated around the return
+    window = (np.abs(t_axis - t_expect) < pulse_len)
+    assert sig[window].sum() > 0.8 * sig.sum()
+
+
+def test_fmcw_beat_frequency():
+    """FMCW dechirp: beat frequency = sweep-slope * 2R/c."""
+    R = 6.0
+    band = Band.from_freq(C, 40e3, 4e3)
+    chirp_len, sweep = 0.09, 2e3
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = linfmcw(f_centre=40e3, crf=1.0 / chirp_len, chirp_len=chirp_len,
+                 freq_sweep=sweep, is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+
+    f_beat_expect = sweep / chirp_len * 2 * R / C
+    adc = ADCConfig(n_time=8, n_freq=128, sampling_start=0.03,
+                    sampling_time=0.05, freq_lo=0.0, freq_hi=4 * f_beat_expect)
+    rx = wigner_receiver("rx", adc, receive_type='mix_resample', lo_waveform=wf)
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+
+    adc_g, n = receive(s, receiver=rx, spp=1 << 15, max_depth=2, seed=1)
+    spectrum = np.asarray(develop_signal(adc_g, n, rx.adc)).sum(axis=0)[:, 0]
+    f_axis = (np.arange(128) + 0.5) / 128 * (4 * f_beat_expect)
+    f_peak = f_axis[np.argmax(spectrum)]
+    bin_w = 4 * f_beat_expect / 128
+    assert spectrum.sum() > 0
+    assert abs(f_peak - f_beat_expect) < 3 * bin_w, (
+        f"beat at {f_peak:.1f} Hz, expected {f_beat_expect:.1f} Hz")
+
+
+def test_film_mode_range_profile():
+    """trans_rad.xml-equivalent: spot emitter + fluxmeter antenna + target;
+    the binned path-length histogram must peak at the round-trip range
+    (reference `python_scripts/trans_rad.py:51-75` semantics)."""
+    R = 4.0
+    s = sc.Scene(band=_sonar_band())
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    s.add(em.spot("txspot", intensity=1.0, cutoff_angle=25.0, beam_width=20.0,
+                  to_world=np.asarray(tf.look_at([0, 0, 0], [0, -1, 0]))))
+    s.add(sn.fluxmeter("ant", film_size=(1, 1), spp=4096))
+    ant = np.asarray(tf.compose(tf.look_at([0, 0, 0], [0, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=ant, sensor="ant"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(1.0)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+
+    grid, n = render_binned(s, n_bins=50, bin_width=0.2, quantity='length',
+                            spp=1 << 14, max_depth=3, seed=2)
+    prof = np.asarray(grid)[0, :, 0]
+    assert prof.sum() > 0
+    r_axis = (np.arange(50) + 0.5) * 0.2
+    # Round trip spot->target->antenna = 2R = 8 m
+    peak_r = r_axis[np.argmax(prof)]
+    assert abs(peak_r - 2 * R) < 0.45, f"peak at {peak_r} m, expected {2*R} m"
+
+
+def test_doppler_shift_moving_target():
+    """A closing target shifts the received frequency up by 2 v f / c."""
+    R = 4.0
+    v = 10.0       # closing speed toward the radar (+y direction)
+    band = Band.from_freq(C, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = cw(f_centre=40e3, is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    f_shift = 2 * v * 40e3 / C   # ~2353 Hz
+    adc = ADCConfig(n_time=4, n_freq=256, sampling_start=0.0,
+                    sampling_time=0.05, freq_lo=39.5e3, freq_hi=44.5e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat",
+                       velocity=np.array([0, v, 0], np.float32)))
+
+    adc_g, n = receive(s, receiver=rx, spp=1 << 14, max_depth=2, seed=3)
+    spec = np.asarray(develop_signal(adc_g, n, rx.adc)).sum(axis=0)[:, 0]
+    f_axis = 39.5e3 + (np.arange(256) + 0.5) / 256 * 5e3
+    f_peak = f_axis[np.argmax(spec)]
+    assert spec.sum() > 0
+    bin_w = 5e3 / 256
+    assert abs(f_peak - (40e3 + f_shift)) < 3 * bin_w, (
+        f"peak {f_peak:.0f} Hz, expected {40e3 + f_shift:.0f} Hz")
