@@ -1,0 +1,172 @@
+"""Multi-chip sharding of the simulator + DSP chain.
+
+The reference is single-node (SURVEY.md §2.5: TBB threads only, no comm
+backend).  TPU-native scaling story (§5.8):
+
+  mesh axes:  'pulse' — slow-time pulse blocks (host/DCN axis)
+              'ray'   — ray lanes within a pulse (chip/ICI axis); after
+                        tracing, the same axis resharded as the fast-time
+                        sample axis (sp) for the DSP chain
+
+  collectives: psum over 'ray' merges partial ADC accumulations (the exact
+  analogue of the reference's mutex `SignalBlock::put` merge,
+  `hdradc.cpp:172-176`); ppermute exchanges overlap-save FIR halos between
+  neighboring fast-time shards; all_gather over 'pulse' assembles the
+  slow-time axis for the Doppler FFT.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..core.rng import SampleStream
+from ..radar.endpoints import rx_sample_ray, rx_sample_frequency
+from ..integrators.radar_path import radar_receive_trace
+from ..dsp import pulse as pulse_mod
+from .. import film as film_mod
+
+
+def make_mesh(pulse: int = 1, ray: int | None = None, devices=None) -> Mesh:
+    """Create a ('pulse', 'ray') device mesh covering `devices`."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if ray is None:
+        ray = n // pulse
+    assert pulse * ray == n, f"mesh {pulse}x{ray} != {n} devices"
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(pulse, ray), ('pulse', 'ray'))
+
+
+# ---------------------------------------------------------------------------
+# Sharded receive: rays over 'ray', pulse blocks over 'pulse'
+# ---------------------------------------------------------------------------
+
+
+def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
+                    pulse_starts, lanes_per_device: int, max_depth: int = 3,
+                    coherent: bool = False):
+    """Trace the receive wavefront across the mesh.
+
+    pulse_starts: (n_pulses,) absolute window-start time of each pulse
+    (sharded over 'pulse'); each device traces `lanes_per_device` rays and
+    partial ADCs are psum-merged over 'ray'.
+
+    Returns per-pulse ADC grids (n_pulses, n_time, n_freq, C+2), sharded over
+    'pulse' and replicated over 'ray'.
+    """
+    cfg = rx.adc
+    n_ch = 2 if coherent else 1
+
+    def trace_one_pulse(t_start, key, ray_idx, pulse_idx):
+        n = lanes_per_device
+        # Distinct sample stream per (pulse, ray-shard)
+        k = jax.random.fold_in(jax.random.wrap_key_data(key), ray_idx)
+        k = jax.random.fold_in(k, pulse_idx)
+        stream = SampleStream.make(k, n, 0)
+        u_t, stream = stream.next_1d()
+        t_rx = t_start + cfg.sampling_start + u_t * cfg.sampling_time
+        u_f, stream = stream.next_1d()
+        f_rx, f_w = rx_sample_frequency(rx.receive_type, lo_wf,
+                                        scene_data.band, t_rx, u_f)
+        u_pos, stream = stream.next_2d()
+        u_dir, stream = stream.next_2d()
+        o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
+        adc = film_mod.film_new(cfg.n_time, cfg.n_freq, n_ch)
+        adc, _ = radar_receive_trace(
+            scene_data, stream, o, d, t_rx - t_start, f_rx, w * f_w, adc, cfg,
+            rx.receive_type, lo_wf, jnp.asarray(rx.velocity),
+            max_depth=max_depth, coherent=coherent)
+        return adc
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P('pulse'), P()),
+        out_specs=P('pulse'),
+        check_rep=False)
+    def run(scene_data, pulse_starts_shard, key_data):
+        ray_idx = jax.lax.axis_index('ray')
+        pulse_idx0 = jax.lax.axis_index('pulse')
+        n_local = pulse_starts_shard.shape[0]
+
+        def one(carry, i):
+            adc = trace_one_pulse(pulse_starts_shard[i], key_data,
+                                  ray_idx, pulse_idx0 * n_local + i)
+            return carry, adc
+
+        _, adcs = jax.lax.scan(one, None, jnp.arange(n_local))
+        # merge partial accumulations across ray shards (== SignalBlock merge)
+        return jax.lax.psum(adcs, 'ray')
+
+    return run(scene_data, pulse_starts, jax.random.key_data(key))
+
+
+# ---------------------------------------------------------------------------
+# Sharded DSP
+# ---------------------------------------------------------------------------
+
+
+def overlap_save_sharded(x_local, h_freq, n_fft: int, n_taps: int,
+                         axis_name: str):
+    """Overlap-save FIR on a fast-time axis sharded over `axis_name`.
+
+    Each shard needs the last (n_taps-1) samples of its LEFT neighbor as
+    history — one ppermute, then purely local blocked FFT convolution
+    (SURVEY.md §5.8 halo exchange).
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    tail = x_local[..., -(n_taps - 1):]
+    halo = jax.lax.ppermute(tail, axis_name,
+                            [(i, (i + 1) % n_dev) for i in range(n_dev)])
+    idx = jax.lax.axis_index(axis_name)
+    halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    return pulse_mod.overlap_save(x_local, h_freq, n_fft, n_taps, history=halo)
+
+
+def doppler_fft_sharded(cube_local, axis_name: str, window=None):
+    """Slow-time FFT when pulses are sharded over `axis_name`: all_gather the
+    pulse axis (tiled) then FFT locally.  For long pulse trains a
+    distributed-FFT transpose would be the next step; all_gather matches the
+    moderate pulse counts of the reference configs (64-256)."""
+    cube = jax.lax.all_gather(cube_local, axis_name, axis=0, tiled=True)
+    n = cube.shape[0]
+    if window is not None:
+        cube = cube * window[:, None]
+    return jnp.fft.fftshift(jnp.fft.fft(cube, axis=0), axes=0)
+
+
+def pulse_train_pipeline(mesh: Mesh, signal_pulses, replica, n_fft: int = 0):
+    """End-to-end sharded pulse-compression + Doppler pipeline.
+
+    signal_pulses: (n_pulses, n_samples) complex — global array; it is
+    resharded so pulses ride 'pulse' and fast-time rides 'ray'; pulse
+    compression runs as halo-exchanged overlap-save over the fast-time
+    shards; the Doppler FFT gathers pulses.  Returns the range-Doppler map
+    replicated.
+    """
+    n_taps = replica.shape[-1]
+    if n_fft == 0:
+        n_fft = 1
+        while n_fft < 4 * n_taps:
+            n_fft *= 2
+    # causal matched filter h[k] = conj(s[M-1-k]) (peak at delay + M-1) —
+    # overlap-save assumes causal taps, so the anti-causal conj(FFT(s))
+    # correlator form cannot be used here
+    h = jnp.fft.fft(jnp.conj(replica[::-1]), n_fft)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P('pulse', 'ray'), P()),
+        out_specs=P(),
+        check_rep=False)
+    def run(sig_local, h_freq):
+        rc = overlap_save_sharded(sig_local, h_freq, n_fft, n_taps, 'ray')
+        rc_full = jax.lax.all_gather(rc, 'ray', axis=-1, tiled=True)
+        rd = doppler_fft_sharded(rc_full, 'pulse')
+        return rd
+
+    return run(signal_pulses, h)

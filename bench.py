@@ -1,0 +1,63 @@
+"""Single-chip benchmark: radar receive throughput on the flagship scene.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: radar receive samples traced per second (each sample = one receive
+ray with full reverse path trace, transmitter NEE, per-connection ADC
+binning, max_depth bounces).  The reference publishes no numbers
+(BASELINE.md), so vs_baseline is reported against an internal anchor of
+1e6 samples/s — the rough throughput class of the reference's
+multi-threaded CPU path (10k spp x 1 px renders in seconds).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ANCHOR_SAMPLES_PER_S = 1.0e6
+
+
+def main():
+    import __graft_entry__ as g
+    from beifong_tpu import film as film_mod
+    from beifong_tpu.receive import _receive_pass, _HashableRx
+
+    s, rx = g._build_scene()
+    scene_data = s.compile()
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+    rx_h = _HashableRx(rx)
+
+    n_lanes = 1 << 20
+    max_depth = 3
+    adc = film_mod.film_new(rx.adc.n_time, rx.adc.n_freq, 1)
+    key = jax.random.key(0)
+
+    # warmup/compile
+    adc1 = _receive_pass(scene_data, rx_h, shape_idx, None, key,
+                         jnp.uint32(0), adc, n_lanes, max_depth, False)
+    adc1.block_until_ready()
+
+    n_iter = 8
+    t0 = time.perf_counter()
+    a = adc
+    for i in range(n_iter):
+        a = _receive_pass(scene_data, rx_h, shape_idx, None, key,
+                          jnp.uint32(i + 1), a, n_lanes, max_depth, False)
+    a.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples_per_s = n_iter * n_lanes / dt
+    print(json.dumps({
+        "metric": "radar_receive_samples_per_s_per_chip",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / ANCHOR_SAMPLES_PER_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
