@@ -81,6 +81,8 @@ def splat(film, pos, values, active, rfilter: int = BOX):
     vals = jnp.concatenate([values, jnp.ones((values.shape[0], 2), values.dtype)], -1)
     vals = jnp.where(active[:, None], vals, 0.0)
 
+    # Flat 1-D scatter indices: 2-D scatters are pathologically slow on TPU.
+    flat = film.reshape(h * w, ctot)
     for dy in range(-r + 1, r + 1):
         fy = filter_eval(rfilter, (y0 + dy).astype(jnp.float32) - y)
         py = y0 + dy
@@ -95,8 +97,9 @@ def splat(film, pos, values, active, rfilter: int = BOX):
             # weight channel gets filter weight; count channel gets raw count
             contrib = contrib.at[:, c].set(jnp.where(ok, wgt, 0.0))
             contrib = contrib.at[:, c + 1].set(jnp.where(ok, 1.0, 0.0))
-            film = film.at[jnp.clip(py, 0, h - 1), jnp.clip(px, 0, w - 1)].add(contrib)
-    return film
+            idx = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+            flat = flat.at[idx].add(contrib)
+    return flat.reshape(h, w, ctot)
 
 
 def develop(film, normalize_by='weight'):

@@ -93,11 +93,18 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             return jnp.abs(f_recv - lo_freq(t_rx))
         return f_recv
 
+    med = scene.medium
+
     for depth in range(max_depth):
         # -------- advance ray state to the hit (backward time) --------
         dt = jnp.where(active, si.t, 0.0)
         time = time - dt / c
         plen = m.ds_add_f(plen, dt)
+        if med is not None:
+            # ambient-medium absorption along the segment (two-way paths
+            # accumulate the full exponent; replaces reference media for the
+            # radar chain — atmosphere / water column)
+            throughput = throughput * med.transmittance(dt)
 
         seg_boundary = scene.band.boundary_phase   # per-reflection phase
 
@@ -149,6 +156,8 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         mis = m.mis_weight(ds.pdf, pdf_b_nee)
         nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
         val_nee = throughput * f_b[:, 0] * w_nee * mis
+        if med is not None:
+            val_nee = val_nee * med.transmittance(ds.dist)
         t_nee = time - ds.dist / c   # = t_emit
         del t_nee
         if coherent:

@@ -39,6 +39,7 @@ class SceneData:
     emitters: EmitterTable
     transmitters: object   # radar.TransmitterTable | None
     receivers: object      # radar.ReceiverTable | None
+    medium: object = None  # media.HomogeneousMedium | None (global ambient)
 
     # --- queries (reference Scene::ray_intersect / ray_test) ---
 
@@ -72,6 +73,7 @@ class Scene:
     """Host-side scene description (mutable builder)."""
 
     band: Band = ULTRASOUND_40K
+    medium: object = None   # optional ambient HomogeneousMedium
     shapes: list = dataclasses.field(default_factory=list)
     bsdfs: list = dataclasses.field(default_factory=list)
     textures: list = dataclasses.field(default_factory=list)
@@ -187,4 +189,4 @@ class Scene:
         return SceneData(band=self.band, shapes=shape_table, tris=tris,
                          bsdfs=bsdf_table, textures=tex_table,
                          emitters=em_table, transmitters=tx_table,
-                         receivers=rx_table)
+                         receivers=rx_table, medium=self.medium)

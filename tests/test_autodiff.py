@@ -1,0 +1,89 @@
+"""Inverse radar rendering: gradients flow through the full signal chain."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as g
+from beifong_tpu.autodiff import (select_params, apply_params, value_and_grad,
+                                  optimize, Adam, SGD)
+from beifong_tpu import film as film_mod
+from beifong_tpu.core.rng import SampleStream
+from beifong_tpu.radar.endpoints import rx_sample_ray, rx_sample_frequency
+from beifong_tpu.integrators.radar_path import radar_receive_trace
+
+
+def _signal(scene_data, rx, shape_idx, n=2048, seed=0):
+    cfg = rx.adc
+    stream = SampleStream.make(jax.random.key(seed), n, 0)
+    u_t, stream = stream.next_1d()
+    t_rx = cfg.sampling_start + u_t * cfg.sampling_time
+    u_f, stream = stream.next_1d()
+    f_rx, f_w = rx_sample_frequency(rx.receive_type, None, scene_data.band,
+                                    t_rx, u_f)
+    u_pos, stream = stream.next_2d()
+    u_dir, stream = stream.next_2d()
+    o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
+    adc = film_mod.film_new(cfg.n_time, cfg.n_freq, 1)
+    adc, _ = radar_receive_trace(scene_data, stream, o, d, t_rx, f_rx,
+                                 w * f_w, adc, cfg, rx.receive_type, None,
+                                 jnp.zeros(3), max_depth=2)
+    return adc[..., 0]
+
+
+def test_gradient_through_radar_chain():
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+
+    def loss(scene_data):
+        return jnp.sum(_signal(scene_data, rx, shape_idx, n=16384, seed=1))
+
+    val, grads = value_and_grad(loss, sd, ['bsdfs.reflectance',
+                                           'transmitters.wf.amplitude'])
+    assert np.isfinite(val) and val > 0
+    g_refl = np.asarray(grads['bsdfs.reflectance'])
+    g_amp = np.asarray(grads['transmitters.wf.amplitude'])
+    # total received power increases with target reflectance and tx amplitude
+    assert g_refl[0, 0] > 0
+    assert g_amp > 0
+    # signal ~ amplitude^2 -> d(signal)/d(amp) = 2*signal/amp
+    assert float(g_amp) == pytest.approx(2 * float(val), rel=1e-3)
+
+
+def test_optimize_recovers_reflectance():
+    """Inverse problem: recover the target reflectance that produced an
+    observed signal (reference autodiff.py's optimization loop)."""
+    s, rx = g._build_scene(ground=False)
+    sd_true = s.compile()
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+    # ground truth: reflectance 0.7
+    sd_true = apply_params(sd_true, {
+        'bsdfs.reflectance': jnp.full_like(sd_true.bsdfs.reflectance, 0.7)})
+    target = _signal(sd_true, rx, shape_idx, n=8192, seed=1)
+
+    sd0 = apply_params(sd_true, {
+        'bsdfs.reflectance': jnp.full_like(sd_true.bsdfs.reflectance, 0.2)})
+
+    def loss(scene_data):
+        sig = _signal(scene_data, rx, shape_idx, n=8192, seed=1)  # same noise
+        return jnp.sum((sig - target) ** 2) * 1e12
+
+    sd_opt, hist = optimize(loss, sd0, ['bsdfs.reflectance'],
+                            optimizer=Adam(lr=0.1), n_steps=30)
+    refl = float(np.asarray(sd_opt.bsdfs.reflectance)[0, 0])
+    assert hist[-1] < hist[0] * 1e-2, f"loss did not converge: {hist[:3]}...{hist[-3:]}"
+    assert refl == pytest.approx(0.7, abs=0.05)
+
+
+def test_sgd_and_adam_steps():
+    p = {'x': jnp.array([1.0, 2.0])}
+    gr = {'x': jnp.array([0.5, -0.5])}
+    sgd = SGD(lr=0.1, momentum=0.9)
+    p2 = sgd.step(p, gr)
+    np.testing.assert_allclose(np.asarray(p2['x']), [0.95, 2.05])
+    adam = Adam(lr=0.1)
+    p3 = adam.step(p, gr)
+    assert np.all(np.isfinite(np.asarray(p3['x'])))
+    np.testing.assert_allclose(np.asarray(p3['x']), [0.9, 2.1], atol=1e-5)

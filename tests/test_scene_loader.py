@@ -1,0 +1,133 @@
+"""Scene loader tests: the reference's own XML scene files must load and
+produce physically sensible results."""
+
+import numpy as np
+import pytest
+
+from beifong_tpu.io.scene_loader import load_dict, load_xml
+from beifong_tpu.io.bitmap import write_exr, read_exr
+
+REF = "/root/reference/python_scripts"
+
+
+def test_load_trans_rad_xml():
+    scene, meta = load_xml(f"{REF}/trans_rad.xml", defaults={"spp": 256})
+    # 3 shapes: receive antenna rect (sensor), target, ground
+    assert len(scene.shapes) == 3
+    assert len(scene.sensors) == 1
+    assert len(scene.emitters) == 1   # spot
+    assert meta["integrator"]["type"] == "time"
+    assert meta["integrator"]["nested"]["type"] == "pathtime"
+    assert meta["spp"] == 256
+    sd = scene.compile()
+    assert sd.shapes.n == 3
+
+
+def test_load_trans_image_xml_renders():
+    scene, meta = load_xml(f"{REF}/trans_image.xml",
+                           defaults={"spp": 16, "resx": 16, "resy": 16})
+    from beifong_tpu.render import render
+    from beifong_tpu import film as fm
+    import beifong_tpu as bt
+    scene.band = bt.band_preset("optical")
+    film, n = render(scene, spp=16, max_depth=3)
+    img = np.asarray(fm.develop(film))
+    assert img.shape[:2] == (16, 16)
+    assert np.isfinite(img).all()
+    assert img.max() > 0, "rendered image is black"
+
+
+def test_dict_scene_roundtrip():
+    d = {
+        "type": "scene",
+        "mat": {"type": "twosided",
+                "nested": {"type": "diffuse",
+                           "reflectance": {"type": "spectrum", "value": 0.8}}},
+        "tgt": {"type": "rectangle", "bsdf": {"type": "ref", "id": "mat"},
+                "to_world": np.eye(4, dtype=np.float32)},
+        "tx": {"type": "spot", "intensity": {"type": "spectrum", "value": 2.0},
+               "cutoff_angle": 30.0},
+        "cam": {"type": "perspective", "fov": 40.0,
+                "film": {"type": "hdrfilm", "width": 8, "height": 8},
+                "sampler": {"type": "independent", "sample_count": 32}},
+        "integrator": {"type": "range", "dr": 0.2, "bins": 50,
+                       "inner": {"type": "pathlength"}},
+    }
+    scene, meta = load_dict(d)
+    assert len(scene.bsdfs) == 1 and scene.bsdfs[0].twosided
+    assert len(scene.shapes) == 1
+    assert meta["integrator"]["dr"] == 0.2
+    assert meta["integrator"]["nested"]["type"] == "pathlength"
+    sd = scene.compile()
+    assert float(sd.bsdfs.reflectance[0, 0]) == pytest.approx(0.8)
+
+
+def test_radar_dict_scene():
+    d = {
+        "type": "scene",
+        "mat": {"type": "diffuse", "reflectance": 1.0},
+        "txs": {"type": "rectangle",
+                "tx": {"type": "wignertransmitter", "signaltype": "linfmcw",
+                       "amplitude": 1.0, "crf": 10.0, "chirp_len": 0.09,
+                       "freq_centre": 40e3, "freq_sweep": 2e3,
+                       "sig_is_delta": True, "resample_freq": True}},
+        "rxs": {"type": "rectangle",
+                "rx": {"type": "wignerreceiver", "receive_type": "mix_resample",
+                       "signaltype": "linfmcw", "amplitude": 1.0, "crf": 10.0,
+                       "chirp_len": 0.09, "freq_centre": 40e3,
+                       "freq_sweep": 2e3,
+                       "adc_sampling_start": 0.03, "adc_sampling_time": 0.05,
+                       "adc": {"type": "hdradc", "width": 64, "height": 8,
+                               "freq_lo": 0.0, "freq_hi": 500.0}}},
+        "tgt": {"type": "rectangle", "bsdf": {"type": "ref", "id": "mat"}},
+    }
+    scene, meta = load_dict(d)
+    assert len(scene.transmitters) == 1
+    assert len(scene.receivers) == 1
+    rx = scene.receivers[0]
+    assert rx.receive_type == "mix_resample"
+    assert rx.adc.n_freq == 64 and rx.adc.n_time == 8
+    assert rx.lo_waveform is not None
+    sd = scene.compile()
+    assert sd.transmitters is not None
+    assert int(sd.transmitters.resample[0])
+
+
+def test_obj_ply_loaders(tmp_path):
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2 4 3\n")
+    from beifong_tpu.geometry.mesh import load_obj, load_ply
+    m = load_obj(str(obj))
+    assert m.vertices.shape == (4, 3) and m.faces.shape == (2, 3)
+    assert m.surface_area_world() == pytest.approx(1.0)
+
+    # ascii PLY
+    ply = tmp_path / "tri.ply"
+    ply.write_text("ply\nformat ascii 1.0\nelement vertex 3\n"
+                   "property float x\nproperty float y\nproperty float z\n"
+                   "element face 1\nproperty list uchar int vertex_indices\n"
+                   "end_header\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    m2 = load_ply(str(ply))
+    assert m2.vertices.shape == (3, 3) and m2.faces.shape == (1, 3)
+    assert m2.surface_area_world() == pytest.approx(0.5)
+
+    # binary little-endian PLY
+    import struct
+    blob = (b"ply\nformat binary_little_endian 1.0\n"
+            b"element vertex 3\nproperty float x\nproperty float y\nproperty float z\n"
+            b"element face 1\nproperty list uchar int vertex_indices\n"
+            b"end_header\n")
+    blob += struct.pack('<9f', 0, 0, 0, 2, 0, 0, 0, 2, 0)
+    blob += struct.pack('<B3i', 3, 0, 1, 2)
+    (tmp_path / "b.ply").write_bytes(blob)
+    m3 = load_ply(str(tmp_path / "b.ply"))
+    assert m3.surface_area_world() == pytest.approx(2.0)
+
+
+def test_exr_roundtrip(tmp_path):
+    img = np.random.default_rng(0).normal(size=(17, 23, 3)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    write_exr(p, img)
+    back, names = read_exr(p)
+    ri = [names.index(c) for c in ['R', 'G', 'B']]
+    np.testing.assert_array_equal(back[..., ri], img)
