@@ -1,0 +1,200 @@
+"""BVH for large triangle meshes: host-side build + wavefront traversal.
+
+TPU-native replacement for embree / `render/kdtree.h` (2398 LoC SAH kd-tree):
+a binned-median BVH built on host (numpy; a C++ builder drop-in lives in
+`native/`), flattened into a *threaded* layout — every node carries a
+`hit_link` (next node when entered) and `miss_link` (next node when skipped),
+so device traversal is a stackless `lax.while_loop` over per-lane node
+pointers with masked lanes (no divergence, no per-lane stacks).
+
+Leaves hold up to LEAF_SIZE reordered triangles tested as one (lanes, K)
+batch per visit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LEAF_SIZE = 8
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BVH:
+    bb_min: jax.Array      # (N,3)
+    bb_max: jax.Array      # (N,3)
+    hit_link: jax.Array    # (N,) int32: next node when bbox hit (first child
+    #                        for inner nodes, miss_link for leaves)
+    miss_link: jax.Array   # (N,) int32: next node when bbox missed (-1 = done)
+    leaf_offset: jax.Array  # (N,) int32 into reordered tris (-1 = inner)
+    leaf_count: jax.Array   # (N,) int32
+    # reordered triangle soup, padded so every leaf can gather LEAF_SIZE rows
+    v0: jax.Array
+    e1: jax.Array
+    e2: jax.Array
+    perm: jax.Array        # (T_padded,) original triangle index (-1 pad)
+
+    @property
+    def n_nodes(self) -> int:
+        return self.bb_min.shape[0]
+
+
+def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+          leaf_size: int = LEAF_SIZE) -> BVH:
+    """Median-split BVH build (host).  O(T log T)."""
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    T = len(v0)
+    lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
+    hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
+    centroid = 0.5 * (lo + hi)
+
+    nodes = []   # dicts: bbmin,bbmax,left,right,leaf_start,leaf_count
+    order: list[int] = []
+
+    def rec(idx: np.ndarray) -> int:
+        ni = len(nodes)
+        nodes.append(None)
+        bmin = lo[idx].min(axis=0)
+        bmax = hi[idx].max(axis=0)
+        if len(idx) <= leaf_size:
+            start = len(order)
+            order.extend(idx.tolist())
+            nodes[ni] = dict(bbmin=bmin, bbmax=bmax, left=-1, right=-1,
+                             start=start, count=len(idx))
+            return ni
+        axis = int(np.argmax(bmax - bmin))
+        med = np.median(centroid[idx, axis])
+        mask = centroid[idx, axis] < med
+        if mask.all() or not mask.any():
+            mask = np.zeros(len(idx), bool)
+            mask[: len(idx) // 2] = True
+        l = rec(idx[mask])
+        r = rec(idx[~mask])
+        nodes[ni] = dict(bbmin=bmin, bbmax=bmax, left=l, right=r,
+                         start=-1, count=0)
+        return ni
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 10000))
+    rec(np.arange(T))
+    sys.setrecursionlimit(old)
+
+    N = len(nodes)
+    bb_min = np.stack([n['bbmin'] for n in nodes])
+    bb_max = np.stack([n['bbmax'] for n in nodes])
+    hit_link = np.full(N, -1, np.int32)
+    miss_link = np.full(N, -1, np.int32)
+    leaf_off = np.full(N, -1, np.int32)
+    leaf_cnt = np.zeros(N, np.int32)
+
+    # thread the tree: DFS order is already node creation order (rec appends
+    # parent before children, left before right)
+    def thread(ni: int, escape: int):
+        n = nodes[ni]
+        miss_link[ni] = escape
+        if n['left'] < 0:
+            leaf_off[ni] = n['start']
+            leaf_cnt[ni] = n['count']
+            hit_link[ni] = escape          # leaf: after testing tris, continue
+        else:
+            hit_link[ni] = n['left']
+            thread(n['left'], n['right'])
+            thread(n['right'], escape)
+
+    thread(0, -1)
+
+    # reorder + pad triangles so a leaf gather of LEAF_SIZE never runs off
+    perm = np.asarray(order + [-1] * leaf_size, np.int32)
+    pad = np.zeros((leaf_size, 3), np.float32)
+    v0r = np.concatenate([v0[order], pad])
+    e1r = np.concatenate([e1[order], pad])
+    e2r = np.concatenate([e2[order], pad])
+
+    return BVH(bb_min=jnp.asarray(bb_min), bb_max=jnp.asarray(bb_max),
+               hit_link=jnp.asarray(hit_link), miss_link=jnp.asarray(miss_link),
+               leaf_offset=jnp.asarray(leaf_off), leaf_count=jnp.asarray(leaf_cnt),
+               v0=jnp.asarray(v0r), e1=jnp.asarray(e1r), e2=jnp.asarray(e2r),
+               perm=jnp.asarray(perm))
+
+
+def traverse_closest(bvh: BVH, o, d, tmin: float = 1e-4,
+                     max_iters: int = 4096, leaf_size: int = LEAF_SIZE):
+    """Wavefront closest-hit: (t, tri_idx [original numbering], u, v)."""
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+
+    def cond(state):
+        node, *_ , it = state
+        return jnp.any(node >= 0) & (it < max_iters)
+
+    def body(state):
+        node, t_best, idx_best, u_best, v_best, it = state
+        active = node >= 0
+        ni = jnp.maximum(node, 0)
+        bmin = bvh.bb_min[ni]
+        bmax = bvh.bb_max[ni]
+        # slab test against current best t
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        bbox_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < t_best) & active
+
+        is_leaf = bvh.leaf_offset[ni] >= 0
+        test_leaf = bbox_hit & is_leaf
+
+        # leaf triangle batch (n, K)
+        offs = jnp.maximum(bvh.leaf_offset[ni], 0)[:, None] + jnp.arange(leaf_size)[None, :]
+        cnt_ok = jnp.arange(leaf_size)[None, :] < bvh.leaf_count[ni][:, None]
+        v0 = bvh.v0[offs]
+        e1 = bvh.e1[offs]
+        e2 = bvh.e2[offs]
+        pvec = jnp.cross(d[:, None, :], e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = o[:, None, :] - v0
+        uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        vv = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+        tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        hit = (cnt_ok & test_leaf[:, None] & (jnp.abs(det) > 1e-12)
+               & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (tt > tmin)
+               & (tt < t_best[:, None]))
+        tt = jnp.where(hit, tt, jnp.inf)
+        tj = jnp.min(tt, axis=1)
+        aj = jnp.argmin(tt, axis=1)
+        better = tj < t_best
+        t_best = jnp.where(better, tj, t_best)
+        flat = offs[jnp.arange(n), aj]
+        idx_best = jnp.where(better, bvh.perm[flat], idx_best)
+        u_best = jnp.where(better, uu[jnp.arange(n), aj], u_best)
+        v_best = jnp.where(better, vv[jnp.arange(n), aj], v_best)
+
+        node = jnp.where(active,
+                         jnp.where(bbox_hit, bvh.hit_link[ni],
+                                   bvh.miss_link[ni]),
+                         node)
+        return node, t_best, idx_best, u_best, v_best, it + 1
+
+    init = (jnp.zeros((n,), jnp.int32),
+            jnp.full((n,), jnp.inf, jnp.float32),
+            jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32),
+            jnp.zeros((), jnp.int32))
+    node, t, idx, u, v, _ = jax.lax.while_loop(cond, body, init)
+    return t, idx, u, v
+
+
+def traverse_any(bvh: BVH, o, d, maxt, tmin: float = 1e-4,
+                 max_iters: int = 4096, leaf_size: int = LEAF_SIZE):
+    """Shadow-ray traversal with early exit per lane."""
+    t, idx, _, _ = traverse_closest(bvh, o, d, tmin=tmin, max_iters=max_iters,
+                                    leaf_size=leaf_size)
+    return jnp.isfinite(t) & (t < maxt * (1.0 - 1e-3))

@@ -183,18 +183,26 @@ def triangle_ts(tri: TriData, o, d, tmin=1e-4, tmax=None):
 
 
 def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
-                tmin=1e-4, tmax=None) -> SurfaceInteraction:
+                tmin=1e-4, tmax=None, bvh=None) -> SurfaceInteraction:
     """Full closest-hit query over analytic prims + triangle soup.
 
     Equivalent of reference `Scene::ray_intersect` (`scene.cpp` +
     `scene_embree.inl:200-260`), vectorized over the ray wavefront.
+    With `bvh` set, triangles route through the threaded-BVH traversal
+    (`bvh.py`) instead of the dense test.
     """
     R = o.shape[0]
     t_an = analytic_ts(table, o, d, tmin, tmax)          # (R,P)
     best_an = jnp.argmin(t_an, axis=1)
     t_best_an = jnp.take_along_axis(t_an, best_an[:, None], axis=1)[:, 0]
 
-    if tri is not None and tri.n_faces > 0:
+    if bvh is not None:
+        from .bvh import traverse_closest
+        t_b, best_tr, u_b, v_b = traverse_closest(bvh, o, d, tmin=tmin)
+        t_best_tr = jnp.where(jnp.isfinite(t_b), t_b, INF)
+        best_tr = jnp.maximum(best_tr, 0)
+        u_tr = v_tr = None
+    elif tri is not None and tri.n_faces > 0:
         t_tr, u_tr, v_tr = triangle_ts(tri, o, d, tmin, tmax)  # (R,F)
         best_tr = jnp.argmin(t_tr, axis=1)
         t_best_tr = jnp.take_along_axis(t_tr, best_tr[:, None], axis=1)[:, 0]
@@ -214,8 +222,11 @@ def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
     if tri is not None and tri.n_faces > 0:
         p_t = o + t_safe[:, None] * d
         n_t = tri.n[best_tr]
-        uv_t = jnp.stack([jnp.take_along_axis(u_tr, best_tr[:, None], 1)[:, 0],
-                          jnp.take_along_axis(v_tr, best_tr[:, None], 1)[:, 0]], -1)
+        if bvh is not None:
+            uv_t = jnp.stack([u_b, v_b], -1)
+        else:
+            uv_t = jnp.stack([jnp.take_along_axis(u_tr, best_tr[:, None], 1)[:, 0],
+                              jnp.take_along_axis(v_tr, best_tr[:, None], 1)[:, 0]], -1)
         shape_t = tri.shape_idx[best_tr]
         p = jnp.where(use_tri[:, None], p_t, p_a)
         n = jnp.where(use_tri[:, None], n_t, n_a)
@@ -241,13 +252,16 @@ def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
 
 
 def any_hit(table: ShapeTable, tri: TriData | None, o, d, maxt,
-            tmin=1e-4):
+            tmin=1e-4, bvh=None):
     """Shadow/visibility test: True where something blocks before maxt
     (reference `Scene::ray_test`)."""
     eps = 1.0 - 1e-3
     t_an = analytic_ts(table, o, d, tmin, maxt[:, None] * eps)
     hit = jnp.any(jnp.isfinite(t_an), axis=1)
-    if tri is not None and tri.n_faces > 0:
+    if bvh is not None:
+        from .bvh import traverse_any
+        hit |= traverse_any(bvh, o, d, maxt, tmin=tmin)
+    elif tri is not None and tri.n_faces > 0:
         t_tr, _, _ = triangle_ts(tri, o, d, tmin, maxt[:, None] * eps)
         hit |= jnp.any(jnp.isfinite(t_tr), axis=1)
     return hit

@@ -40,14 +40,16 @@ class SceneData:
     transmitters: object   # radar.TransmitterTable | None
     receivers: object      # radar.ReceiverTable | None
     medium: object = None  # media.HomogeneousMedium | None (global ambient)
+    bvh: object = None     # geometry.bvh.BVH | None (large meshes)
 
     # --- queries (reference Scene::ray_intersect / ray_test) ---
 
     def ray_intersect(self, o, d, tmax=None):
-        return closest_hit(self.shapes, self.tris, o, d, tmax=tmax)
+        return closest_hit(self.shapes, self.tris, o, d, tmax=tmax,
+                           bvh=self.bvh)
 
     def ray_test(self, o, d, maxt):
-        return any_hit(self.shapes, self.tris, o, d, maxt)
+        return any_hit(self.shapes, self.tris, o, d, maxt, bvh=self.bvh)
 
     # --- per-hit attribute gathers ---
 
@@ -125,7 +127,8 @@ class Scene:
     def sensor_shape_index(self, sensor_idx: int = 0) -> int:
         return self.shape_index_of_endpoint('sensor', self.sensors[sensor_idx].id)
 
-    def compile(self) -> SceneData:
+    def compile(self, use_bvh: str | bool = 'auto',
+                bvh_threshold: int = 1024) -> SceneData:
         resolve = lambda kind, id_: {
             'bsdf': lambda: self._index_of(self.bsdfs, id_),
             'emitter': lambda: self._index_of(self.emitters, id_),
@@ -186,7 +189,15 @@ class Scene:
                     shape_of=lambda rid: self.shape_index_of_endpoint(
                         'receiver', rid))
 
+        bvh = None
+        if tris is not None:
+            n_faces = tris.n_faces
+            if use_bvh is True or (use_bvh == 'auto' and n_faces > bvh_threshold):
+                from .geometry import bvh as bvh_mod
+                bvh = bvh_mod.build(np.asarray(tris.v0), np.asarray(tris.e1),
+                                    np.asarray(tris.e2))
+
         return SceneData(band=self.band, shapes=shape_table, tris=tris,
                          bsdfs=bsdf_table, textures=tex_table,
                          emitters=em_table, transmitters=tx_table,
-                         receivers=rx_table, medium=self.medium)
+                         receivers=rx_table, medium=self.medium, bvh=bvh)

@@ -1,0 +1,105 @@
+"""Acceleration-structure tests: Pallas tiled intersector and BVH traversal
+must agree with the dense jnp reference."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from beifong_tpu.geometry.pallas_intersect import ray_triangle_closest
+from beifong_tpu.geometry import bvh as bvh_mod
+from beifong_tpu.geometry.intersect import TriData, triangle_ts
+from beifong_tpu.geometry.mesh import make_grid
+
+
+def _random_soup(n_tris, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-2, 2, (n_tris, 3)).astype(np.float32)
+    a = rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    b = rng.normal(0, 0.3, (n_tris, 3)).astype(np.float32)
+    v0 = c
+    return v0, a, b
+
+
+def _rays(n, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _dense_ref(v0, e1, e2, o, d):
+    tri = TriData(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+                  n=jnp.zeros_like(jnp.asarray(v0)),
+                  shape_idx=jnp.zeros(len(v0), jnp.int32))
+    t_all, _, _ = triangle_ts(tri, o, d)
+    t = jnp.min(t_all, axis=1)
+    idx = jnp.where(jnp.isfinite(t), jnp.argmin(t_all, axis=1), -1)
+    return np.asarray(t), np.asarray(idx)
+
+
+def test_pallas_intersector_matches_dense():
+    v0, e1, e2 = _random_soup(300)
+    o, d = _rays(513)
+    t, idx, u, v = ray_triangle_closest(jnp.asarray(o), jnp.asarray(d),
+                                        jnp.asarray(v0), jnp.asarray(e1),
+                                        jnp.asarray(e2), interpret=True)
+    t_ref, idx_ref = _dense_ref(v0, e1, e2, o, d)
+    hit = np.isfinite(t_ref)
+    assert hit.sum() > 20
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(idx)[hit], idx_ref[hit])
+    assert (np.asarray(idx)[~hit] == -1).all()
+
+
+def test_bvh_matches_dense_random_soup():
+    v0, e1, e2 = _random_soup(500, seed=3)
+    o, d = _rays(400, seed=4)
+    bvh = bvh_mod.build(v0, e1, e2)
+    t, idx, u, v = bvh_mod.traverse_closest(bvh, o, d)
+    t_ref, idx_ref = _dense_ref(v0, e1, e2, o, d)
+    hit = np.isfinite(t_ref)
+    assert hit.sum() > 20
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=2e-5)
+    # same triangle (or an equally-close duplicate)
+    np.testing.assert_allclose(np.asarray(t)[hit], t_ref[hit], rtol=2e-5)
+    assert np.array_equal(np.isfinite(np.asarray(t)), hit)
+
+
+def test_bvh_grid_mesh_and_shadow():
+    v, f = make_grid(16, 16)   # 512 tris spanning [-1,1]^2 at z=0
+    v0 = v[f[:, 0]]
+    e1 = v[f[:, 1]] - v[f[:, 0]]
+    e2 = v[f[:, 2]] - v[f[:, 0]]
+    bvh = bvh_mod.build(v0, e1, e2)
+    n = 256
+    rng = np.random.default_rng(5)
+    o = np.zeros((n, 3), np.float32)
+    o[:, :2] = rng.uniform(-0.9, 0.9, (n, 2))
+    o[:, 2] = 1.5
+    d = np.tile(np.array([0, 0, -1], np.float32), (n, 1))
+    t, idx, u, vv = bvh_mod.traverse_closest(bvh, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_allclose(np.asarray(t), 1.5, rtol=1e-5)
+    # shadow rays toward a point below the grid must be blocked
+    occ = bvh_mod.traverse_any(bvh, jnp.asarray(o), jnp.asarray(d),
+                               jnp.full((n,), 3.0))
+    assert np.asarray(occ).all()
+    # rays pointing up must escape
+    occ2 = bvh_mod.traverse_any(bvh, jnp.asarray(o), jnp.asarray(-d),
+                                jnp.full((n,), 3.0))
+    assert not np.asarray(occ2).any()
+
+
+def test_bvh_visit_efficiency():
+    """BVH must visit far fewer nodes than a linear scan: the while_loop
+    terminates long before max_iters for coherent rays."""
+    v0, e1, e2 = _random_soup(2000, seed=7)
+    bvh = bvh_mod.build(v0, e1, e2)
+    assert bvh.n_nodes < 2 * (2000 // 4)
+    o, d = _rays(64, seed=8)
+    # count iterations by instrumenting: run with small max_iters and check
+    # results already converged vs large budget
+    t1, i1, _, _ = bvh_mod.traverse_closest(bvh, o, d, max_iters=600)
+    t2, i2, _, _ = bvh_mod.traverse_closest(bvh, o, d, max_iters=4096)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
