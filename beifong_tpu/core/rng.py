@@ -59,6 +59,145 @@ def uniforms(key, shape):
     return jax.random.uniform(key, shape)
 
 
+def feistel_permute(x, n_bits: int, key):
+    """Hash-based pseudorandom permutation of [0, 2^n_bits) — balanced
+    4-round Feistel with cycle walking for odd widths.
+
+    Replaces the reference's per-sampler scrambling (stratified/multijitter
+    plugins, `src/samplers/`): gives each dimension an independent
+    permutation of the global sample index so strata are filled in random
+    order without any precomputed tables.
+    """
+    x = jnp.asarray(x, jnp.uint32)
+    nb = n_bits + (n_bits & 1)          # round up to even for balanced halves
+    half = nb // 2
+    mask = jnp.uint32((1 << half) - 1)
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+
+    def perm_once(v):
+        lo = v & mask
+        hi = (v >> half) & mask
+        for r in range(4):
+            f = (lo * jnp.uint32(0x9E3779B9) + kd[r % kd.shape[0]]
+                 + jnp.uint32((r * 0x85EBCA6B) & 0xFFFFFFFF))
+            f = (f ^ (f >> 15)) * jnp.uint32(0x2C1B3C6D)
+            f = (f ^ (f >> 12)) & mask
+            hi, lo = lo, hi ^ f
+        return (hi << half) | lo
+
+    n = jnp.uint32(1 << n_bits)
+    y = perm_once(x)
+    if nb != n_bits:
+        # cycle walking: re-permute out-of-range values until in range;
+        # the walk stays within the permutation's cycles, so this is exact
+        for _ in range(32):
+            y = jnp.where(y >= n, perm_once(y), y)
+    return y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StratifiedStream:
+    """Globally-stratified sampler stream (reference `stratified` /
+    `multijitter` plugins re-expressed): for each dimension, the global
+    sample index is run through an independent Feistel permutation over the
+    (power-of-two) total sample count, then jittered within its stratum —
+    every dimension sees a full 1-D stratification of all samples across all
+    passes/shards.  2-D draws use a multijittered pair of half-bit strata.
+    """
+
+    key: jax.Array                 # raw key data, shape (2,)
+    sample_idx: jax.Array          # (n,) global sample indices (uint32)
+    dim: jax.Array                 # () consumed dimensions
+    n_bits: int = dataclasses.field(metadata=dict(static=True), default=16)
+
+    @staticmethod
+    def make(key, n_lanes: int, sample_idx, n_total_log2: int) -> "StratifiedStream":
+        lane = jnp.arange(n_lanes, dtype=jnp.uint32)
+        base = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(n_lanes)
+        return StratifiedStream(key=jax.random.key_data(key),
+                                sample_idx=(base + lane)
+                                & jnp.uint32((1 << n_total_log2) - 1),
+                                dim=jnp.zeros((), jnp.uint32),
+                                n_bits=n_total_log2)
+
+    def _dim_key(self):
+        return jax.random.fold_in(jax.random.wrap_key_data(self.key), self.dim)
+
+    def next_1d(self):
+        k = self._dim_key()
+        p = feistel_permute(self.sample_idx, self.n_bits, k)
+        jit = jax.random.uniform(jax.random.fold_in(k, 1),
+                                 self.sample_idx.shape)
+        n = jnp.float32(1 << self.n_bits)
+        u = (p.astype(jnp.float32) + jit) / n
+        return u, dataclasses.replace(self, dim=self.dim + 1)
+
+    def next_2d(self):
+        k = self._dim_key()
+        p = feistel_permute(self.sample_idx, self.n_bits, k)
+        # multijitter: split permuted index bits across the two axes
+        hb = self.n_bits // 2
+        lb = self.n_bits - hb
+        px = p & jnp.uint32((1 << lb) - 1)
+        py = p >> lb
+        jx = jax.random.uniform(jax.random.fold_in(k, 1), p.shape)
+        jy = jax.random.uniform(jax.random.fold_in(k, 2), p.shape)
+        u = jnp.stack([(px.astype(jnp.float32) + jx) / jnp.float32(1 << lb),
+                       (py.astype(jnp.float32) + jy) / jnp.float32(1 << hb)],
+                      axis=-1)
+        return u, dataclasses.replace(self, dim=self.dim + 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HaltonStream:
+    """Low-discrepancy stream (reference `ldsampler`): per-dimension scrambled
+    Halton radical inverse of the global sample index."""
+
+    key: jax.Array
+    sample_idx: jax.Array
+    dim: jax.Array
+
+    @staticmethod
+    def make(key, n_lanes: int, sample_idx) -> "HaltonStream":
+        lane = jnp.arange(n_lanes, dtype=jnp.uint32)
+        base = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(n_lanes)
+        return HaltonStream(key=jax.random.key_data(key),
+                            sample_idx=base + lane,
+                            dim=jnp.zeros((), jnp.uint32))
+
+    def _shift(self, extra=0):
+        k = jax.random.fold_in(jax.random.wrap_key_data(self.key),
+                               self.dim * 2 + extra)
+        return jax.random.uniform(k, ())
+
+    def next_1d(self):
+        d = int(0)  # dimension base rotates via Cranley-Patterson shift
+        u = radical_inverse(_PRIMES[0], self.sample_idx)
+        u = jnp.mod(u + self._shift(), 1.0)
+        del d
+        return u, dataclasses.replace(self, dim=self.dim + 1)
+
+    def next_2d(self):
+        ux = jnp.mod(radical_inverse(_PRIMES[1], self.sample_idx)
+                     + self._shift(0), 1.0)
+        uy = jnp.mod(radical_inverse(_PRIMES[2], self.sample_idx)
+                     + self._shift(1), 1.0)
+        return jnp.stack([ux, uy], -1), dataclasses.replace(self, dim=self.dim + 1)
+
+
+def make_stream(kind: str, key, n_lanes: int, sample_idx, n_total_log2: int = 20):
+    """Sampler factory (reference sampler plugin registry,
+    `src/samplers/`): kind in {'independent', 'stratified', 'multijitter',
+    'halton', 'ldsampler'}."""
+    if kind in ('stratified', 'multijitter'):
+        return StratifiedStream.make(key, n_lanes, sample_idx, n_total_log2)
+    if kind in ('halton', 'ldsampler'):
+        return HaltonStream.make(key, n_lanes, sample_idx)
+    return SampleStream.make(key, n_lanes, sample_idx)
+
+
 # Radical-inverse / Halton helpers (reference qmc.cpp) for the low-discrepancy
 # sampler variant.
 _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)

@@ -44,12 +44,35 @@ class BVH:
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-          leaf_size: int = LEAF_SIZE) -> BVH:
-    """Median-split BVH build (host).  O(T log T)."""
+          leaf_size: int = LEAF_SIZE, use_native: bool = True) -> BVH:
+    """Median-split BVH build (host).  O(T log T).
+
+    Uses the C++ builder (`native/bvh_builder.cpp`) when available — same
+    threaded layout, ~50x faster for large meshes — with this Python
+    implementation as the fallback and correctness reference.
+    """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     T = len(v0)
+
+    if use_native:
+        from .. import native
+        res = native.build_bvh_arrays(v0, e1, e2, leaf_size)
+        if res is not None:
+            bb_min, bb_max, hit_link, miss_link, leaf_off, leaf_cnt, order = res
+            pad = np.zeros((leaf_size, 3), np.float32)
+            order_l = order.tolist()
+            perm = np.asarray(order_l + [-1] * leaf_size, np.int32)
+            return BVH(bb_min=jnp.asarray(bb_min), bb_max=jnp.asarray(bb_max),
+                       hit_link=jnp.asarray(hit_link),
+                       miss_link=jnp.asarray(miss_link),
+                       leaf_offset=jnp.asarray(leaf_off),
+                       leaf_count=jnp.asarray(leaf_cnt),
+                       v0=jnp.asarray(np.concatenate([v0[order], pad])),
+                       e1=jnp.asarray(np.concatenate([e1[order], pad])),
+                       e2=jnp.asarray(np.concatenate([e2[order], pad])),
+                       perm=jnp.asarray(perm))
     lo = np.minimum(np.minimum(v0, v0 + e1), v0 + e2)
     hi = np.maximum(np.maximum(v0, v0 + e1), v0 + e2)
     centroid = 0.5 * (lo + hi)

@@ -39,9 +39,15 @@ class MeshSpec(ShapeSpec):
         return float(0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum())
 
 
-def load_obj(path: str, to_world=None, **kw) -> MeshSpec:
-    """Minimal Wavefront OBJ loader: v / f records, fan-triangulated
-    (reference `src/shapes/obj.cpp` semantics for positions)."""
+def load_obj(path: str, to_world=None, use_native: bool = True, **kw) -> MeshSpec:
+    """Wavefront OBJ loader: v / f records, fan-triangulated
+    (reference `src/shapes/obj.cpp` semantics for positions).
+    Uses the native C++ parser when built; Python fallback otherwise."""
+    if use_native:
+        from .. import native
+        res = native.parse_obj(path)
+        if res is not None:
+            return MeshSpec(res[0], res[1], to_world=to_world, **kw)
     verts, faces = [], []
     with open(path, 'r', errors='ignore') as fh:
         for line in fh:

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .core.rng import SampleStream
+from .core.rng import SampleStream, make_stream
 from .radar.endpoints import (ReceiverSpec, rx_sample_ray, rx_sample_frequency,
                               ADCConfig)
 from .integrators.radar_path import radar_receive_trace, pathlength_histogram
@@ -51,11 +51,13 @@ class _HashableRx:
 
 
 @functools.partial(jax.jit, static_argnames=('rx', 'shape_idx', 'n_lanes',
-                                             'max_depth', 'coherent'))
+                                             'max_depth', 'coherent',
+                                             'sampler', 'n_total_log2'))
 def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
-                  pass_idx, adc, n_lanes: int, max_depth: int, coherent: bool):
+                  pass_idx, adc, n_lanes: int, max_depth: int, coherent: bool,
+                  sampler: str = 'independent', n_total_log2: int = 20):
     cfg = rx.adc
-    stream = SampleStream.make(key, n_lanes, pass_idx)
+    stream = make_stream(sampler, key, n_lanes, pass_idx, n_total_log2)
 
     u_t, stream = stream.next_1d()
     t_rx = cfg.sampling_start + u_t * cfg.sampling_time
@@ -79,10 +81,11 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
 def receive(scene: Scene, scene_data: SceneData | None = None,
             receiver: ReceiverSpec | None = None, seed: int = 0,
             spp: int = 4096, max_depth: int = 3, coherent: bool = False,
-            lanes_per_pass: int = 1 << 17):
+            lanes_per_pass: int = 1 << 17, sampler: str = 'independent'):
     """Simulate the received signal; returns (adc_grid, total_samples).
 
     adc_grid: (n_time, n_freq, C+2) with C=1 (power) or 2 (I/Q coherent).
+    `sampler`: independent | stratified | multijitter | halton.
     """
     if scene_data is None:
         scene_data = scene.compile()
@@ -95,13 +98,16 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
 
     n_pass = max(1, (spp + lanes_per_pass - 1) // lanes_per_pass)
     lanes = min(spp, lanes_per_pass)
+    total = lanes * n_pass
+    n_total_log2 = max(1, (total - 1).bit_length())
     key = jax.random.key(seed)
     rx_h = _HashableRx(receiver)
     lo = receiver.lo_waveform
     for p in range(n_pass):
         adc = _receive_pass(scene_data, rx_h, shape_idx, lo, key,
-                            jnp.uint32(p), adc, lanes, max_depth, coherent)
-    return adc, lanes * n_pass
+                            jnp.uint32(p), adc, lanes, max_depth, coherent,
+                            sampler, n_total_log2)
+    return adc, total
 
 
 def develop_signal(adc, total_samples, cfg: ADCConfig, mode: str = 'density'):
