@@ -61,6 +61,10 @@ def film_new(h: int, w: int, n_channels: int = 3):
     return jnp.zeros((h, w, n_channels + 2), jnp.float32)
 
 
+MATMUL_CELLS = 256      # dense-weight matmul path for grids up to this size
+SEGSUM_CELLS = 1 << 16  # flat segment-sum path up to this size
+
+
 def splat(film, pos, values, active, rfilter: int = BOX):
     """Scatter-add filtered samples into the film.
 
@@ -68,8 +72,43 @@ def splat(film, pos, values, active, rfilter: int = BOX):
     (x = column, y = row — reference ImageBlock convention);
     values: (n,C); active: (n,) bool.
 
-    Returns the updated film.  Race-free: relies on XLA scatter-add.
+    Three lowering strategies by grid size (TPU scatter with massive index
+    collisions is slow — the wavefront funnels ~10^6 lanes into tens of
+    bins, so small grids go through a dense filter-weight matmul on the MXU
+    instead; this is the TPU analogue of the reference's per-thread
+    SignalBlock + merge):
+      cells <= MATMUL_CELLS : dense (lanes, cells) weights x einsum
+      cells <= SEGSUM_CELLS : flat per-tap scatter-add
+      larger                : flat per-tap scatter-add
     """
+    h, w, ctot = film.shape
+    if h * w <= MATMUL_CELLS:
+        return _splat_matmul(film, pos, values, active, rfilter)
+    return _splat_scatter(film, pos, values, active, rfilter)
+
+
+def _splat_matmul(film, pos, values, active, rfilter: int):
+    h, w, ctot = film.shape
+    x = pos[:, 0] - 0.5
+    y = pos[:, 1] - 0.5
+    cy = jnp.arange(h, dtype=jnp.float32)
+    cx = jnp.arange(w, dtype=jnp.float32)
+    fy = filter_eval(rfilter, cy[None, :] - y[:, None])      # (n, h)
+    fx = filter_eval(rfilter, cx[None, :] - x[:, None])      # (n, w)
+    wgt = (fy[:, :, None] * fx[:, None, :]).reshape(x.shape[0], h * w)
+    wgt = jnp.where(active[:, None], wgt, 0.0)
+    vals = jnp.concatenate(
+        [values, jnp.ones((values.shape[0], 1), values.dtype)], -1)
+    acc = jnp.einsum('nk,nc->kc', wgt, vals,
+                     preferred_element_type=jnp.float32)
+    cnt = jnp.einsum('nk,n->k', (wgt != 0.0).astype(jnp.float32),
+                     active.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    add = jnp.concatenate([acc, cnt[:, None]], -1).reshape(h, w, ctot)
+    return film + add
+
+
+def _splat_scatter(film, pos, values, active, rfilter: int):
     h, w, ctot = film.shape
     c = ctot - 2
     r = _RADIUS[rfilter]
