@@ -56,17 +56,30 @@ def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
 def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
                         t_rx, f_rx, ray_weight, adc, cfg: ADCConfig,
                         receive_type: str, lo_wf, rx_velocity,
-                        max_depth: int = 4, coherent: bool = False):
+                        max_depth: int = 4, coherent: bool = False,
+                        time_sampling: str = 'fixed'):
     """Trace one wavefront of receive rays, splatting every transmitter
     connection into `adc`.  Returns (adc, stream).
 
     o, d: (n,3) receive ray; t_rx: (n,) absolute receive time [s];
     f_rx: (n,) sampled receive frequency [Hz]; ray_weight: (n,) receiver
     importance weight (aperture area/pdf terms).
+
+    time_sampling:
+      'fixed' — t_rx was drawn uniformly over the ADC window before tracing
+        (the reference's `receive_sample` strategy, `integrator.cpp:1556`).
+      'gate'  — deferred time-gated importance sampling (improvement over the
+        reference): the scene is static, so geometry does not depend on
+        t_rx; at every transmitter connection an EMISSION time is drawn
+        uniformly within the waveform's pulse support and the receive time
+        follows as t_emit + path delay (+ a PRI shift into the ADC window).
+        Every path then contributes inside the pulse gate instead of
+        (pulse_len / window) of them — ~window/pulse_len x effective spp for
+        short pulses.  Requires window <= PRI.  Caller passes t_rx = 0.
     """
     n = o.shape[0]
     c = scene.band.c
-    inv_wl_unit = None  # computed per-connection from wavelength
+    gate = time_sampling == 'gate'
 
     throughput = ray_weight
     active = jnp.ones((n,), bool)
@@ -88,10 +101,32 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             return jnp.zeros_like(t)
         return lo_wf.inst_freq(t)
 
-    def bin_freq(f_recv):
+    def bin_freq(f_recv, t_rx_conn):
         if receive_type == 'mix_resample':
-            return jnp.abs(f_recv - lo_freq(t_rx))
+            return jnp.abs(f_recv - lo_freq(t_rx_conn))
         return f_recv
+
+    def gate_times(tau, tx_row, u_g):
+        """Deferred emission-time sample for connections with delay tau.
+        Returns (t_emit, t_rx_conn, weight_factor)."""
+        wf = scene.transmitters.wf
+        from ..radar.waveform import CW
+        t_ext = wf.t_ext[tx_row]
+        kind = wf.kind[tx_row]
+        prf = wf.rep_freq[tx_row]
+        window = cfg.sampling_time
+        # CW: support is the whole window (equivalent to uniform sampling)
+        is_cw = kind == CW
+        sup = jnp.where(is_cw, window, t_ext)
+        t_emit0 = jnp.where(is_cw, cfg.sampling_start - tau, 0.0) + u_g * sup
+        t_recv = tau + t_emit0
+        # shift by whole PRIs into the ADC window (window <= PRI assumed)
+        k = jnp.ceil((cfg.sampling_start - t_recv) * prf)
+        k = jnp.where(is_cw, 0.0, jnp.maximum(k, 0.0))
+        t_recv = t_recv + k / jnp.maximum(prf, 1e-12)
+        t_emit = t_emit0
+        w = sup / window
+        return t_emit, t_recv, w
 
     med = scene.medium
 
@@ -113,20 +148,27 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         cos_hit = jnp.sum(-d_cur * si.n, axis=-1)
         hit_tx = active & (tx_idx >= 0)
         f_at_tx = f_rx / jnp.maximum(dop, 1e-6)
+        if gate:
+            u_g, stream = stream.next_1d()
+            t_emit_hit, t_rx_hit, w_gate = gate_times(
+                -time, jnp.maximum(tx_idx, 0), u_g)
+        else:
+            t_emit_hit, t_rx_hit, w_gate = time, t_rx, 1.0
         w_hit, f_emit_hit = tx_eval(scene, tx_idx, si.p, -d_cur, cos_hit,
-                                    time, f_at_tx,
+                                    t_emit_hit, f_at_tx,
                                     c / jnp.maximum(f_at_tx, 1e-6))
         f_recv_hit = f_emit_hit * dop
-        val_hit = throughput * emission_weight * w_hit
+        val_hit = throughput * emission_weight * w_hit * w_gate
         if coherent:
             tx_row = jnp.maximum(tx_idx, 0)
-            wf_ph = jnp.where(hit_tx, _wf_phase(scene, tx_row, time), 0.0)
+            wf_ph = jnp.where(hit_tx, _wf_phase(scene, tx_row, t_emit_hit), 0.0)
             wl_hit = c / jnp.maximum(f_recv_hit, 1e-6)
             prop_ph = _prop_phase(plen, wl_hit, depth, seg_boundary)
             ph_hit = wf_ph + prop_ph
         else:
             ph_hit = None
-        adc = _adc_splat(adc, cfg, t_off, bin_freq(f_recv_hit), val_hit,
+        adc = _adc_splat(adc, cfg, t_rx_hit - cfg.sampling_start,
+                         bin_freq(f_recv_hit, t_rx_hit), val_hit,
                          hit_tx & (val_hit != 0.0), ph_hit, coherent)
 
         # -------- NEE toward transmitters --------
@@ -139,8 +181,19 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         u_pos, stream = stream.next_2d()
         # Doppler of the connection vertex: arrival a = d_cur, departure = ds.d
         vel_here = scene.velocity_of(si.shape_idx)
-        ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
-            scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos)
+        if gate:
+            from ..radar.endpoints import tx_sample_geom
+            ds, tx_row_g, cos_tx_g = tx_sample_geom(scene, si.p, u_sel, u_pos)
+            tau_nee = -time + ds.dist / c
+            u_g2, stream = stream.next_1d()
+            t_emit_s, t_rx_nee, w_gate_nee = gate_times(tau_nee, tx_row_g, u_g2)
+            ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
+                scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos,
+                t_emit_override=t_emit_s)
+        else:
+            ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
+                scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos)
+            t_rx_nee, w_gate_nee = t_rx, 1.0
         # per-connection Doppler: vertex bounce + tx motion
         dop_vtx = 1.0 + jnp.sum((ds.d - d_cur) * vel_here, axis=-1) / c
         tx_vel = scene.transmitters.velocity[tx_row]
@@ -155,11 +208,9 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
                                        refl_scale)
         mis = m.mis_weight(ds.pdf, pdf_b_nee)
         nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
-        val_nee = throughput * f_b[:, 0] * w_nee * mis
+        val_nee = throughput * f_b[:, 0] * w_nee * mis * w_gate_nee
         if med is not None:
             val_nee = val_nee * med.transmittance(ds.dist)
-        t_nee = time - ds.dist / c   # = t_emit
-        del t_nee
         if coherent:
             plen_nee = m.ds_add_f(plen, jnp.where(nee_ok, ds.dist, 0.0))
             wl_nee = c / jnp.maximum(f_recv_nee, 1e-6)
@@ -168,7 +219,8 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ph_nee = wf_ph + prop_ph
         else:
             ph_nee = None
-        adc = _adc_splat(adc, cfg, t_off, bin_freq(f_recv_nee), val_nee,
+        adc = _adc_splat(adc, cfg, t_rx_nee - cfg.sampling_start,
+                         bin_freq(f_recv_nee, t_rx_nee), val_nee,
                          nee_ok & (val_nee != 0.0), ph_nee, coherent)
 
         if depth == max_depth - 1:

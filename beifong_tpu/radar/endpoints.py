@@ -345,14 +345,11 @@ def tx_eval(scene, tx_idx, p_world, d_out_world, cos_theta, time_at_tx,
     return jnp.where(live, w, 0.0), f_emit
 
 
-def tx_sample_direction(scene, ref_p, time_at_ref, freq_at_ref, u_sel, u_pos):
-    """NEE toward transmitters with retarded emission time
-    (reference `Scene::sample_transmitter_direction` `scene.cpp:250-301` +
-    `wignertransmitter::sample_direction:373-534`, including the
-    `ds.time -= dist/MTS_C` retardation at `:420-425`).
+def tx_sample_geom(scene, ref_p, u_sel, u_pos):
+    """Geometric half of transmitter NEE: pick a transmitter uniformly and
+    sample a point on its shape; no waveform evaluation.
 
-    Returns (ds: DirectionSample, weight (n,), f_emit (n,), t_emit (n,),
-    tx_row (n,)).  weight = tx radiance / pdf_solid_angle.
+    Returns (ds: DirectionSample, tx_row (n,), cos_tx (n,)).
     """
     tx = scene.transmitters
     n_tx = tx.n
@@ -367,13 +364,31 @@ def tx_sample_direction(scene, ref_p, time_at_ref, freq_at_ref, u_sel, u_pos):
     pdf_sa = jnp.where(cos_tx > 1e-6,
                        pdf_a * dist2 / jnp.maximum(cos_tx, 1e-6), 0.0)
     pdf = pdf_sa / n_tx
-
-    t_emit = time_at_ref - dist / scene.band.c   # retarded emission time
-    w_tx, f_emit = tx_eval(scene, e, p_s, -d, cos_tx, t_emit, freq_at_ref,
-                           scene.band.c / jnp.maximum(freq_at_ref, 1e-6))
-    weight = jnp.where(pdf > 0.0, w_tx / jnp.maximum(pdf, 1e-30), 0.0)
     ds = DirectionSample(p=p_s, n=n_s, d=d, dist=dist, pdf=pdf,
                          delta=jnp.zeros_like(pdf, bool), uv=uv)
+    return ds, e, cos_tx
+
+
+def tx_sample_direction(scene, ref_p, time_at_ref, freq_at_ref, u_sel, u_pos,
+                        t_emit_override=None):
+    """NEE toward transmitters with retarded emission time
+    (reference `Scene::sample_transmitter_direction` `scene.cpp:250-301` +
+    `wignertransmitter::sample_direction:373-534`, including the
+    `ds.time -= dist/MTS_C` retardation at `:420-425`).
+
+    Returns (ds: DirectionSample, weight (n,), f_emit (n,), t_emit (n,),
+    tx_row (n,)).  weight = tx radiance / pdf_solid_angle.
+    `t_emit_override` replaces the retarded time (deferred time-gate
+    sampling, see radar_path.py).
+    """
+    ds, e, cos_tx = tx_sample_geom(scene, ref_p, u_sel, u_pos)
+    if t_emit_override is None:
+        t_emit = time_at_ref - ds.dist / scene.band.c   # retarded emission
+    else:
+        t_emit = t_emit_override
+    w_tx, f_emit = tx_eval(scene, e, ds.p, -ds.d, cos_tx, t_emit, freq_at_ref,
+                           scene.band.c / jnp.maximum(freq_at_ref, 1e-6))
+    weight = jnp.where(ds.pdf > 0.0, w_tx / jnp.maximum(ds.pdf, 1e-30), 0.0)
     return ds, weight, f_emit, t_emit, e
 
 

@@ -52,19 +52,29 @@ class _HashableRx:
 
 @functools.partial(jax.jit, static_argnames=('rx', 'shape_idx', 'n_lanes',
                                              'max_depth', 'coherent',
-                                             'sampler', 'n_total_log2'))
+                                             'sampler', 'n_total_log2',
+                                             'time_sampling'))
 def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
                   pass_idx, adc, n_lanes: int, max_depth: int, coherent: bool,
-                  sampler: str = 'independent', n_total_log2: int = 20):
+                  sampler: str = 'independent', n_total_log2: int = 20,
+                  time_sampling: str = 'fixed'):
     cfg = rx.adc
     stream = make_stream(sampler, key, n_lanes, pass_idx, n_total_log2)
 
-    u_t, stream = stream.next_1d()
-    t_rx = cfg.sampling_start + u_t * cfg.sampling_time
+    if time_sampling == 'gate':
+        # deferred time sampling (radar_path.py): emission times are drawn
+        # at connection points; t_rx here only seeds frequency sampling
+        t_rx = jnp.zeros((n_lanes,), jnp.float32)
+        t_for_freq = jnp.full((n_lanes,),
+                              cfg.sampling_start + 0.5 * cfg.sampling_time)
+    else:
+        u_t, stream = stream.next_1d()
+        t_rx = cfg.sampling_start + u_t * cfg.sampling_time
+        t_for_freq = t_rx
 
     u_f, stream = stream.next_1d()
     f_rx, f_w = rx_sample_frequency(rx.receive_type, lo_wf, scene_data.band,
-                                    t_rx, u_f)
+                                    t_for_freq, u_f)
 
     u_pos, stream = stream.next_2d()
     u_dir, stream = stream.next_2d()
@@ -74,18 +84,22 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
     adc, stream = radar_receive_trace(
         scene_data, stream, o, d, t_rx, f_rx, w * f_w, adc, cfg,
         rx.receive_type, lo_wf, rx_vel, max_depth=max_depth,
-        coherent=coherent)
+        coherent=coherent, time_sampling=time_sampling)
     return adc
 
 
 def receive(scene: Scene, scene_data: SceneData | None = None,
             receiver: ReceiverSpec | None = None, seed: int = 0,
             spp: int = 4096, max_depth: int = 3, coherent: bool = False,
-            lanes_per_pass: int = 1 << 17, sampler: str = 'independent'):
+            lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
+            time_sampling: str = 'fixed'):
     """Simulate the received signal; returns (adc_grid, total_samples).
 
     adc_grid: (n_time, n_freq, C+2) with C=1 (power) or 2 (I/Q coherent).
     `sampler`: independent | stratified | multijitter | halton.
+    `time_sampling`: 'fixed' (reference semantics) or 'gate' (deferred
+    time-gated importance sampling — ~window/pulse_len x effective spp for
+    pulsed waveforms; requires window <= PRI).
     """
     if scene_data is None:
         scene_data = scene.compile()
@@ -106,7 +120,7 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     for p in range(n_pass):
         adc = _receive_pass(scene_data, rx_h, shape_idx, lo, key,
                             jnp.uint32(p), adc, lanes, max_depth, coherent,
-                            sampler, n_total_log2)
+                            sampler, n_total_log2, time_sampling)
     return adc, total
 
 

@@ -17,6 +17,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: TPU compiles for the full pass are minutes-long
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 ANCHOR_SAMPLES_PER_S = 1.0e6
 
 

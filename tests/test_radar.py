@@ -157,6 +157,33 @@ def test_film_mode_range_profile():
     assert abs(peak_r - 2 * R) < 0.45, f"peak at {peak_r} m, expected {2*R} m"
 
 
+def test_time_gate_importance_sampling():
+    """Deferred time-gate sampling must reproduce the fixed-time estimator
+    (same peak, consistent energy) at a fraction of the samples."""
+    R = 4.0
+    pulse_len = 2e-3
+    s, rx = _point_target_scene(R=R, pulse_len=pulse_len)
+    sd = s.compile()
+    f_tot, g_tot = [], []
+    f_prof = g_prof = 0
+    for seed in range(3):
+        a, n = receive(s, sd, rx, seed=seed, spp=1 << 15, max_depth=2,
+                       time_sampling='fixed')
+        sig = np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
+        f_prof = f_prof + sig
+        f_tot.append(sig.sum())
+        a, n = receive(s, sd, rx, seed=seed, spp=1 << 12, max_depth=2,
+                       time_sampling='gate')
+        sig = np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
+        g_prof = g_prof + sig
+        g_tot.append(sig.sum())
+    # same round-trip peak bin, consistent total energy (gate uses 8x fewer
+    # samples and still has lower spread)
+    assert abs(int(np.argmax(f_prof)) - int(np.argmax(g_prof))) <= 1
+    # fixed-mode totals are heavy-tailed (few gated samples); loose bound
+    assert np.mean(g_tot) == pytest.approx(np.mean(f_tot), rel=0.7)
+
+
 def test_doppler_shift_moving_target():
     """A closing target shifts the received frequency up by 2 v f / c."""
     R = 4.0
