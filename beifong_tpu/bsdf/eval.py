@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from ..core.math import Pi, InvPi, safe_sqrt, normalize
 from ..core import warp
 from .tables import (BSDFTable, DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR, DIELECTRIC,
-                     THIN_DIELECTRIC, PLASTIC, ROUGH_PLASTIC, NULL, MASK, BLEND)
+                     THIN_DIELECTRIC, PLASTIC, ROUGH_PLASTIC, NULL, MASK, BLEND,
+                     ROUGH_DIELECTRIC)
 
 
 def fresnel_conductor(cos_i, eta, k):
@@ -153,6 +154,40 @@ def _eval_pdf_basic(table: BSDFTable, idx, wi, wo, refl_scale):
     spec_w = jnp.clip(Fi, 0.05, 0.95)
     pdf_rpl = (1 - spec_w) * pdf_diff + spec_w * pdf_rc
 
+    # --- rough dielectric (GGX glass): reflection + transmission lobes,
+    #     evaluated in the UNflipped frame (transmission crosses sides) ---
+    eta_s = g['eta'][..., 0]
+    ci_u, co_u = wi[..., 2], wo[..., 2]
+    same_side = ci_u * co_u > 0.0
+    eta_it_u = jnp.where(ci_u > 0.0, eta_s, 1.0 / eta_s)
+    # reflection half-vector
+    h_r = normalize(wi + wo)
+    h_r = h_r * jnp.sign(h_r[..., 2:3])
+    # transmission half-vector: -(wi + eta wo) normalized (Walter 2007)
+    h_t = normalize(-(wi + wo * eta_it_u[..., None]))
+    h_t = h_t * jnp.sign(h_t[..., 2:3])
+    h_d = jnp.where(same_side[..., None], h_r, h_t)
+    D_d = ggx_ndf(h_d, g['alpha'])
+    G_d = ggx_g1(wi, g['alpha']) * ggx_g1(wo, g['alpha'])
+    idoth = jnp.sum(wi * h_d, axis=-1)
+    odoth = jnp.sum(wo * h_d, axis=-1)
+    F_d, _, _ = fresnel_dielectric(idoth, eta_s)
+    aci = jnp.maximum(jnp.abs(ci_u), 1e-6)
+    f_rd_refl = (F_d * D_d * G_d / (4.0 * aci))
+    denom_t = idoth + eta_it_u * odoth
+    jac_t = (eta_it_u * eta_it_u * jnp.abs(odoth)
+             / jnp.maximum(denom_t * denom_t, 1e-12))
+    f_rd_trans = ((1.0 - F_d) * D_d * G_d * jnp.abs(idoth) * jac_t
+                  / aci) / (eta_it_u * eta_it_u)
+    f_rd = jnp.where(same_side, f_rd_refl, f_rd_trans)[..., None] \
+        * jnp.where(same_side[..., None], refl, g['k'])
+    pdf_h = D_d * jnp.abs(h_d[..., 2])
+    pdf_rd = jnp.where(same_side,
+                       F_d * pdf_h / jnp.maximum(4.0 * jnp.abs(odoth), 1e-8),
+                       (1.0 - F_d) * pdf_h * jac_t / jnp.maximum(
+                           jnp.abs(odoth), 1e-8))
+    valid_rd = jnp.abs(ci_u) > 1e-6
+
     typ = g['type']
     f = jnp.where((typ == DIFFUSE)[..., None], f_diff,
         jnp.where((typ == ROUGH_CONDUCTOR)[..., None], f_rc,
@@ -164,7 +199,13 @@ def _eval_pdf_basic(table: BSDFTable, idx, wi, wo, refl_scale):
           jnp.where(typ == ROUGH_PLASTIC, pdf_rpl, 0.0))))
 
     live = jnp.where(g['twosided'], both_up, front)
-    return jnp.where(live[..., None], f, 0.0), jnp.where(live, pdf, 0.0)
+    f = jnp.where(live[..., None], f, 0.0)
+    pdf = jnp.where(live, pdf, 0.0)
+    # rough dielectric bypasses the hemisphere gating (transmits)
+    is_rd = typ == ROUGH_DIELECTRIC
+    f = jnp.where(is_rd[..., None], jnp.where(valid_rd[..., None], f_rd, 0.0), f)
+    pdf = jnp.where(is_rd, jnp.where(valid_rd, pdf_rd, 0.0), pdf)
+    return f, pdf
 
 
 def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
@@ -212,11 +253,26 @@ def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
     wo_pl = jnp.where((is_rpl & pick_spec)[..., None], wo_ggx,
                       jnp.where((is_pl & pick_spec)[..., None], wo_mirror, wo_diff))
 
+    # Rough dielectric: reflect/refract through the sampled microfacet
+    # (unflipped frame, h oriented toward wi's side)
+    h_u = h * jnp.where(ci < 0.0, -1.0, 1.0)[..., None]
+    idoth_u = jnp.sum(wi * h_u, axis=-1)
+    F_rd, cos_t_h, eta_it_h = fresnel_dielectric(idoth_u, g['eta'][..., 0])
+    refl_rd = u_lobe < F_rd
+    wo_rd_refl = _reflect(wi, h_u)
+    inv_eta = 1.0 / eta_it_h
+    wo_rd_refr = normalize((inv_eta * jnp.abs(idoth_u) - cos_t_h)[..., None]
+                           * h_u * jnp.sign(idoth_u)[..., None]
+                           - wi * inv_eta[..., None])
+    wo_rd = jnp.where(refl_rd[..., None], wo_rd_refl, wo_rd_refr)
+    is_rd = typ == ROUGH_DIELECTRIC
+
     wo_f = jnp.where((typ == DIFFUSE)[..., None], wo_diff,
            jnp.where((typ == ROUGH_CONDUCTOR)[..., None], wo_ggx,
            jnp.where((typ == CONDUCTOR)[..., None], wo_mirror,
            jnp.where((is_pl | is_rpl)[..., None], wo_pl, wo_diff))))
     wo = wo_f * s
+    wo = jnp.where(is_rd[..., None], wo_rd, wo)
     # Dielectric/thin/null operate in the unflipped frame
     wo = jnp.where((typ == DIELECTRIC)[..., None], wo_diel, wo)
     wo = jnp.where((typ == THIN_DIELECTRIC)[..., None],

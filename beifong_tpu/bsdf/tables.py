@@ -27,6 +27,7 @@ ROUGH_PLASTIC = 6      # diffuse base + GGX coat
 NULL = 7               # passthrough (participating-media boundaries)
 MASK = 8               # opacity-weighted nested bsdf
 BLEND = 9              # convex blend of two nested bsdfs
+ROUGH_DIELECTRIC = 10  # GGX microfacet glass (reflect + refract)
 
 MAX_C = 3  # parameter storage channel count (rgb); mono scenes use channel 0
 
@@ -83,6 +84,16 @@ def dielectric(id, int_ior=1.5046, ext_ior=1.000277,
     """Smooth dielectric (reference `src/bsdfs/dielectric.cpp`); `reflectance`
     stores specular_reflectance, transmittance goes in `k`."""
     return BSDFSpec(id=id, type=DIELECTRIC, reflectance=_c(specular_reflectance),
+                    eta=_c(int_ior / ext_ior), k=_c(specular_transmittance),
+                    twosided=True)
+
+
+def rough_dielectric(id, alpha=0.1, int_ior=1.5046, ext_ior=1.000277,
+                     specular_reflectance=1.0,
+                     specular_transmittance=1.0) -> BSDFSpec:
+    """GGX rough glass (reference `src/bsdfs/roughdielectric.cpp`)."""
+    return BSDFSpec(id=id, type=ROUGH_DIELECTRIC,
+                    reflectance=_c(specular_reflectance), alpha=float(alpha),
                     eta=_c(int_ior / ext_ior), k=_c(specular_transmittance),
                     twosided=True)
 

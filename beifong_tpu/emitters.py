@@ -28,6 +28,7 @@ DIRECTIONAL = 3
 CONSTANT = 4
 POINTBEAM = 5
 PROJECTOR = 6
+ENVMAP = 7
 
 MAX_C = 3
 
@@ -88,6 +89,24 @@ def pointbeam(id, intensity=1.0, beam_width=15.0, to_world=None) -> EmitterSpec:
                        to_world=_m4(to_world), beam_width=float(beam_width))
 
 
+def envmap(id, data, scale=1.0, to_world=None) -> EmitterSpec:
+    """Equirectangular environment map (reference `src/emitters/envmap.cpp`):
+    `data` is an (H, W, 3) latitude-longitude radiance image; sampling is
+    importance-weighted by sin(theta)-corrected luminance via Marginal2D."""
+    spec = EmitterSpec(id=id, type=ENVMAP, value=_c(scale), to_world=_m4(to_world))
+    spec.env_data = np.asarray(data, np.float32)
+    return spec
+
+
+def projector(id, data, intensity=1.0, fov=45.0, to_world=None) -> EmitterSpec:
+    """Textured spot projector (reference `src/emitters/projector.cpp`):
+    projects the image within a perspective frustum along local +z."""
+    spec = EmitterSpec(id=id, type=PROJECTOR, value=_c(intensity),
+                       to_world=_m4(to_world), cutoff_angle=float(fov))
+    spec.env_data = np.asarray(data, np.float32)
+    return spec
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class EmitterTable:
@@ -98,6 +117,9 @@ class EmitterTable:
     cos_beam: jax.Array    # (E,)
     shape_idx: jax.Array   # (E,) int32 (-1 for point-likes)
     texture_idx: jax.Array
+    env_img: object = None      # (H,W,3) equirect radiance (one envmap)
+    env_distr: object = None    # Marginal2D over sin-weighted luminance
+    env_row: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
     def n(self) -> int:
@@ -113,6 +135,9 @@ class EmitterTable:
         cb = np.zeros(n, np.float32)
         sidx = np.full(n, -1, np.int32)
         tex = np.full(n, -1, np.int32)
+        env_img = None
+        env_distr = None
+        env_row = -1
         for i, s in enumerate(specs):
             typ[i] = s.type
             val[i] = s.value
@@ -122,10 +147,21 @@ class EmitterTable:
             cb[i] = np.cos(np.deg2rad(s.beam_width))
             sidx[i] = shape_of(s.id)
             tex[i] = resolve_texture(s.texture)
+            if s.type == ENVMAP:
+                from .core.distr import Marginal2D
+                img = np.asarray(s.env_data, np.float32)
+                lum = (0.2126 * img[..., 0] + 0.7152 * img[..., 1]
+                       + 0.0722 * img[..., 2])
+                h = img.shape[0]
+                sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi)
+                env_img = jnp.asarray(img)
+                env_distr = Marginal2D.build(lum * sin_t[:, None])
+                env_row = i
         return EmitterTable(type=jnp.asarray(typ), value=jnp.asarray(val),
                             to_world=jnp.asarray(tw), cos_cutoff=jnp.asarray(cc),
                             cos_beam=jnp.asarray(cb), shape_idx=jnp.asarray(sidx),
-                            texture_idx=jnp.asarray(tex))
+                            texture_idx=jnp.asarray(tex), env_img=env_img,
+                            env_distr=env_distr, env_row=env_row)
 
 
 def eval_hit(em: EmitterTable, em_idx, cos_theta_surface):
@@ -136,11 +172,31 @@ def eval_hit(em: EmitterTable, em_idx, cos_theta_surface):
     return jnp.where(live[..., None], em.value[i], 0.0)
 
 
+def _env_uv(em: EmitterTable, d_world):
+    """Equirect (u, v) for world directions (env emitter's frame, z-up)."""
+    r = em.to_world[em.env_row][:3, :3]
+    dl = jnp.einsum('ji,...j->...i', r, d_world)
+    theta = jnp.arccos(jnp.clip(dl[..., 2], -1.0, 1.0))
+    phi = jnp.mod(jnp.arctan2(dl[..., 1], dl[..., 0]), 2 * jnp.pi)
+    return phi / (2 * jnp.pi), theta / jnp.pi
+
+
+def _env_lookup(em: EmitterTable, d_world):
+    u, v = _env_uv(em, d_world)
+    h, w = em.env_img.shape[:2]
+    px = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return em.env_img[py, px] * em.value[em.env_row]
+
+
 def eval_env(em: EmitterTable, d_world):
-    """Environment radiance for escaped rays: sum of CONSTANT emitters."""
+    """Environment radiance for escaped rays: CONSTANT emitters + envmap."""
     is_const = (em.type == CONSTANT)[:, None]
     total = jnp.sum(jnp.where(is_const, em.value, 0.0), axis=0)
-    return jnp.broadcast_to(total, d_world.shape[:-1] + (MAX_C,))
+    out = jnp.broadcast_to(total, d_world.shape[:-1] + (MAX_C,))
+    if em.env_img is not None:
+        out = out + _env_lookup(em, d_world)
+    return out
 
 
 def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
@@ -206,15 +262,41 @@ def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
     # constant (environment): uniform sphere direction, non-delta
     from .core import warp as _warp
     d_env = _warp.square_to_uniform_sphere(u_pos)
-    is_env = typ == CONSTANT
+    is_const_env = typ == CONSTANT
+    is_envmap = typ == ENVMAP
+    is_env = is_const_env | is_envmap
     d = jnp.where(is_env[..., None], d_env, d)
+    pdf_env = jnp.full(dist.shape, InvFourPi)
+    w_env = val / InvFourPi
+    if em.env_img is not None:
+        # importance-sample the equirect luminance distribution
+        h_img, w_img = em.env_img.shape[:2]
+        r_c, c_c, pdf_cell = em.env_distr.sample(u_pos)
+        theta = (r_c.astype(jnp.float32) + 0.5) / h_img * jnp.pi
+        phi = (c_c.astype(jnp.float32) + 0.5) / w_img * 2 * jnp.pi
+        st = jnp.sin(theta)
+        dl = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                        jnp.cos(theta)], -1)
+        rmat = em.to_world[em.env_row][:3, :3]
+        d_em = jnp.einsum('ij,...j->...i', rmat, dl)
+        # pdf over solid angle: cell pdf * (H W) / (2 pi^2 sin(theta))
+        pdf_sa_env = pdf_cell * (h_img * w_img) / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * st, 1e-8)
+        rad = em.env_img[r_c, c_c] * em.value[em.env_row]
+        d = jnp.where(is_envmap[..., None], d_em, d)
+        pdf_env = jnp.where(is_envmap, pdf_sa_env, pdf_env)
+        # weight = radiance / pdf_solid_angle (emitter-choice 1/E applied by
+        # the caller-side division like the other point-like branches)
+        w_env = jnp.where(is_envmap[..., None],
+                          rad / jnp.maximum(pdf_sa_env, 1e-20)[..., None],
+                          w_env)
     dist = jnp.where(is_env, 1e7, dist)
-    w_pt = jnp.where(is_env[..., None], val / InvFourPi, w_pt)
+    w_pt = jnp.where(is_env[..., None], w_env, w_pt)
     is_delta = is_delta & ~is_env
 
     pdf_sel = 1.0 / n_em
     pdf = jnp.where(is_area, pdf_sa * pdf_sel,
-                    jnp.where(is_env, InvFourPi * pdf_sel, pdf_sel))
+                    jnp.where(is_env, pdf_env * pdf_sel, pdf_sel))
     w_area = val / jnp.maximum(pdf_sa, 1e-20)[..., None]
     weight = jnp.where(is_area[..., None],
                        jnp.where((pdf_sa > 0.0)[..., None], w_area, 0.0),
@@ -225,11 +307,21 @@ def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
     return ds, weight, e
 
 
-def pdf_direction_env(em: EmitterTable):
-    """Solid-angle NEE pdf of hitting any CONSTANT env emitter (for MIS on
-    escaped rays)."""
-    has_env = jnp.any(em.type == CONSTANT)
-    return jnp.where(has_env, InvFourPi / em.n, 0.0)
+def pdf_direction_env(em: EmitterTable, d_world=None):
+    """Solid-angle NEE pdf of the environment in direction d (for MIS on
+    escaped rays): uniform for CONSTANT, luminance-importance for ENVMAP."""
+    has_const = jnp.any(em.type == CONSTANT)
+    p = jnp.where(has_const, InvFourPi / em.n, 0.0)
+    if em.env_img is not None and d_world is not None:
+        u, v = _env_uv(em, d_world)
+        h, w = em.env_img.shape[:2]
+        px = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        py = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        pdf_cell = em.env_distr.pdf(py, px)
+        st = jnp.sin(jnp.clip(v, 1e-4, 1 - 1e-4) * jnp.pi)
+        p = p + pdf_cell * (h * w) / jnp.maximum(
+            2.0 * jnp.pi * jnp.pi * st, 1e-8) / em.n
+    return p
 
 
 def pdf_direction_area(em: EmitterTable, shapes: ShapeTable, em_idx, d, dist,

@@ -108,7 +108,8 @@ class ShapeTable:
     def build(specs, resolve) -> "ShapeTable":
         """`resolve(kind_name, id)` maps string ids to table indices."""
         n = max(len(specs), 1)
-        kind = np.zeros(n, np.int32)
+        # padding rows get kind=-1: matches no intersection routine (inert)
+        kind = np.full(n, -1, np.int32)
         tw = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
         vel = np.zeros((n, 3), np.float32)
         bsdf = np.full(n, -1, np.int32)

@@ -45,7 +45,6 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
     result += jnp.where((~si.valid)[:, None], em_mod.eval_env(em, d), 0.0)
     active &= si.valid
 
-    pdf_env = em_mod.pdf_direction_env(em)
     d_cur = d
 
     for depth in range(1, max_depth):
@@ -89,6 +88,7 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
                             throughput * w_mis[:, None]
                             * em_mod.eval_hit(em, em_idx2, cos2), 0.0)
         # Environment on escape, MIS against env NEE pdf
+        pdf_env = em_mod.pdf_direction_env(em, d_new)
         w_mis_env = jnp.where(is_delta, 1.0, mis_weight(pdf_b, pdf_env))
         result += jnp.where((alive & ~si2.valid)[:, None],
                             throughput * w_mis_env[:, None]

@@ -69,7 +69,7 @@ def hg_sample(u, g, wi):
     from .core.transform import frame_from_normal, to_world
     g_safe = jnp.where(jnp.abs(g) > 1e-4, g, 1e-4)
     sqr_term = (1.0 - g_safe * g_safe) / (1.0 + g_safe * (2.0 * u[..., 0] - 1.0))
-    cos_theta_hg = -(1.0 + g_safe * g_safe - sqr_term * sqr_term) / (2.0 * g_safe)
+    cos_theta_hg = (1.0 + g_safe * g_safe - sqr_term * sqr_term) / (2.0 * g_safe)
     cos_theta = jnp.where(jnp.abs(g) > 1e-4, cos_theta_hg, 1.0 - 2.0 * u[..., 0])
     sin_theta = safe_sqrt(1.0 - cos_theta * cos_theta)
     phi = TwoPi * u[..., 1]
