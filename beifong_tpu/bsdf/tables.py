@@ -47,6 +47,8 @@ class BSDFSpec:
     nested0: Optional[str] = None    # nested bsdf ids (mask/blend)
     nested1: Optional[str] = None
     weight: float = 0.5              # blend weight / mask opacity
+    normalmap: Optional[str] = None  # texture id: tangent-space normal map
+    bumpmap: Optional[str] = None    # texture id: height map (channel 0)
 
 
 def _c(v, default=1.0) -> np.ndarray:
@@ -130,8 +132,22 @@ def blend(id, bsdf0, bsdf1, weight=0.5) -> BSDFSpec:
                     nested1=bsdf1, weight=float(weight))
 
 
-def normalmap_stub(*a, **k):
-    raise NotImplementedError("normal/bump maps land with the texture atlas")
+def normalmap(id, nested, texture) -> BSDFSpec:
+    """Tangent-space normal map over a nested BSDF (reference
+    `src/bsdfs/normalmap.cpp`).  The perturbation applies to the shading
+    frame at intersection time (scene.ray_intersect)."""
+    spec = BSDFSpec(id=id, type=BLEND, reflectance=_c(1.0), nested0=nested,
+                    nested1=nested, weight=1.0, normalmap=texture)
+    return spec
+
+
+def bumpmap(id, nested, texture, scale: float = 1.0) -> BSDFSpec:
+    """Height-field bump map (reference `src/bsdfs/bumpmap.cpp`): finite
+    differences of the height texture tilt the shading normal."""
+    spec = BSDFSpec(id=id, type=BLEND, reflectance=_c(1.0), nested0=nested,
+                    nested1=nested, weight=1.0, bumpmap=texture)
+    spec.alpha = float(scale)
+    return spec
 
 
 @jax.tree_util.register_dataclass
@@ -147,6 +163,8 @@ class BSDFTable:
     nested0: jax.Array       # (B,) int32 (-1 none)
     nested1: jax.Array       # (B,) int32
     weight: jax.Array        # (B,)
+    normalmap_idx: jax.Array  # (B,) int32 (-1 none)
+    bumpmap_idx: jax.Array    # (B,) int32 (-1 none)
 
     @staticmethod
     def build(specs: list[BSDFSpec], resolve_texture) -> "BSDFTable":
@@ -169,4 +187,8 @@ class BSDFTable:
             texture_idx=col(lambda s: resolve_texture(s.texture), (), np.int32, -1),
             nested0=col(lambda s: ids.get(s.nested0, -1), (), np.int32, -1),
             nested1=col(lambda s: ids.get(s.nested1, -1), (), np.int32, -1),
-            weight=col(lambda s: s.weight, ()))
+            weight=col(lambda s: s.weight, ()),
+            normalmap_idx=col(lambda s: resolve_texture(s.normalmap), (),
+                              np.int32, -1),
+            bumpmap_idx=col(lambda s: resolve_texture(s.bumpmap), (),
+                            np.int32, -1))

@@ -83,6 +83,38 @@ def _m4(m) -> np.ndarray:
     return np.asarray(m, np.float32).reshape(4, 4)
 
 
+@dataclasses.dataclass
+class ShapeGroup:
+    """Named collection of shapes for instancing (reference
+    `src/shapes/shapegroup.cpp`).  Not itself rendered; `instance()` stamps
+    transformed copies into the scene at compile time."""
+
+    id: str
+    shapes: list
+
+    endpoint_kind: str = dataclasses.field(default='shapegroup', init=False)
+
+
+@dataclasses.dataclass
+class InstanceSpec:
+    """Instance of a ShapeGroup with its own to_world (reference
+    `src/shapes/instance.cpp`).  Expanded at Scene.compile: each member
+    shape appears with to_world = instance.to_world @ member.to_world —
+    exact (no LOD/shared-BLAS tricks; geometry is SoA-flattened anyway)."""
+
+    group: str
+    to_world: np.ndarray
+    endpoint_kind: str = dataclasses.field(default='instance', init=False)
+
+
+def shapegroup(id, shapes) -> ShapeGroup:
+    return ShapeGroup(id=id, shapes=list(shapes))
+
+
+def instance(group, to_world=None) -> InstanceSpec:
+    return InstanceSpec(group=group, to_world=_m4(to_world))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShapeTable:

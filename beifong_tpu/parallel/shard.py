@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..core.rng import SampleStream
-from ..radar.endpoints import rx_sample_ray, rx_sample_frequency
+from ..radar.endpoints import (rx_sample_ray, rx_sample_frequency,
+                               rx_aperture_weight)
 from ..integrators.radar_path import radar_receive_trace
 from ..dsp import pulse as pulse_mod
 from .. import film as film_mod
@@ -76,6 +77,8 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
         u_pos, stream = stream.next_2d()
         u_dir, stream = stream.next_2d()
         o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
+        w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d,
+                                   scene_data.band.c / jnp.maximum(f_rx, 1e-6))
         adc = film_mod.film_new(cfg.n_time, cfg.n_freq, n_ch)
         adc, _ = radar_receive_trace(
             scene_data, stream, o, d, t_rx - t_start, f_rx, w * f_w, adc, cfg,

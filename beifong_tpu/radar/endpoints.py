@@ -436,11 +436,27 @@ def rx_sample_ray(scene, rx_spec: ReceiverSpec, shape_idx: int, time,
 
 def rx_aperture_weight(scene, rx_spec: ReceiverSpec, shape_idx: int,
                        p, d, wavelength):
-    """Directional WDF weight of the receive aperture for (p, d)."""
+    """Directional WDF weight of the receive aperture for (p, d)
+    (reference `wignerreceiver.cpp::sample_ray_differential:208-269` WDF
+    weight; `phasedreceiver.cpp` cross-WDF).  May be negative."""
     n = p.shape[0]
     if rx_spec.kind == OMNI:
         return jnp.ones((n,))
     idxs = jnp.full((n,), shape_idx, jnp.int32)
+    if rx_spec.kind == PHASED and rx_spec.n_elems > 1:
+        band_wl = 1.0  # steering phases baked at build below
+        mids, bases, psis = _phased_pairs(rx_spec, band_wl)
+        tw = scene.shapes.to_world[shape_idx]
+        s_ax = tw[:3, 0] / jnp.maximum(jnp.linalg.norm(tw[:3, 0]), 1e-20)
+        t_ax = tw[:3, 1] / jnp.maximum(jnp.linalg.norm(tw[:3, 1]), 1e-20)
+        origin = tw[:3, 3]
+        mid_w = mids[:, 0:1] * s_ax[None] + mids[:, 1:2] * t_ax[None]
+        base_w = bases[:, 0:1] * s_ax[None] + bases[:, 1:2] * t_ax[None]
+        from .wigner import phased_aperture_gain
+        return phased_aperture_gain(
+            jnp.asarray(mid_w), jnp.asarray(base_w), jnp.asarray(psis),
+            jnp.ones(len(mids), bool), s_ax, t_ax,
+            jnp.asarray(rx_spec.elem_wid), origin, p, d, wavelength)
     return rect_aperture_gain(scene.shapes, idxs, p, d, wavelength)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .core.rng import SampleStream, make_stream
 from .radar.endpoints import (ReceiverSpec, rx_sample_ray, rx_sample_frequency,
-                              ADCConfig)
+                              rx_aperture_weight, ADCConfig)
 from .integrators.radar_path import radar_receive_trace, pathlength_histogram
 from .scene import Scene, SceneData
 from . import film as film_mod
@@ -79,6 +79,9 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
     u_pos, stream = stream.next_2d()
     u_dir, stream = stream.next_2d()
     o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
+    # receiver aperture WDF directivity (signed; reference wignerreceiver)
+    w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d,
+                               scene_data.band.c / jnp.maximum(f_rx, 1e-6))
 
     rx_vel = jnp.asarray(rx.velocity)
     adc, stream = radar_receive_trace(

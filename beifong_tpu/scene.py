@@ -42,11 +42,57 @@ class SceneData:
     medium: object = None  # media.HomogeneousMedium | None (global ambient)
     bvh: object = None     # geometry.bvh.BVH | None (large meshes)
 
+    has_shading_maps: bool = dataclasses.field(
+        metadata=dict(static=True), default=False)
+
     # --- queries (reference Scene::ray_intersect / ray_test) ---
 
     def ray_intersect(self, o, d, tmax=None):
-        return closest_hit(self.shapes, self.tris, o, d, tmax=tmax,
-                           bvh=self.bvh)
+        si = closest_hit(self.shapes, self.tris, o, d, tmax=tmax,
+                         bvh=self.bvh)
+        if self.has_shading_maps:
+            si = self._apply_shading_maps(si)
+        return si
+
+    def _apply_shading_maps(self, si):
+        """Perturb shading frames by normal/bump maps (reference
+        `src/bsdfs/{normalmap,bumpmap}.cpp`).  Tangent basis = the shading
+        frame's s/t rows (procedural convention)."""
+        from .textures import texture_eval
+        from .core import transform as tfm
+        from .core.math import normalize as _norm
+        bidx = self.bsdf_of(si.shape_idx)
+        i = jnp.maximum(bidx, 0)
+        nm = self.bsdfs.normalmap_idx[i]
+        bm = self.bsdfs.bumpmap_idx[i]
+        frame = si.sh_frame
+
+        # normal map: rgb in [0,1] -> tangent normal 2c-1
+        rgb = texture_eval(self.textures, nm, si.uv)
+        n_t = _norm(2.0 * rgb - 1.0)
+        n_nm = tfm.to_world(frame, n_t)
+
+        # bump map: finite differences of height (channel 0)
+        eps = 1e-3
+        h0 = texture_eval(self.textures, bm, si.uv)[..., 0]
+        hx = texture_eval(self.textures, bm,
+                          si.uv + jnp.array([eps, 0.0]))[..., 0]
+        hy = texture_eval(self.textures, bm,
+                          si.uv + jnp.array([0.0, eps]))[..., 0]
+        scale = self.bsdfs.alpha[i]
+        dhdu = (hx - h0) / eps * scale
+        dhdv = (hy - h0) / eps * scale
+        n_bm = tfm.to_world(frame, _norm(jnp.stack(
+            [-dhdu, -dhdv, jnp.ones_like(dhdu)], -1)))
+
+        n_new = jnp.where((nm >= 0)[:, None], n_nm,
+                          jnp.where((bm >= 0)[:, None], n_bm,
+                                    frame[:, 2]))
+        new_frame = tfm.frame_from_normal(_norm(n_new))
+        use = (nm >= 0) | (bm >= 0)
+        frame = jnp.where(use[:, None, None], new_frame, frame)
+        wi = tfm.to_local(frame, si.wi_world)
+        return dataclasses.replace(si, sh_frame=frame, wi=wi)
 
     def ray_test(self, o, d, maxt):
         return any_hit(self.shapes, self.tris, o, d, maxt, bvh=self.bvh)
@@ -84,9 +130,21 @@ class Scene:
     receivers: list = dataclasses.field(default_factory=list)
     sensors: list = dataclasses.field(default_factory=list)
 
+    groups: dict = dataclasses.field(default_factory=dict)
+
     def add(self, *objs) -> "Scene":
+        from .geometry.shapes import ShapeGroup, InstanceSpec
+        import copy as _copy
         for o in objs:
-            if isinstance(o, MeshSpec) or isinstance(o, ShapeSpec):
+            if isinstance(o, ShapeGroup):
+                self.groups[o.id] = o
+            elif isinstance(o, InstanceSpec):
+                grp = self.groups[o.group]
+                for member in grp.shapes:
+                    m = _copy.copy(member)
+                    m.to_world = np.asarray(o.to_world, np.float32) @ member.to_world
+                    self.shapes.append(m)
+            elif isinstance(o, MeshSpec) or isinstance(o, ShapeSpec):
                 self.shapes.append(o)
             elif isinstance(o, BSDFSpec):
                 self.bsdfs.append(o)
@@ -197,7 +255,10 @@ class Scene:
                 bvh = bvh_mod.build(np.asarray(tris.v0), np.asarray(tris.e1),
                                     np.asarray(tris.e2))
 
+        has_maps = any(s.normalmap is not None or s.bumpmap is not None
+                       for s in self.bsdfs)
         return SceneData(band=self.band, shapes=shape_table, tris=tris,
                          bsdfs=bsdf_table, textures=tex_table,
                          emitters=em_table, transmitters=tx_table,
-                         receivers=rx_table, medium=self.medium, bvh=bvh)
+                         receivers=rx_table, medium=self.medium, bvh=bvh,
+                         has_shading_maps=has_maps)

@@ -33,7 +33,7 @@ def _signal(scene_data, rx, shape_idx, n=2048, seed=0):
 
 
 def test_gradient_through_radar_chain():
-    s, rx = g._build_scene(ground=False)
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
     sd = s.compile()
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
 
@@ -55,7 +55,7 @@ def test_gradient_through_radar_chain():
 def test_optimize_recovers_reflectance():
     """Inverse problem: recover the target reflectance that produced an
     observed signal (reference autodiff.py's optimization loop)."""
-    s, rx = g._build_scene(ground=False)
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
     sd_true = s.compile()
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
     # ground truth: reflectance 0.7

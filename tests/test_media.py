@@ -88,7 +88,7 @@ def test_radar_medium_attenuation():
     Beer-Lambert factor."""
     import __graft_entry__ as g
     from beifong_tpu.receive import receive
-    s, rx = g._build_scene(ground=False)
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
     sd0 = s.compile()
     sigma = 0.05    # 1/m
     s.medium = HomogeneousMedium.make(sigma_t=sigma, albedo=0.0)

@@ -69,7 +69,7 @@ def test_receive_sharded_runs_and_merges(mesh8):
     """Sharded receive: per-pulse ADCs come back populated, deterministic,
     and the 4-way ray psum merges more events than a single shard."""
     import __graft_entry__ as g
-    s, rx = g._build_scene(ground=False)
+    s, rx = g._build_scene(ground=False)   # wigner rx: hemisphere toward -y
     scene_data = s.compile()
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
     lanes = 1024
@@ -96,10 +96,10 @@ def test_receive_sharded_matches_unsharded_stats(mesh8):
     peak bin (target round-trip) and comparable in-window energy."""
     import __graft_entry__ as g
     from beifong_tpu.receive import receive
-    s, rx = g._build_scene(ground=False)
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
     scene_data = s.compile()
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
-    lanes = 8192
+    lanes = 16384
     pulse_starts = jnp.zeros((2,), jnp.float32)
     # The estimator is heavy-tailed (WDF sinc tails x solid-angle weights),
     # so average a few independent seeds on each side.
