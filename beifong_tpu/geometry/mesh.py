@@ -138,6 +138,72 @@ def load_ply(path: str, to_world=None, **kw) -> MeshSpec:
                     to_world=to_world, **kw)
 
 
+def load_serialized(path: str, shape_index: int = 0, to_world=None,
+                    **kw) -> MeshSpec:
+    """Mitsuba `.serialized` mesh loader (reference
+    `src/shapes/serialized.cpp`): zlib-compressed per-mesh streams with an
+    offset table at the end of the file.  Positions + faces only."""
+    import struct
+    import zlib
+    with open(path, 'rb') as fh:
+        data = fh.read()
+    magic, version = struct.unpack_from('<HH', data, 0)
+    if magic != 0x041C:
+        raise ValueError(f"{path}: not a .serialized file (magic {magic:#x})")
+    (n_meshes,) = struct.unpack_from('<I', data, len(data) - 4)
+    offsets = struct.unpack_from(f'<{n_meshes}Q',
+                                 data, len(data) - 4 - 8 * n_meshes)
+    if not 0 <= shape_index < n_meshes:
+        raise IndexError(f"shape_index {shape_index} of {n_meshes}")
+    start = offsets[shape_index] + 4          # skip per-mesh magic+version
+    end = (offsets[shape_index + 1]
+           if shape_index + 1 < n_meshes else len(data) - 4 - 8 * n_meshes)
+    raw = zlib.decompress(data[start:end])
+    pos = 0
+    (flags,) = struct.unpack_from('<I', raw, pos)
+    pos += 4
+    if version >= 4:
+        e = raw.index(b'\x00', pos)
+        pos = e + 1
+    n_v, n_f = struct.unpack_from('<QQ', raw, pos)
+    pos += 16
+    single = bool(flags & 0x1000)
+    vdt = np.float32 if single else np.float64
+    vsz = 4 if single else 8
+    verts = np.frombuffer(raw, vdt, 3 * n_v, pos).reshape(n_v, 3)
+    pos += 3 * n_v * vsz
+    if flags & 0x0001:      # normals
+        pos += 3 * n_v * vsz
+    if flags & 0x0002:      # texcoords
+        pos += 2 * n_v * vsz
+    if flags & 0x0008:      # colors
+        pos += 3 * n_v * vsz
+    faces = np.frombuffer(raw, np.uint32, 3 * n_f, pos).reshape(n_f, 3)
+    return MeshSpec(verts.astype(np.float32), faces.astype(np.int32),
+                    to_world=to_world, **kw)
+
+
+def save_serialized(path: str, meshes: list):
+    """Write meshes [(verts, faces), ...] as Mitsuba `.serialized` v4
+    (positions only, single precision)."""
+    import struct
+    import zlib
+    blob = b''
+    offsets = []
+    for i, (v, f) in enumerate(meshes):
+        offsets.append(len(blob))
+        v = np.asarray(v, np.float32)
+        f = np.asarray(f, np.uint32)
+        raw = struct.pack('<I', 0x1000) + f"mesh_{i}".encode() + b'\x00'
+        raw += struct.pack('<QQ', len(v), len(f))
+        raw += v.tobytes() + f.tobytes()
+        blob += struct.pack('<HH', 0x041C, 4) + zlib.compress(raw)
+    blob += b''.join(struct.pack('<Q', o) for o in offsets)
+    blob += struct.pack('<I', len(meshes))
+    with open(path, 'wb') as fh:
+        fh.write(blob)
+
+
 def make_grid(nx: int = 1, ny: int = 1) -> tuple[np.ndarray, np.ndarray]:
     """Unit grid mesh on [-1,1]^2 z=0 (test helper, like the reference's
     `mesh_generation.py`)."""

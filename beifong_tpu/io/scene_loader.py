@@ -107,7 +107,8 @@ def load_dict(d: dict, band: Band = ULTRASOUND_40K):
 _BSDF_TYPES = {"diffuse", "twosided", "conductor", "roughconductor",
                "dielectric", "thindielectric", "plastic", "roughplastic",
                "null", "mask", "blendbsdf"}
-_SHAPE_TYPES = {"rectangle", "sphere", "disk", "cylinder", "obj", "ply"}
+_SHAPE_TYPES = {"rectangle", "sphere", "disk", "cylinder", "obj", "ply",
+                "serialized"}
 _INTEGRATOR_TYPES = {"path", "pathlength", "pathtime", "pathtimefrequency",
                      "pathrangedoppler", "time", "range", "phase", "raw",
                      "direct", "depth", "aov", "moment"}
@@ -236,6 +237,11 @@ def _load_shape(scene: Scene, val, named_bsdfs, meta):
         scene.add(load_obj(val["filename"], to_world=tw, **kw))
     elif t == "ply":
         scene.add(load_ply(val["filename"], to_world=tw, **kw))
+    elif t == "serialized":
+        from ..geometry.mesh import load_serialized
+        scene.add(load_serialized(val["filename"],
+                                  shape_index=int(val.get("shape_index", 0)),
+                                  to_world=tw, **kw))
     else:
         raise ValueError(f"unsupported shape {t}")
 

@@ -85,6 +85,92 @@ def isotropic_sample(u):
     return warp.square_to_uniform_sphere(u), jnp.full(u.shape[:-1], InvFourPi)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HeterogeneousMedium:
+    """Gridded medium (reference `src/media/heterogeneous.cpp` +
+    `grid3d` volume texture): a (D, H, W) sigma_t density over an axis-
+    aligned box, sampled by delta (Woodcock) tracking against the grid
+    maximum as majorant — fixed-iteration, mask-based (XLA-friendly).
+    """
+
+    sigma_grid: jax.Array   # (D,H,W) extinction
+    albedo: jax.Array
+    g: jax.Array
+    box_min: jax.Array      # (3,)
+    box_max: jax.Array      # (3,)
+    majorant: jax.Array     # () max sigma
+
+    @staticmethod
+    def make(sigma_grid, albedo=0.5, g=0.0, box_min=(-1, -1, -1),
+             box_max=(1, 1, 1)) -> "HeterogeneousMedium":
+        sg = jnp.asarray(sigma_grid, jnp.float32)
+        return HeterogeneousMedium(
+            sigma_grid=sg, albedo=jnp.float32(albedo), g=jnp.float32(g),
+            box_min=jnp.asarray(box_min, jnp.float32),
+            box_max=jnp.asarray(box_max, jnp.float32),
+            majorant=jnp.max(sg))
+
+    def sigma_at(self, p):
+        """Trilinear-free nearest lookup of sigma_t at world points (n,3);
+        zero outside the box."""
+        ext = self.box_max - self.box_min
+        q = (p - self.box_min) / jnp.maximum(ext, 1e-12)
+        inside = jnp.all((q >= 0.0) & (q <= 1.0), axis=-1)
+        D, H, W = self.sigma_grid.shape
+        iz = jnp.clip((q[..., 2] * D).astype(jnp.int32), 0, D - 1)
+        iy = jnp.clip((q[..., 1] * H).astype(jnp.int32), 0, H - 1)
+        ix = jnp.clip((q[..., 0] * W).astype(jnp.int32), 0, W - 1)
+        return jnp.where(inside, self.sigma_grid[iz, iy, ix], 0.0)
+
+    def transmittance(self, o, d, dist, key, n_estimates: int = 4,
+                      max_steps: int = 32):
+        """Ratio-tracking transmittance estimate along segments (n,)."""
+        import jax as _jax
+        n = dist.shape[0]
+        maj = jnp.maximum(self.majorant, 1e-8)
+
+        def one(k):
+            t = jnp.zeros((n,), jnp.float32)
+            tr = jnp.ones((n,), jnp.float32)
+            ks = _jax.random.split(k, max_steps)
+            for s in range(max_steps):
+                u = _jax.random.uniform(ks[s], (n,))
+                t = t - jnp.log(jnp.maximum(1 - u, 1e-20)) / maj
+                live = t < dist
+                p = o + t[:, None] * d
+                ratio = 1.0 - self.sigma_at(p) / maj
+                tr = jnp.where(live, tr * ratio, tr)
+            return tr
+
+        ks = _jax.random.split(key, n_estimates)
+        return jnp.mean(jnp.stack([one(k) for k in ks]), axis=0)
+
+    def sample_distance(self, o, d, u_seq, max_dist):
+        """Delta-tracking free flight: u_seq (n, max_steps) uniforms.
+        Returns (t, is_medium_event)."""
+        n = max_dist.shape[0]
+        maj = jnp.maximum(self.majorant, 1e-8)
+        max_steps = u_seq.shape[1] // 2
+        t = jnp.zeros((n,), jnp.float32)
+        done = jnp.zeros((n,), bool)
+        hit = jnp.zeros((n,), bool)
+        for s in range(max_steps):
+            u1 = u_seq[:, 2 * s]
+            u2 = u_seq[:, 2 * s + 1]
+            step = -jnp.log(jnp.maximum(1 - u1, 1e-20)) / maj
+            t_prop = t + step
+            past = t_prop >= max_dist
+            p = o + t_prop[:, None] * d
+            real = u2 < self.sigma_at(p) / maj
+            newly_hit = ~done & ~past & real
+            t = jnp.where(~done, jnp.minimum(t_prop, max_dist), t)
+            hit = hit | newly_hit
+            done = done | newly_hit | past
+        t = jnp.where(hit, t, max_dist)
+        return t, hit
+
+
 def atmospheric_attenuation_db_per_km(freq_hz):
     """Rough clear-air absorption for MMW radar bands [dB/km] (ITU-like
     lookup: 35/77/94 GHz windows and the 60 GHz O2 peak)."""

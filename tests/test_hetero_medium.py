@@ -1,0 +1,71 @@
+"""Heterogeneous (gridded) medium tests: delta tracking vs analytic
+homogeneous limit, ratio-tracking transmittance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from beifong_tpu.media import HeterogeneousMedium
+
+
+def _uniform_grid(sigma, n=8):
+    return np.full((n, n, n), sigma, np.float32)
+
+
+def test_delta_tracking_matches_homogeneous():
+    """A uniform grid must reproduce the exponential free-flight law."""
+    sigma = 1.5
+    med = HeterogeneousMedium.make(_uniform_grid(sigma),
+                                   box_min=(-50, -50, -50),
+                                   box_max=(50, 50, 50))
+    n = 100_000
+    o = jnp.zeros((n, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    u = jax.random.uniform(jax.random.key(0), (n, 64))
+    t, hit = med.sample_distance(o, d, u, jnp.full((n,), 40.0))
+    t = np.asarray(t)
+    assert np.asarray(hit).mean() > 0.999
+    assert t[np.asarray(hit)].mean() == pytest.approx(1 / sigma, rel=0.02)
+
+
+def test_delta_tracking_vacuum_region():
+    """Half-vacuum grid: rays starting in the vacuum half fly freely until
+    the dense half."""
+    g = np.zeros((8, 8, 8), np.float32)
+    g[4:] = 5.0          # dense for z > 0 (z axis = grid dim 0)
+    med = HeterogeneousMedium.make(g, box_min=(-10, -10, -10),
+                                   box_max=(10, 10, 10))
+    n = 50_000
+    o = jnp.tile(jnp.array([[0.0, 0.0, -9.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    u = jax.random.uniform(jax.random.key(1), (n, 128))
+    t, hit = med.sample_distance(o, d, u, jnp.full((n,), 19.0))
+    t = np.asarray(t)[np.asarray(hit)]
+    # no collisions before the boundary at z=0 (t=9)
+    assert (t > 8.99).all()
+    # mean penetration into the dense half ~ 1/5
+    assert (t - 9.0).mean() == pytest.approx(1 / 5.0, rel=0.05)
+
+
+def test_ratio_tracking_transmittance():
+    sigma = 0.7
+    med = HeterogeneousMedium.make(_uniform_grid(sigma),
+                                   box_min=(-50, -50, -50),
+                                   box_max=(50, 50, 50))
+    n = 20_000
+    o = jnp.zeros((n, 3))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    dist = jnp.full((n,), 2.0)
+    tr = med.transmittance(o, d, dist, jax.random.key(2), n_estimates=8,
+                          max_steps=64)
+    assert float(np.asarray(tr).mean()) == pytest.approx(
+        np.exp(-sigma * 2.0), rel=0.03)
+
+
+def test_sigma_lookup_outside_box_zero():
+    med = HeterogeneousMedium.make(_uniform_grid(3.0))
+    p = jnp.array([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+    s = np.asarray(med.sigma_at(p))
+    assert s[0] == pytest.approx(3.0)
+    assert s[1] == 0.0
