@@ -101,6 +101,9 @@ def bsdf_eval_pdf(table: BSDFTable, idx, wi, wo, refl_scale=None):
     Handles one level of BLEND (both lobes evaluated); MASK evaluates the
     nested lobe scaled by opacity.
     """
+    # static short-circuit: no mask/blend rows -> single basic evaluation
+    if table.present and not ({MASK, BLEND} & set(table.present)):
+        return _eval_pdf_basic(table, idx, wi, wo, refl_scale)
     g = _gather(table, idx)
     is_blend = g['type'] == BLEND
     is_mask = g['type'] == MASK
@@ -132,6 +135,13 @@ def _eval_pdf_basic(table: BSDFTable, idx, wi, wo, refl_scale):
     # --- diffuse ---
     f_diff = refl * InvPi * jnp.maximum(co_f, 0.0)[..., None]
     pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo_f)
+
+    # static fast path: diffuse-only scene (typical radar) skips every
+    # other lobe family entirely
+    if table.present and set(table.present) <= {DIFFUSE}:
+        live = jnp.where(g['twosided'], both_up, front)
+        return (jnp.where(live[..., None], f_diff, 0.0),
+                jnp.where(live, pdf_diff, 0.0))
 
     # --- rough conductor (GGX) ---
     h = normalize(wi_f + wo_f)
@@ -217,6 +227,17 @@ def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
     g = _gather(table, idx)
     refl = g['refl'] if refl_scale is None else g['refl'] * refl_scale
     ci = wi[..., 2]
+
+    # static fast path: diffuse-only scene
+    if table.present and set(table.present) <= {DIFFUSE}:
+        flip_d = g['twosided'] & (ci < 0.0)
+        s_d = jnp.where(flip_d, -1.0, 1.0)[..., None]
+        wo_d = warp.square_to_cosine_hemisphere(u_dir) * s_d
+        f_s, pdf_s = _eval_pdf_basic(table, idx, wi, wo_d, refl_scale)
+        w_s = f_s / jnp.maximum(pdf_s, 1e-20)[..., None]
+        live_d = pdf_s > 0.0
+        return (wo_d, jnp.where(live_d[..., None], w_s, 0.0), pdf_s,
+                jnp.zeros_like(live_d), jnp.ones_like(pdf_s))
     flip = g['twosided'] & (ci < 0.0)
     s = jnp.where(flip, -1.0, 1.0)[..., None]
     wi_f = wi * s

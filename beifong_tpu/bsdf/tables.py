@@ -165,6 +165,9 @@ class BSDFTable:
     weight: jax.Array        # (B,)
     normalmap_idx: jax.Array  # (B,) int32 (-1 none)
     bumpmap_idx: jax.Array    # (B,) int32 (-1 none)
+    # static set of type codes present — lets eval/sample skip dead lobes
+    present: tuple = dataclasses.field(metadata=dict(static=True),
+                                       default=())
 
     @staticmethod
     def build(specs: list[BSDFSpec], resolve_texture) -> "BSDFTable":
@@ -191,4 +194,5 @@ class BSDFTable:
             normalmap_idx=col(lambda s: resolve_texture(s.normalmap), (),
                               np.int32, -1),
             bumpmap_idx=col(lambda s: resolve_texture(s.bumpmap), (),
-                            np.int32, -1))
+                            np.int32, -1),
+            present=tuple(sorted({s.type for s in specs})))

@@ -62,6 +62,8 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
     """
     cfg = rx.adc
     n_ch = 2 if coherent else 1
+    from ..receive import scene_mono
+    scene_data = scene_mono(scene_data)
 
     def trace_one_pulse(t_start, key, ray_idx, pulse_idx):
         n = lanes_per_device

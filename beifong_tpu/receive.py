@@ -91,11 +91,26 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
     return adc
 
 
+def scene_mono(scene_data: SceneData) -> SceneData:
+    """Slice color tables to one channel for the radar path (mono spectra):
+    cuts BSDF/texture memory traffic 3x in the receive pass."""
+    import dataclasses as dc
+    b = scene_data.bsdfs
+    t = scene_data.textures
+    return dc.replace(
+        scene_data,
+        bsdfs=dc.replace(b, reflectance=b.reflectance[:, :1],
+                         eta=b.eta[:, :1], k=b.k[:, :1]),
+        textures=dc.replace(t, color0=t.color0[:, :1],
+                            color1=t.color1[:, :1],
+                            atlas=t.atlas[..., :1]))
+
+
 def receive(scene: Scene, scene_data: SceneData | None = None,
             receiver: ReceiverSpec | None = None, seed: int = 0,
             spp: int = 4096, max_depth: int = 3, coherent: bool = False,
             lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
-            time_sampling: str = 'fixed'):
+            time_sampling: str = 'fixed', use_pallas: str | bool = False):
     """Simulate the received signal; returns (adc_grid, total_samples).
 
     adc_grid: (n_time, n_freq, C+2) with C=1 (power) or 2 (I/Q coherent).
@@ -103,9 +118,26 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     `time_sampling`: 'fixed' (reference semantics) or 'gate' (deferred
     time-gated importance sampling — ~window/pulse_len x effective spp for
     pulsed waveforms; requires window <= PRI).
+    `use_pallas`: True/'auto' routes supported scenes through the Pallas
+    megakernel (integrators/pallas_receive.py) — same estimator, different
+    RNG stream; the returned grid has empty weight/count channels.
     """
     if scene_data is None:
         scene_data = scene.compile()
+    if use_pallas:
+        from .integrators.pallas_receive import receive_pallas, supported
+        if supported(scene_data, receiver or scene.receivers[0]):
+            rx0 = receiver or scene.receivers[0]
+            out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
+                                    seed=seed, max_depth=max_depth,
+                                    time_sampling=time_sampling)
+            adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, 3), jnp.float32)
+            adc = adc.at[..., 0].set(out)
+            return adc, n
+        elif use_pallas is True:
+            raise ValueError("scene outside the Pallas megakernel's scope "
+                             "(see pallas_receive.supported)")
+    scene_data = scene_mono(scene_data)
     if receiver is None:
         receiver = scene.receivers[0]
     shape_idx = scene.shape_index_of_endpoint('receiver', receiver.id)

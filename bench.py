@@ -28,15 +28,41 @@ ANCHOR_SAMPLES_PER_S = 1.0e6
 def main():
     import __graft_entry__ as g
     from beifong_tpu import film as film_mod
-    from beifong_tpu.receive import _receive_pass, _HashableRx
+    from beifong_tpu.receive import _receive_pass, _HashableRx, scene_mono
+    from beifong_tpu.integrators.pallas_receive import (receive_pallas,
+                                                        supported)
 
     s, rx = g._build_scene()
-    scene_data = s.compile()
+    sd_full = s.compile()
+    scene_data = scene_mono(sd_full)
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
     rx_h = _HashableRx(rx)
 
     n_lanes = 1 << 20
     max_depth = 3
+    n_iter = 8
+
+    if supported(sd_full, rx):
+        # Pallas megakernel path (the production hot loop)
+        out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=0,
+                                 max_depth=max_depth, time_sampling='gate')
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=i + 1,
+                                     max_depth=max_depth,
+                                     time_sampling='gate')
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        samples_per_s = n_iter * n_lanes / dt
+        print(json.dumps({
+            "metric": "radar_receive_samples_per_s_per_chip",
+            "value": round(samples_per_s, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_s / ANCHOR_SAMPLES_PER_S, 3),
+        }))
+        return 0
+
     adc = film_mod.film_new(rx.adc.n_time, rx.adc.n_freq, 1)
     key = jax.random.key(0)
 
@@ -45,7 +71,6 @@ def main():
                          jnp.uint32(0), adc, n_lanes, max_depth, False)
     adc1.block_until_ready()
 
-    n_iter = 8
     t0 = time.perf_counter()
     a = adc
     for i in range(n_iter):

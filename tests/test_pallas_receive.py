@@ -1,0 +1,90 @@
+"""Megakernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+
+import __graft_entry__ as g
+from beifong_tpu.receive import receive, develop_signal
+from beifong_tpu.integrators.pallas_receive import (receive_pallas, supported,
+                                                    TILE)
+
+
+@pytest.mark.parametrize("kind", ["omni", "wigner"])
+def test_megakernel_matches_jnp(kind):
+    s, rx = g._build_scene(ground=False, rx_kind=kind)
+    sd = s.compile()
+    assert supported(sd, rx)
+    tp = 0.0
+    tj = 0.0
+    seeds = 3
+    for seed in range(seeds):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * rx.adc.n_time / seeds
+        a, n2 = receive(s, sd, rx, seed=100 + seed, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / seeds
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    # signed aperture weights make totals heavy-tailed; compare energy in
+    # the peak window with a loose statistical bound
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+def test_megakernel_deterministic_and_scales():
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+    out1, n1 = receive_pallas(s, sd, rx, spp=TILE * 4, seed=7, max_depth=2,
+                              time_sampling='gate', interpret=True)
+    out1b, _ = receive_pallas(s, sd, rx, spp=TILE * 4, seed=7, max_depth=2,
+                              time_sampling='gate', interpret=True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out1b))
+    # more samples -> proportionally more accumulated signal
+    out2, n2 = receive_pallas(s, sd, rx, spp=TILE * 8, seed=7, max_depth=2,
+                              time_sampling='gate', interpret=True)
+    r = np.asarray(out2).sum() / max(np.asarray(out1).sum(), 1e-30)
+    assert r == pytest.approx(2.0, rel=0.5)
+
+
+def test_supported_gates():
+    from beifong_tpu.radar import linfmcw, wigner_transmitter
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    assert supported(sd, rx)
+    # mesh scenes unsupported
+    import beifong_tpu as bt
+    from beifong_tpu import scene as sc
+    from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+    from beifong_tpu.bsdf import diffuse
+    s2 = sc.Scene(band=bt.band_preset("ultrasound_40k"))
+    s2.add(diffuse("d"))
+    v, f = make_grid(2, 2)
+    s2.add(MeshSpec(v, f, bsdf="d"))
+    s2.add(wigner_transmitter("tx", linfmcw(40e3, 10.0, 0.05, 2e3),
+                              resample_freq=True))
+    from beifong_tpu.geometry import shapes as sh
+    s2.add(sh.rectangle(transmitter="tx"))
+    assert not supported(s2.compile(), rx)
+
+
+def test_receive_use_pallas_auto():
+    """use_pallas='auto' routes supported scenes through the megakernel
+    (forced into interpret mode here — no real TPU in CI)."""
+    from beifong_tpu.integrators import pallas_receive as pr
+    import unittest.mock as mock
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    orig = pr.receive_pallas
+
+    def fake(*a, **k):
+        k['interpret'] = True
+        return orig(*a, **k)
+
+    with mock.patch.object(pr, 'receive_pallas', fake):
+        adc, n = receive(s, sd, rx, spp=TILE, max_depth=2,
+                         time_sampling='gate', use_pallas='auto')
+    assert adc.shape == (64, 1, 3)
+    assert n == TILE
