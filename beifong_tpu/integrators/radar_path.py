@@ -106,6 +106,20 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             return jnp.abs(f_recv - lo_freq(t_rx_conn))
         return f_recv
 
+    def ref_phase(t):
+        """Local-oscillator reference phase at receive time: the coherent
+        baseband phase of a connection is wf_phase(t_emit) - ref_phase(t_rx)
+        (+ boundary phases) — carrier downconversion.  Range information
+        enters through t_rx = t_emit + path delay, giving the classic
+        -2 pi f tau echo phase without a separate propagation term."""
+        if lo_wf is not None:
+            return lo_wf.phase(t)
+        fc = 0.5 * (scene.band.freq_min + scene.band.freq_max)
+        # compensated frac(f*t): f*t can be >> 2^24 cycles
+        p, e = m.two_prod(jnp.float32(fc), t)
+        fr = (p - jnp.floor(p)) + e
+        return m.TwoPi * (fr - jnp.floor(fr))
+
     def gate_times(tau, tx_row, u_g):
         """Deferred emission-time sample for connections with delay tau.
         Returns (t_emit, t_rx_conn, weight_factor)."""
@@ -162,9 +176,7 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         if coherent:
             tx_row = jnp.maximum(tx_idx, 0)
             wf_ph = jnp.where(hit_tx, _wf_phase(scene, tx_row, t_emit_hit), 0.0)
-            wl_hit = c / jnp.maximum(f_recv_hit, 1e-6)
-            prop_ph = _prop_phase(plen, wl_hit, depth, seg_boundary)
-            ph_hit = wf_ph + prop_ph
+            ph_hit = wf_ph - ref_phase(t_rx_hit) + depth * seg_boundary
         else:
             ph_hit = None
         adc = _adc_splat(adc, cfg, t_rx_hit - cfg.sampling_start,
@@ -212,11 +224,8 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         if med is not None:
             val_nee = val_nee * med.transmittance(ds.dist)
         if coherent:
-            plen_nee = m.ds_add_f(plen, jnp.where(nee_ok, ds.dist, 0.0))
-            wl_nee = c / jnp.maximum(f_recv_nee, 1e-6)
             wf_ph = _wf_phase(scene, tx_row, t_emit)
-            prop_ph = _prop_phase(plen_nee, wl_nee, depth + 1, seg_boundary)
-            ph_nee = wf_ph + prop_ph
+            ph_nee = wf_ph - ref_phase(t_rx_nee) + (depth + 1) * seg_boundary
         else:
             ph_nee = None
         adc = _adc_splat(adc, cfg, t_rx_nee - cfg.sampling_start,

@@ -24,8 +24,12 @@ def main():
         "/root/reference/python_scripts/trans_rad.xml"
     out = sys.argv[2] if len(sys.argv) > 2 else "range_profile"
 
+    # trans_rad.xml's 0.5 ns time bins assume light-speed propagation
+    # (trans_rad.py:66 converts r = t*3e8), so load in the optical band
+    import beifong_tpu as bt
     scene, meta = load_xml(scene_path, defaults={"spp": 4096,
-                                                 "resx": 1, "resy": 1})
+                                                 "resx": 1, "resy": 1},
+                           band=bt.band_preset("optical"))
     integ = meta["integrator"]
     if integ.get("type") == "time":
         # 50 x 0.5 ns bins hardcoded in the reference wrapper (time.cpp:118)
@@ -50,7 +54,7 @@ def main():
     np.save(out + ".npy", prof)
 
     # quick-look PNG: bar-style intensity strip
-    img = np.tile((db - db.min()) / max(db.ptp(), 1e-9), (16, 1))
+    img = np.tile((db - db.min()) / max(np.ptp(db), 1e-9), (16, 1))
     write_png(out + ".png", img)
     print(f"wrote {out}.npy / {out}.png (peak at {axis[prof.argmax()]:.2f} m)")
 
