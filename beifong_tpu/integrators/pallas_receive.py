@@ -27,10 +27,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from ..geometry.shapes import RECTANGLE, SPHERE
 from ..radar.waveform import CW, PULSE, LINFMCW
 
-SUB, LANE = 8, 128
+_ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
+
+SUB, LANE = 64, 128
 TILE = SUB * LANE          # rays per grid step
 
 TWO_PI = 6.283185307179586
@@ -39,14 +43,33 @@ INV_TWO24 = 1.0 / float(1 << 24)
 
 def _uniform(shape):
     """[0,1) uniforms from the per-core PRNG."""
-    bits = pltpu.prng_random_bits(shape)
-    return (bits >> 8).astype(jnp.float32) * INV_TWO24
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # Mosaic can't cast uint32->f32; values < 2^24 are int32-safe
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * INV_TWO24
+
+
+def _fast_sin(x):
+    """Fast sine: cycle reduction + smoothed parabola (Bhaskara-refined).
+
+    Relative error ~2e-4 — ample for MC weights; ~7 VPU ops instead of a
+    multi-cycle transcendental (the kernel's sin/cos count dominates its
+    runtime otherwise).
+    """
+    t = x * (1.0 / TWO_PI)
+    t = t - jnp.round(t)              # t in [-0.5, 0.5] cycles
+    s = 16.0 * t * (0.5 - jnp.abs(t))  # parabola approx of sin(2 pi t)
+    return s * (0.775 + 0.225 * jnp.abs(s))
+
+
+def _fast_cos(x):
+    return _fast_sin(x + 0.5 * jnp.float32(jnp.pi))
 
 
 def _sinc(x):
     ax = jnp.abs(x)
     safe = jnp.where(ax > 1e-8, x, 1.0)
-    return jnp.where(ax > 1e-8, jnp.sin(safe) / safe, 1.0)
+    return jnp.where(ax > 1e-8, _fast_sin(safe) / safe, 1.0)
 
 
 def _tri(x):
@@ -55,7 +78,8 @@ def _tri(x):
 
 def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                  receive_type: str, time_sampling: str,
-                 max_depth: int, rx_kind: str, n_tiles: int):
+                 max_depth: int, rx_kind: str, n_tiles: int,
+                 use_prng: bool = True):
     """Build the kernel body closed over static config."""
 
     n_time = cfg.n_time
@@ -79,12 +103,22 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             out_ref[:] = jnp.zeros_like(out_ref)
             cnt_ref[0, 0] = 0.0
 
-        draw_ctr = [0]
+        if use_prng:
+            # hardware PRNG: jax.random.uniform for ~30M draws costs ~100 ms
+            # on v5e — 2/3 of the whole pass — so production uses the
+            # in-kernel generator (tests use input uniforms: interpret mode
+            # has no PRNG)
+            pltpu.prng_seed(jnp.int32(sp_ref[0]) + pl.program_id(0))
 
-        def draw():
-            u = u_ref[0, draw_ctr[0]]
-            draw_ctr[0] += 1
-            return u
+            def draw():
+                return _uniform((SUB, LANE))
+        else:
+            draw_ctr = [0]
+
+            def draw():
+                u = u_ref[0, draw_ctr[0]]
+                draw_ctr[0] += 1
+                return u
 
         def sp(i):
             return sp_ref[i]
@@ -147,7 +181,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             z = 1.0 - 2.0 * u1
             r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
             ph = TWO_PI * u2
-            dx, dy, dz = r * jnp.cos(ph), r * jnp.sin(ph), z
+            dx, dy, dz = r * _fast_cos(ph), r * _fast_sin(ph), z
             w0 = jnp.full(shape, 4.0 * np.pi)
         else:
             # position on the rx rectangle: p = M (2u-1, 2v-1, 0)
@@ -163,7 +197,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             u3, u4 = draw(), draw()
             rr = jnp.sqrt(u3)
             ph = TWO_PI * u4
-            tx_, ty_ = rr * jnp.cos(ph), rr * jnp.sin(ph)
+            tx_, ty_ = rr * _fast_cos(ph), rr * _fast_sin(ph)
             tz_ = jnp.sqrt(jnp.maximum(1.0 - u3, 0.0))
             # Duff frame about n
             sign = jnp.where(nzz >= 0.0, 1.0, -1.0)
@@ -435,10 +469,13 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                   * _sinc(TWO_PI * nu_y * tx_wy * tty))
             w_tx = sig * tx_gain * ap * TWO_PI
 
-            occ = occluded(hx + 1e-4 * jnp.sign(cos_s) * nx,
-                           hy + 1e-4 * jnp.sign(cos_s) * ny,
-                           hz + 1e-4 * jnp.sign(cos_s) * nz,
-                           wx_, wy_, wz_, dist)
+            if _ABLATE == 'nooccl':
+                occ = jnp.zeros(shape) != 0.0
+            else:
+                occ = occluded(hx + 1e-4 * jnp.sign(cos_s) * nx,
+                               hy + 1e-4 * jnp.sign(cos_s) * ny,
+                               hz + 1e-4 * jnp.sign(cos_s) * nz,
+                               wx_, wy_, wz_, dist)
             ok = (active & ~occ & (pdf_sa > 0.0) & (cos_tx > 1e-6)
                   & ~hit_tx)
             val = jnp.where(ok, throughput * f_cos * w_tx * w_gate
@@ -456,17 +493,23 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             yb = (t_recv - t_start) / t_window * n_time - 0.5
             xb = (f_bin - f_lo) / max(f_hi - f_lo, 1e-30) * n_freq - 0.5
             v_ok = jnp.where(ok, val, 0.0)
-            cells = []
-            for bt in range(n_time):
-                wy_m = jnp.maximum(1.0 - jnp.abs(yb - float(bt)), 0.0)
-                if n_freq == 1:
-                    cells.append(jnp.sum(v_ok * wy_m))
-                else:
-                    vy = v_ok * wy_m
-                    for bf in range(n_freq):
-                        wx_m = jnp.maximum(1.0 - jnp.abs(xb - float(bf)), 0.0)
-                        cells.append(jnp.sum(vy * wx_m))
-            acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
+            if _ABLATE == 'nosplat':
+                acc = acc + jnp.sum(v_ok)
+                cells = None
+            else:
+                cells = []
+            if cells is not None:
+                for bt in range(n_time):
+                    wy_m = jnp.maximum(1.0 - jnp.abs(yb - float(bt)), 0.0)
+                    if n_freq == 1:
+                        cells.append(jnp.sum(v_ok * wy_m))
+                    else:
+                        vy = v_ok * wy_m
+                        for bf in range(n_freq):
+                            wx_m = jnp.maximum(
+                                1.0 - jnp.abs(xb - float(bf)), 0.0)
+                            cells.append(jnp.sum(vy * wx_m))
+                acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
             n_events = n_events + jnp.where(ok & (val != 0.0), 1.0, 0.0)
 
             if depth == max_depth - 1:
@@ -476,7 +519,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             u8, u9 = draw(), draw()
             rr2 = jnp.sqrt(u8)
             ph2 = TWO_PI * u9
-            bx_, by_ = rr2 * jnp.cos(ph2), rr2 * jnp.sin(ph2)
+            bx_, by_ = rr2 * _fast_cos(ph2), rr2 * _fast_sin(ph2)
             bz_ = jnp.sqrt(jnp.maximum(1.0 - u8, 0.0))
             # flip normal toward the incoming side
             face = -(ddx * nx + ddy * ny + ddz * nz)
@@ -595,10 +638,18 @@ def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
          rx_kind: str, n_lanes: int, interpret: bool = False):
     n_tiles = max(n_lanes // TILE, 1)
     nd = n_draws(max_depth)
-    uniforms = jax.random.uniform(key, (n_tiles, nd, SUB, LANE),
-                                  dtype=jnp.float32)
+    use_prng = not interpret
+    if use_prng:
+        # tiny placeholder: draws come from the in-kernel PRNG
+        uniforms = jnp.zeros((n_tiles, 1, SUB, LANE), jnp.float32)
+        nd = 1
+        del key
+    else:
+        uniforms = jax.random.uniform(key, (n_tiles, nd, SUB, LANE),
+                                      dtype=jnp.float32)
     kernel = _make_kernel(prim_kinds, prim_is_tx, cfg, receive_type,
-                          time_sampling, max_depth, rx_kind, n_tiles)
+                          time_sampling, max_depth, rx_kind, n_tiles,
+                          use_prng=use_prng)
     out, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
