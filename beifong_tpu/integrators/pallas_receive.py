@@ -345,6 +345,13 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
         cx, cyv, cz = ox, oy, oz
         ddx, ddy, ddz = dx, dy, dz
 
+        if _ABLATE == 'trivial':
+            # dev: skip all physics — measures launch + RNG + accumulation
+            acc = acc + jnp.sum(ox + dx) * 1e-30
+            out_ref[:] = out_ref[:] + acc
+            cnt_ref[0, 0] = cnt_ref[0, 0] + 0.0
+            return
+
         for depth in range(max_depth):
             tb, nx, ny, nz, refl, hit_tx, hit = intersect(cx, cyv, cz,
                                                           ddx, ddy, ddz)
@@ -683,14 +690,24 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     `develop_signal(..., mode='density')` semantics: multiply by
     n_time / n_samples for the per-bin mean density).
     """
-    shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-    params, prim = _pack_scene(scene_data, rx, shape_idx)
+    # Scene packing reads ~20 device buffers back to host; over the tunneled
+    # TPU each D2H costs milliseconds, so cache the packed tables per
+    # (scene_data, receiver) — this took the call from ~160 ms to kernel-only.
+    cache = scene_host.__dict__.setdefault('_pallas_pack_cache', {})
+    ck = (id(scene_data), rx.id)
+    if ck not in cache:
+        shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
+        params, prim = _pack_scene(scene_data, rx, shape_idx)
+        cache[ck] = (
+            shape_idx, params, jnp.asarray(prim),
+            tuple(int(k) for k in prim[:, 0]),
+            tuple(bool(f > 0.5) for f in prim[:, 14]))
+    shape_idx, params, prim_dev, prim_kinds, prim_is_tx = cache[ck]
+    params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     n_lanes = max(TILE, (spp // TILE) * TILE)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
-    prim_kinds = tuple(int(k) for k in prim[:, 0])
-    prim_is_tx = tuple(bool(f > 0.5) for f in prim[:, 14])
-    out, cnt = _run(jnp.asarray(params), jnp.asarray(prim),
+    out, cnt = _run(jnp.asarray(params), prim_dev,
                     jax.random.key(seed), prim_kinds, prim_is_tx,
                     rx.adc, rx.receive_type, time_sampling, max_depth,
                     rx_kind, n_lanes, interpret)
