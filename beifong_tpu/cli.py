@@ -72,11 +72,14 @@ def main(argv=None):
         return 0
 
     import numpy as np
-    if integ.get("type") in ("range", "time"):
+    if integ.get("type") in ("range", "time", "phase"):
         from .receive import render_binned
-        q = "time" if integ["type"] == "time" else "length"
+        q = {"time": "time", "phase": "phase"}.get(integ["type"], "length")
         bins = int(integ.get("bins", 50))
-        bw = float(integ.get("dr", integ.get("dt", 0.2)))
+        if q == "phase":
+            bw = 2 * 3.141592653589793 / bins
+        else:
+            bw = float(integ.get("dr", integ.get("dt", 0.2)))
         t0 = time.time()
         grid, n = render_binned(scene, sensor_idx=args.sensor, n_bins=bins,
                                 bin_width=bw, quantity=q, spp=spp,

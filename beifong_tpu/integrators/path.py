@@ -50,7 +50,7 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
     for depth in range(1, max_depth):
         bsdf_idx = scene.bsdf_of(si.shape_idx)
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-        refl_scale = texture_eval(scene.textures, tex_idx, si.uv)
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
 
         # ---------------- NEE ----------------
         u_sel, stream = stream.next_1d()

@@ -187,7 +187,7 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         bsdf_idx = scene.bsdf_of(si.shape_idx)
         has_bsdf = bsdf_idx >= 0
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-        refl_scale = texture_eval(scene.textures, tex_idx, si.uv)
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
 
         u_sel, stream = stream.next_1d()
         u_pos, stream = stream.next_2d()
@@ -290,7 +290,9 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
                          bin_width: float, quantity: str = 'length',
                          max_depth: int = 4, rfilter: int = film_mod.TENT):
     """Trace optical paths (NEE against EMITTERS) and histogram each
-    contribution by total path length (or time = length/c).
+    contribution by total path length, time (= length/c), or phase
+    (= 2 pi frac(length/lambda_centre), the reference `phase` integrator,
+    `src/integrators/phase.cpp:79-130`; use bin_width = 2*pi/n_bins).
 
     Re-expresses `range` over `pathlength` (`src/integrators/range.cpp:
     136-161` + `pathlength.cpp:114-325`) and `time` over `pathtime`
@@ -305,6 +307,8 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
     n = o.shape[0]
     em = scene.emitters
     scale = 1.0 / scene.band.c if quantity == 'time' else 1.0
+    if quantity == 'phase':
+        inv_wl = m.ds_inv(jnp.float32(scene.band.wavelength_centre))
 
     throughput = ray_weight[:, None] * jnp.ones((n, 3), jnp.float32)
     active = jnp.ones((n,), bool)
@@ -316,7 +320,12 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
     em_weight = jnp.ones((n,), jnp.float32)
 
     def put(grid, value, length, ok):
-        b = length * scale / bin_width
+        if quantity == 'phase':
+            acc_ph = m.wlfrac_add_dist(m.wlfrac_zero(length.shape),
+                                       length, inv_wl)
+            b = m.wlfrac_phase(acc_ph) / bin_width
+        else:
+            b = length * scale / bin_width
         x = jnp.zeros_like(b)
         pos = jnp.stack([x, b], -1)
         # reuse film splat over a (n_pixels*n_bins, 1) virtual image per pixel:
@@ -347,7 +356,7 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
         # NEE
         bsdf_idx = scene.bsdf_of(si.shape_idx)
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-        refl_scale = texture_eval(scene.textures, tex_idx, si.uv)
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
         u_sel, stream = stream.next_1d()
         u_pos, stream = stream.next_2d()
         ds, w_em, _ = em_mod.sample_direction(em, scene.shapes, si.p, u_sel, u_pos)

@@ -61,7 +61,7 @@ def direct_sample(scene: SceneData, stream, o, d, n_emitter_samples: int = 1,
 
     bsdf_idx = scene.bsdf_of(si.shape_idx)
     tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-    refl = texture_eval(scene.textures, tex_idx, si.uv)
+    refl = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
 
     for _i in range(n_emitter_samples):
         u_sel, stream = stream.next_1d()

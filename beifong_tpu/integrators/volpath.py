@@ -90,7 +90,7 @@ def volpath_sample(scene: SceneData, stream, o, d, max_depth: int = 16,
         # surface: bsdf value
         bsdf_idx = scene.bsdf_of(si.shape_idx)
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-        refl = texture_eval(scene.textures, tex_idx, si.uv)
+        refl = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
         wo_nee = si.to_local(ds.d)
         f_s, pdf_b = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee, refl)
         mis_s = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))

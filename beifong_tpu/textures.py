@@ -16,6 +16,7 @@ import numpy as np
 CONSTANT = 0
 CHECKERBOARD = 1
 BITMAP = 2
+MESH_ATTRIBUTE = 3
 
 MAX_C = 3
 
@@ -47,6 +48,18 @@ def bitmap(id, data, scale_uv=(1.0, 1.0)) -> TextureSpec:
                        scale_uv=scale_uv)
 
 
+def mesh_attribute(id, values) -> TextureSpec:
+    """Per-face attribute texture (reference `src/textures/mesh_attribute.cpp`):
+    `values` is (n_faces, C) in the scene's concatenated triangle order;
+    lookups gather by the hit's primitive index."""
+    v = np.asarray(values, np.float32)
+    if v.ndim == 1:
+        v = np.repeat(v[:, None], MAX_C, 1)
+    spec = TextureSpec(id=id, type=MESH_ATTRIBUTE, color0=_c(1.0))
+    spec.face_values = v
+    return spec
+
+
 def _c(v):
     a = np.asarray(v, np.float32).reshape(-1)
     if a.size == 1:
@@ -63,6 +76,8 @@ class TextureTable:
     scale_uv: jax.Array   # (T,2)
     atlas: jax.Array      # (T,H,W,MAX_C) — zero-size H,W when no bitmaps
     atlas_hw: jax.Array   # (T,2) int32 actual (h,w) per texture
+    face_attr: object = None   # (F,MAX_C) per-face values (one attr texture)
+    face_attr_row: int = None  # which texture row uses face_attr
 
     @staticmethod
     def build(specs: list[TextureSpec]) -> "TextureTable":
@@ -76,6 +91,8 @@ class TextureTable:
         H, W = (max(hs), max(ws)) if hs else (1, 1)
         atlas = np.zeros((n, H, W, MAX_C), np.float32)
         hw = np.ones((n, 2), np.int32)
+        face_attr = None
+        face_row = None
         for i, s in enumerate(specs):
             typ[i] = s.type
             c0[i] = s.color0
@@ -85,13 +102,18 @@ class TextureTable:
                 h, w = s.data.shape[:2]
                 atlas[i, :h, :w] = s.data
                 hw[i] = (h, w)
+            if getattr(s, 'face_values', None) is not None:
+                face_attr = jnp.asarray(s.face_values)
+                face_row = i
         return TextureTable(type=jnp.asarray(typ), color0=jnp.asarray(c0),
                             color1=jnp.asarray(c1), scale_uv=jnp.asarray(suv),
-                            atlas=jnp.asarray(atlas), atlas_hw=jnp.asarray(hw))
+                            atlas=jnp.asarray(atlas), atlas_hw=jnp.asarray(hw),
+                            face_attr=face_attr, face_attr_row=face_row)
 
 
-def texture_eval(table: TextureTable, idx, uv):
-    """Evaluate textures for lanes; idx=-1 yields 1.0 (no texture)."""
+def texture_eval(table: TextureTable, idx, uv, prim_idx=None):
+    """Evaluate textures for lanes; idx=-1 yields 1.0 (no texture).
+    `prim_idx` (triangle index) feeds MESH_ATTRIBUTE lookups."""
     i = jnp.maximum(idx, 0)
     typ = table.type[i]
     suv = table.scale_uv[i]
@@ -107,4 +129,9 @@ def texture_eval(table: TextureTable, idx, uv):
     bmp = table.atlas[i, py, px]
     out = jnp.where((typ == CHECKERBOARD)[..., None], chk,
                     jnp.where((typ == BITMAP)[..., None], bmp, table.color0[i]))
+    if table.face_attr is not None and prim_idx is not None:
+        f = table.face_attr[jnp.clip(jnp.maximum(prim_idx, 0), 0,
+                                     table.face_attr.shape[0] - 1)]
+        out = jnp.where(((typ == MESH_ATTRIBUTE) & (prim_idx >= 0))[..., None],
+                        f, out)
     return jnp.where((idx >= 0)[..., None], out, 1.0)
