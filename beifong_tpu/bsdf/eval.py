@@ -15,7 +15,7 @@ from ..core.math import Pi, InvPi, safe_sqrt, normalize
 from ..core import warp
 from .tables import (BSDFTable, DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR, DIELECTRIC,
                      THIN_DIELECTRIC, PLASTIC, ROUGH_PLASTIC, NULL, MASK, BLEND,
-                     ROUGH_DIELECTRIC)
+                     ROUGH_DIELECTRIC, MEASURED)
 
 
 def fresnel_conductor(cos_i, eta, k):
@@ -207,6 +207,26 @@ def _eval_pdf_basic(table: BSDFTable, idx, wi, wo, refl_scale):
           jnp.where(typ == ROUGH_CONDUCTOR, pdf_rc,
           jnp.where(typ == PLASTIC, (1 - spec_w) * pdf_diff,
           jnp.where(typ == ROUGH_PLASTIC, pdf_rpl, 0.0))))
+
+    # --- measured (tabulated isotropic BRDF): nearest-cell lookup over
+    #     (theta_i, theta_o, delta_phi); cosine-hemisphere sampling pdf ---
+    if MEASURED in table.present and table.measured_grid is not None:
+        gm = table.measured_grid
+        nti, nto, ndp = gm.shape[:3]
+        half_pi = 0.5 * Pi
+        ti = jnp.arccos(jnp.clip(ci_f, 0.0, 1.0))
+        to = jnp.arccos(jnp.clip(co_f, 0.0, 1.0))
+        phi_i = jnp.arctan2(wi_f[..., 1], wi_f[..., 0])
+        phi_o = jnp.arctan2(wo_f[..., 1], wo_f[..., 0])
+        dphi = jnp.abs(phi_o - phi_i)
+        dphi = jnp.where(dphi > Pi, 2 * Pi - dphi, dphi)
+        ii = jnp.clip((ti / half_pi * nti).astype(jnp.int32), 0, nti - 1)
+        io = jnp.clip((to / half_pi * nto).astype(jnp.int32), 0, nto - 1)
+        ip = jnp.clip((dphi / Pi * ndp).astype(jnp.int32), 0, ndp - 1)
+        f_meas = gm[ii, io, ip] * refl * jnp.maximum(co_f, 0.0)[..., None]
+        is_meas = typ == MEASURED
+        f = jnp.where(is_meas[..., None], f_meas, f)
+        pdf = jnp.where(is_meas, pdf_diff, pdf)
 
     live = jnp.where(g['twosided'], both_up, front)
     f = jnp.where(live[..., None], f, 0.0)

@@ -28,6 +28,7 @@ NULL = 7               # passthrough (participating-media boundaries)
 MASK = 8               # opacity-weighted nested bsdf
 BLEND = 9              # convex blend of two nested bsdfs
 ROUGH_DIELECTRIC = 10  # GGX microfacet glass (reflect + refract)
+MEASURED = 11          # tabulated isotropic BRDF (theta_i, theta_o, dphi)
 
 MAX_C = 3  # parameter storage channel count (rgb); mono scenes use channel 0
 
@@ -118,6 +119,22 @@ def rough_plastic(id, diffuse_reflectance=0.5, alpha=0.1, int_ior=1.49,
                     twosided=twosided, texture=texture)
 
 
+def measured(id, brdf_grid, twosided=False) -> BSDFSpec:
+    """Tabulated isotropic BRDF (reference `src/bsdfs/measured.cpp`, RGL
+    format): `brdf_grid` is (n_theta_i, n_theta_o, n_dphi[, C]) of BRDF
+    values f_r (WITHOUT the cosine factor) on uniform angle grids
+    theta in [0, pi/2], dphi in [0, pi] (isotropic + reciprocal symmetry).
+    Sampling uses the cosine hemisphere (pdf exact; weights = f*cos/pdf).
+    One measured table per scene."""
+    g = np.asarray(brdf_grid, np.float32)
+    if g.ndim == 3:
+        g = np.repeat(g[..., None], MAX_C, -1)
+    spec = BSDFSpec(id=id, type=MEASURED, reflectance=_c(1.0),
+                    twosided=twosided)
+    spec.brdf_grid = g
+    return spec
+
+
 def null(id="null") -> BSDFSpec:
     return BSDFSpec(id=id, type=NULL, reflectance=_c(0.0), twosided=True)
 
@@ -168,6 +185,7 @@ class BSDFTable:
     # static set of type codes present — lets eval/sample skip dead lobes
     present: tuple = dataclasses.field(metadata=dict(static=True),
                                        default=())
+    measured_grid: object = None   # (Nti,Nto,Ndp,MAX_C) one table per scene
 
     @staticmethod
     def build(specs: list[BSDFSpec], resolve_texture) -> "BSDFTable":
@@ -195,4 +213,7 @@ class BSDFTable:
                               np.int32, -1),
             bumpmap_idx=col(lambda s: resolve_texture(s.bumpmap), (),
                             np.int32, -1),
-            present=tuple(sorted({s.type for s in specs})))
+            present=tuple(sorted({s.type for s in specs})),
+            measured_grid=next(
+                (jnp.asarray(s.brdf_grid) for s in specs
+                 if getattr(s, 'brdf_grid', None) is not None), None))

@@ -103,3 +103,48 @@ def test_envmap_escape_lookup():
     img_out = np.asarray(fm.develop(film))[0, 0]
     assert img_out[0] == pytest.approx(3.0, rel=1e-3)
     assert img_out[1] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_measured_brdf_lambertian_table():
+    """A measured table filled with rho/pi must behave exactly like
+    diffuse(rho): same rendered radiance."""
+    from beifong_tpu.bsdf.tables import measured
+    from beifong_tpu import scene as sc2, emitters as em2, sensors as sn2
+    import beifong_tpu as bt2
+    rho = 0.6
+    grid = np.full((16, 16, 8), rho / np.pi, np.float32)
+
+    def render_with(spec):
+        s = sc2.Scene(band=bt2.band_preset("optical"))
+        s.add(spec)
+        s.add(sh.rectangle(to_world=np.asarray(tf.scale(50.0)), bsdf="m"))
+        s.add(em2.point("pt", intensity=4.0, position=(0, 0, 2.0)))
+        look = np.asarray(tf.look_at([0.5, 0, 1.0], [0.5, 0, 0.0],
+                                     up=(0, 1, 0)))
+        s.add(sn2.radiancemeter(to_world=look, film_size=(1, 1), spp=512))
+        film, _ = render(s, spp=512, max_depth=2, seed=9)
+        import beifong_tpu.film as fm2
+        return float(np.asarray(fm2.develop(film))[0, 0, 0])
+
+    got = render_with(measured("m", grid))
+    ref = render_with(diffuse("m", reflectance=rho))
+    assert got == pytest.approx(ref, rel=1e-3)
+
+
+def test_measured_brdf_angular_variation():
+    """A table with retro-reflective boost at grazing delta-phi=0 changes
+    the response direction-dependently (sanity of the 3-axis lookup)."""
+    from beifong_tpu.bsdf.tables import measured, BSDFTable
+    from beifong_tpu.bsdf.eval import bsdf_eval_pdf
+    import jax.numpy as jnp
+    grid = np.full((8, 8, 4), 0.1, np.float32)
+    grid[:, :, 0] = 1.0     # boost when dphi ~ 0 (same azimuth half)
+    table = BSDFTable.build([measured("m", grid)], lambda t: -1)
+    idx = jnp.zeros((2,), jnp.int32)
+    wi = jnp.tile(jnp.array([[0.5, 0.0, np.sqrt(0.75)]]), (2, 1))
+    wo_same = jnp.array([[0.5, 0.05, np.sqrt(1 - 0.25 - 0.0025)]])
+    wo_opp = jnp.array([[-0.5, 0.05, np.sqrt(1 - 0.25 - 0.0025)]])
+    wo = jnp.concatenate([wo_same, wo_opp])
+    f, pdf = bsdf_eval_pdf(table, idx, wi, wo)
+    f = np.asarray(f)[:, 0]
+    assert f[0] / f[1] == pytest.approx(10.0, rel=0.05)
