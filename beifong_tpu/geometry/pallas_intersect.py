@@ -58,11 +58,14 @@ def _kernel(ox, oy, oz, dx, dy, dz,
            & (u + v <= 1.0) & (t > 1e-4))
     t = jnp.where(hit, t, _INF)
 
-    # reduce over the triangle (lane) axis
+    # reduce over the triangle (lane) axis (one-hot select: Mosaic has no
+    # take_along_axis)
     tj = jnp.min(t, axis=1, keepdims=True)                     # (R,1)
     aj = jnp.argmin(t, axis=1).astype(jnp.int32)[:, None]      # (R,1)
-    uj = jnp.take_along_axis(u, aj, axis=1)
-    vj = jnp.take_along_axis(v, aj, axis=1)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+    sel = lane_ids == aj
+    uj = jnp.sum(jnp.where(sel, u, 0.0), axis=1, keepdims=True)
+    vj = jnp.sum(jnp.where(sel, v, 0.0), axis=1, keepdims=True)
     better = tj < out_t[:]
     out_t[:] = jnp.where(better, tj, out_t[:])
     out_idx[:] = jnp.where(better, aj + j * TRI_TILE, out_idx[:])
