@@ -79,7 +79,7 @@ def _tri(x):
 def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                  receive_type: str, time_sampling: str,
                  max_depth: int, rx_kind: str, n_tiles: int,
-                 use_prng: bool = True):
+                 use_prng: bool = True, coherent: bool = False):
     """Build the kernel body closed over static config."""
 
     n_time = cfg.n_time
@@ -94,13 +94,15 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
     def kernel(sp_ref,      # SMEM scalar params vector
                prim_ref,    # (n_prims, 24) prim table rows (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
-               out_ref,     # (n_time, n_freq) accumulated power
+               out_ref,     # (n_time, n_freq) power (or I when coherent)
+               q_ref,       # (n_time, n_freq) Q (coherent; zeros otherwise)
                cnt_ref):    # (1, 1) total events
         tile_id = pl.program_id(0)
 
         @pl.when(tile_id == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
+            q_ref[:] = jnp.zeros_like(q_ref)
             cnt_ref[0, 0] = 0.0
 
         if use_prng:
@@ -155,6 +157,39 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             in_pulse = jnp.abs((tm - ti) / jnp.maximum(wf_text, 1e-12)) < 0.5
             w = jnp.where(in_pulse, w, 0.0)
             return jnp.where(wf_kind == CW, wf_amp * wf_amp, w)
+
+        def _frac_cycles(f_scalar, t):
+            """frac(f*t) with a compensated product (f*t may be >> 2^24)."""
+            c_ = f_scalar * 4097.0
+            fh = c_ - (c_ - f_scalar)
+            fl = f_scalar - fh
+            ct = t * 4097.0
+            th = ct - (ct - t)
+            tl = t - th
+            pp = f_scalar * t
+            err = ((fh * th - pp) + fh * tl + fl * th) + fl * tl
+            fr = (pp - jnp.floor(pp)) + err
+            return fr - jnp.floor(fr)
+
+        def wf_phase(t):
+            """Source phase at emission (waveform.phase semantics)."""
+            pri = 1.0 / jnp.maximum(wf_prf, 1e-12)
+            tm = jnp.mod(t, pri)
+            ti = 0.5 * wf_text
+            dtc = tm - ti
+            slope = wf_fext / jnp.maximum(wf_text, 1e-12)
+            cyc_chirp = dtc * (wf_fc + 0.5 * slope * dtc)
+            cyc_tone = _frac_cycles(wf_fc, tm)
+            cyc = jnp.where(wf_kind == LINFMCW,
+                            cyc_chirp - jnp.floor(cyc_chirp), cyc_tone)
+            return TWO_PI * cyc
+
+        def lo_ref_phase(t):
+            """LO/carrier phase at receive time (downconversion ref)."""
+            if mix:
+                return wf_phase(t)   # LO mirrors the tx chirp
+            f_centre_band = 0.5 * (f_lo + f_hi) if n_freq > 1 else wf_fc
+            return TWO_PI * _frac_cycles(f_centre_band, t)
 
         # ------------------------------------------------------------------
         # receive-ray generation
@@ -228,6 +263,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
         active = jnp.zeros(shape) == 0.0
         plen = jnp.zeros(shape)
         acc = jnp.zeros((n_time, n_freq), jnp.float32)
+        acc_q = jnp.zeros((n_time, n_freq), jnp.float32)
         n_events = jnp.zeros(shape)
 
         cvel = sp(1)
@@ -349,6 +385,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             # dev: skip all physics — measures launch + RNG + accumulation
             acc = acc + jnp.sum(ox + dx) * 1e-30
             out_ref[:] = out_ref[:] + acc
+            q_ref[:] = q_ref[:] + acc_q
             cnt_ref[0, 0] = cnt_ref[0, 0] + 0.0
             return
 
@@ -356,6 +393,8 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             tb, nx, ny, nz, refl, hit_tx, hit = intersect(cx, cyv, cz,
                                                           ddx, ddy, ddz)
             active = active & hit
+            # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
+            tb = jnp.where(hit, tb, 1.0)
             plen = plen + jnp.where(active, tb, 0.0)
             hx = cx + tb * ddx
             hy = cyv + tb * ddy
@@ -403,6 +442,11 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                 w_dh = sig_h * tx_gain * ap_h * TWO_PI
                 ok_h = active & hit_tx & (cos_dh > 0.0)
                 val_h = jnp.where(ok_h, throughput * w_dh * wg_h, 0.0)
+                if coherent:
+                    ph_h = wf_phase(te_h) - lo_ref_phase(tr_h)
+                    amp_h = jnp.sqrt(jnp.maximum(val_h, 0.0))
+                    vi_h = jnp.where(ok_h, amp_h * _fast_cos(ph_h), 0.0)
+                    vq_h = jnp.where(ok_h, amp_h * _fast_sin(ph_h), 0.0)
                 fr_h = fe_h
                 if mix:
                     fb_h = jnp.abs(fr_h - inst_freq(tr_h))
@@ -411,17 +455,26 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                 yb_h = (tr_h - t_start) / t_window * n_time - 0.5
                 xb_h = (fb_h - f_lo) / max(f_hi - f_lo, 1e-30) * n_freq - 0.5
                 cells_h = []
+                cells_hq = []
+                vh_main = vi_h if coherent else val_h
                 for bt in range(n_time):
                     wy_h = jnp.maximum(1.0 - jnp.abs(yb_h - float(bt)), 0.0)
                     if n_freq == 1:
-                        cells_h.append(jnp.sum(val_h * wy_h))
+                        cells_h.append(jnp.sum(vh_main * wy_h))
+                        if coherent:
+                            cells_hq.append(jnp.sum(vq_h * wy_h))
                     else:
-                        vy_h = val_h * wy_h
+                        vy_h = vh_main * wy_h
+                        vyq_h = vq_h * wy_h if coherent else None
                         for bf in range(n_freq):
                             wx_h = jnp.maximum(
                                 1.0 - jnp.abs(xb_h - float(bf)), 0.0)
                             cells_h.append(jnp.sum(vy_h * wx_h))
+                            if coherent:
+                                cells_hq.append(jnp.sum(vyq_h * wx_h))
                 acc = acc + jnp.stack(cells_h).reshape(n_time, n_freq)
+                if coherent:
+                    acc_q = acc_q + jnp.stack(cells_hq).reshape(n_time, n_freq)
                 n_events = n_events + jnp.where(ok_h & (val_h != 0.0),
                                                 1.0, 0.0)
 
@@ -499,6 +552,12 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             # under its tent mask — n_time*n_freq is capped by supported())
             yb = (t_recv - t_start) / t_window * n_time - 0.5
             xb = (f_bin - f_lo) / max(f_hi - f_lo, 1e-30) * n_freq - 0.5
+            if coherent:
+                ph = wf_phase(t_emit) \
+                    - lo_ref_phase(t_recv) + (depth + 1) * sp(38)
+                amp = jnp.sqrt(jnp.maximum(val, 0.0))
+                v_i = jnp.where(ok, amp * _fast_cos(ph), 0.0)
+                v_q = jnp.where(ok, amp * _fast_sin(ph), 0.0)
             v_ok = jnp.where(ok, val, 0.0)
             if _ABLATE == 'nosplat':
                 acc = acc + jnp.sum(v_ok)
@@ -506,17 +565,26 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             else:
                 cells = []
             if cells is not None:
+                cells_q = []
                 for bt in range(n_time):
                     wy_m = jnp.maximum(1.0 - jnp.abs(yb - float(bt)), 0.0)
                     if n_freq == 1:
-                        cells.append(jnp.sum(v_ok * wy_m))
+                        cells.append(jnp.sum((v_i if coherent else v_ok)
+                                             * wy_m))
+                        if coherent:
+                            cells_q.append(jnp.sum(v_q * wy_m))
                     else:
-                        vy = v_ok * wy_m
+                        vy = (v_i if coherent else v_ok) * wy_m
+                        vyq = v_q * wy_m if coherent else None
                         for bf in range(n_freq):
                             wx_m = jnp.maximum(
                                 1.0 - jnp.abs(xb - float(bf)), 0.0)
                             cells.append(jnp.sum(vy * wx_m))
+                            if coherent:
+                                cells_q.append(jnp.sum(vyq * wx_m))
                 acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
+                if coherent:
+                    acc_q = acc_q + jnp.stack(cells_q).reshape(n_time, n_freq)
             n_events = n_events + jnp.where(ok & (val != 0.0), 1.0, 0.0)
 
             if depth == max_depth - 1:
@@ -551,6 +619,7 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             cz = hz + 1e-4 * fz
 
         out_ref[:] = out_ref[:] + acc
+        q_ref[:] = q_ref[:] + acc_q
         cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(n_events)
 
     return kernel
@@ -639,10 +708,11 @@ def n_draws(max_depth: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_is_tx', 'cfg', 'receive_type', 'time_sampling',
-    'max_depth', 'rx_kind', 'n_lanes', 'interpret'))
+    'max_depth', 'rx_kind', 'n_lanes', 'interpret', 'coherent'))
 def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
          receive_type: str, time_sampling: str, max_depth: int,
-         rx_kind: str, n_lanes: int, interpret: bool = False):
+         rx_kind: str, n_lanes: int, interpret: bool = False,
+         coherent: bool = False):
     n_tiles = max(n_lanes // TILE, 1)
     nd = n_draws(max_depth)
     use_prng = not interpret
@@ -656,8 +726,8 @@ def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
                                       dtype=jnp.float32)
     kernel = _make_kernel(prim_kinds, prim_is_tx, cfg, receive_type,
                           time_sampling, max_depth, rx_kind, n_tiles,
-                          use_prng=use_prng)
-    out, cnt = pl.pallas_call(
+                          use_prng=use_prng, coherent=coherent)
+    out, out_q, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -669,22 +739,26 @@ def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
         out_specs=[
             pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(params, prim, uniforms)
-    return out, cnt
+    return out, out_q, cnt
 
 
 def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                    max_depth: int = 3, time_sampling: str = 'gate',
-                   interpret: bool = False):
-    """Run the megakernel; returns (signal (n_time, n_freq), n_samples).
+                   interpret: bool = False, coherent: bool = False):
+    """Run the megakernel; returns (signal, n_samples) — signal is
+    (n_time, n_freq) power, or (n_time, n_freq, 2) I/Q when coherent.
 
     The signal is the raw accumulated power (develop with
     `develop_signal(..., mode='density')` semantics: multiply by
@@ -707,8 +781,10 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     params[0] = float(seed * 1_000_003 % (1 << 30))
     n_lanes = max(TILE, (spp // TILE) * TILE)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
-    out, cnt = _run(jnp.asarray(params), prim_dev,
-                    jax.random.key(seed), prim_kinds, prim_is_tx,
-                    rx.adc, rx.receive_type, time_sampling, max_depth,
-                    rx_kind, n_lanes, interpret)
+    out, out_q, cnt = _run(jnp.asarray(params), prim_dev,
+                           jax.random.key(seed), prim_kinds, prim_is_tx,
+                           rx.adc, rx.receive_type, time_sampling, max_depth,
+                           rx_kind, n_lanes, interpret, coherent)
+    if coherent:
+        return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

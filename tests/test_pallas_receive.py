@@ -88,3 +88,49 @@ def test_receive_use_pallas_auto():
                          time_sampling='gate', use_pallas='auto')
     assert adc.shape == (64, 1, 3)
     assert n == TILE
+
+
+def test_megakernel_coherent_phase_physics():
+    """Coherent I/Q in the megakernel: quarter-wavelength target shift flips
+    the echo phase by ~pi (same physics test as the jnp coherent path)."""
+    import numpy as np
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import cw, wigner_transmitter, omni_receiver, ADCConfig
+    C, fc = 340.0, 40e3
+    lam = C / fc
+
+    def build(R):
+        band = Band.from_freq(C, fc, 10e3)
+        s = sc.Scene(band=band)
+        s.add(diffuse("mat", reflectance=1.0, twosided=True))
+        s.add(wigner_transmitter("tx", cw(f_centre=fc), resample_freq=True))
+        aim = np.asarray(tf.compose(tf.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                    tf.scale([0.05, 0.05, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adcc = ADCConfig(n_time=4, n_freq=1, sampling_start=0.0,
+                         sampling_time=0.05, freq_lo=35e3, freq_hi=45e3)
+        rx = omni_receiver("rx", adcc, position=(0.0, 0.0, 0.0),
+                           receive_type='raw')
+        s.add(rx)
+        tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                    tf.scale(0.3)))
+        s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+        return s, rx
+
+    phases = []
+    for R in (4.0, 4.0 + lam / 4):
+        s, rx = build(R)
+        sd = s.compile()
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=3, max_depth=2,
+                                time_sampling='gate', interpret=True,
+                                coherent=True)
+        a = np.asarray(out)
+        iq = complex(a[..., 0].sum(), a[..., 1].sum())
+        assert abs(iq) > 0
+        phases.append(np.angle(iq))
+    dphi = (phases[1] - phases[0]) % (2 * np.pi)
+    assert dphi == pytest.approx(np.pi, abs=0.5), f"dphi={dphi}"
