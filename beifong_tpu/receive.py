@@ -130,9 +130,16 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             rx0 = receiver or scene.receivers[0]
             out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
                                     seed=seed, max_depth=max_depth,
-                                    time_sampling=time_sampling)
-            adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, 3), jnp.float32)
-            adc = adc.at[..., 0].set(out)
+                                    time_sampling=time_sampling,
+                                    coherent=coherent)
+            n_ch0 = 2 if coherent else 1
+            adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, n_ch0 + 2),
+                            jnp.float32)
+            if coherent:
+                adc = adc.at[..., 0].set(out[..., 0])
+                adc = adc.at[..., 1].set(out[..., 1])
+            else:
+                adc = adc.at[..., 0].set(out)
             return adc, n
         elif use_pallas is True:
             raise ValueError("scene outside the Pallas megakernel's scope "
