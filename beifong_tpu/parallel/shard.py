@@ -48,6 +48,54 @@ def make_mesh(pulse: int = 1, ray: int | None = None, devices=None) -> Mesh:
 # ---------------------------------------------------------------------------
 
 
+def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
+                           spp_per_device: int, seed: int = 0,
+                           max_depth: int = 3, time_sampling: str = 'gate',
+                           coherent: bool = False, interpret: bool = False):
+    """Megakernel receive distributed over every device of `mesh`: each chip
+    runs `integrators/pallas_receive` on its own lane share with a distinct
+    seed; partial ADCs psum-merge across the whole mesh (the SignalBlock
+    merge at pod scale).  Returns (signal grid, total_samples)."""
+    from ..integrators.pallas_receive import (_pack_scene, _run, TILE,
+                                              supported)
+    assert supported(scene_data, rx), "scene outside megakernel scope"
+    # cache packing: D2H reads cost ms each over the tunneled TPU
+    cache = scene_host.__dict__.setdefault('_pallas_pack_cache', {})
+    ck = (id(scene_data), rx.id, 'shard')
+    if ck not in cache:
+        shape_idx0 = scene_host.shape_index_of_endpoint('receiver', rx.id)
+        cache[ck] = (shape_idx0, *_pack_scene(scene_data, rx, shape_idx0))
+    shape_idx, params, prim = cache[ck]
+    prim_kinds = tuple(int(k) for k in prim[:, 0])
+    prim_is_tx = tuple(bool(f > 0.5) for f in prim[:, 14])
+    rx_kind = 'omni' if shape_idx < 0 else 'wigner'
+    n_lanes = max(TILE, (spp_per_device // TILE) * TILE)
+    n_dev = mesh.devices.size
+    params_dev = jnp.asarray(params)
+    prim_dev = jnp.asarray(prim)
+    axes = mesh.axis_names
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(), P()),
+                       out_specs=P(), check_rep=False)
+    def run(params_r, prim_r, key_data):
+        dev = jax.lax.axis_index(axes[0])
+        if len(axes) > 1:
+            dev = dev * jax.lax.axis_size(axes[1]) + jax.lax.axis_index(axes[1])
+        p2 = params_r.at[0].add(dev.astype(jnp.float32) * 7919.0)
+        k = jax.random.fold_in(jax.random.wrap_key_data(key_data), dev)
+        out = _run(p2, prim_r, k, prim_kinds, prim_is_tx, rx.adc,
+                   rx.receive_type, time_sampling, max_depth, rx_kind,
+                   n_lanes, interpret, coherent)
+        sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
+        for ax in axes:
+            sig = jax.lax.psum(sig, ax)
+        return sig
+
+    sig = run(params_dev, prim_dev, jax.random.key_data(jax.random.key(seed)))
+    return sig, n_lanes * n_dev
+
+
 def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
                     pulse_starts, lanes_per_device: int, max_depth: int = 3,
                     coherent: bool = False):

@@ -134,3 +134,18 @@ def test_megakernel_coherent_phase_physics():
         phases.append(np.angle(iq))
     dphi = (phases[1] - phases[0]) % (2 * np.pi)
     assert dphi == pytest.approx(np.pi, abs=0.5), f"dphi={dphi}"
+
+
+def test_sharded_megakernel_psum_merge():
+    """Megakernel under shard_map: per-device kernels + full-mesh psum give
+    the merged profile (2-device CPU mesh, interpret mode)."""
+    from beifong_tpu.parallel.shard import make_mesh, receive_sharded_pallas
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    mesh = make_mesh(pulse=1, ray=2, devices=jax.devices()[:2])
+    sig, n = receive_sharded_pallas(s, sd, rx, mesh, spp_per_device=8192,
+                                    seed=0, max_depth=1, interpret=True)
+    a = np.asarray(sig)[:, 0] / n * 64
+    assert n == 16384
+    assert int(a.argmax()) in (25, 26, 27)
+    assert a.sum() > 0
