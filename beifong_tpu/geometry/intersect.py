@@ -165,6 +165,38 @@ class TriData:
         return self.v0.shape[0]
 
 
+CHUNK_F = 2048   # above this face count the dense test runs in chunks
+
+
+def _triangle_closest_chunked(tri: TriData, o, d, tmin=1e-4, tmax=None):
+    """Chunked closest-hit over the triangle soup: (R, CHUNK_F) tiles with a
+    running (t, idx, u, v) minimum — bounded memory for large meshes."""
+    import dataclasses as _dc
+    R = o.shape[0]
+    F = tri.n_faces
+    best_t = jnp.full((R,), INF)
+    best_i = jnp.zeros((R,), jnp.int32)
+    best_u = jnp.zeros((R,))
+    best_v = jnp.zeros((R,))
+    for start in range(0, F, CHUNK_F):
+        end = min(start + CHUNK_F, F)
+        sub = TriData(v0=tri.v0[start:end], e1=tri.e1[start:end],
+                      e2=tri.e2[start:end], n=tri.n[start:end],
+                      shape_idx=tri.shape_idx[start:end])
+        t_c, u_c, v_c = triangle_ts(sub, o, d, tmin, tmax)
+        i_c = jnp.argmin(t_c, axis=1)
+        t_m = jnp.take_along_axis(t_c, i_c[:, None], 1)[:, 0]
+        u_m = jnp.take_along_axis(u_c, i_c[:, None], 1)[:, 0]
+        v_m = jnp.take_along_axis(v_c, i_c[:, None], 1)[:, 0]
+        better = t_m < best_t
+        best_t = jnp.where(better, t_m, best_t)
+        best_i = jnp.where(better, i_c.astype(jnp.int32) + start, best_i)
+        best_u = jnp.where(better, u_m, best_u)
+        best_v = jnp.where(better, v_m, best_v)
+    del _dc
+    return best_t, best_i, best_u, best_v
+
+
 def triangle_ts(tri: TriData, o, d, tmin=1e-4, tmax=None):
     """Möller–Trumbore over all (ray, face): returns t (R,F), u, v."""
     # (R,1,3) vs (1,F,3)
@@ -196,12 +228,21 @@ def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
     best_an = jnp.argmin(t_an, axis=1)
     t_best_an = jnp.take_along_axis(t_an, best_an[:, None], axis=1)[:, 0]
 
+    have_uvb = False
     if bvh is not None:
         from .bvh import traverse_closest
         t_b, best_tr, u_b, v_b = traverse_closest(bvh, o, d, tmin=tmin)
         t_best_tr = jnp.where(jnp.isfinite(t_b), t_b, INF)
         best_tr = jnp.maximum(best_tr, 0)
         u_tr = v_tr = None
+        have_uvb = True
+    elif tri is not None and tri.n_faces > CHUNK_F:
+        # chunk over triangles: avoids materializing the full (R, F) buffer
+        # (a 128k-lane x 5k-face pass is 2.5 GB otherwise)
+        t_best_tr, best_tr, u_b, v_b = _triangle_closest_chunked(
+            tri, o, d, tmin, tmax)
+        u_tr = v_tr = None
+        have_uvb = True
     elif tri is not None and tri.n_faces > 0:
         t_tr, u_tr, v_tr = triangle_ts(tri, o, d, tmin, tmax)  # (R,F)
         best_tr = jnp.argmin(t_tr, axis=1)
@@ -222,7 +263,7 @@ def closest_hit(table: ShapeTable, tri: TriData | None, o, d,
     if tri is not None and tri.n_faces > 0:
         p_t = o + t_safe[:, None] * d
         n_t = tri.n[best_tr]
-        if bvh is not None:
+        if have_uvb:
             uv_t = jnp.stack([u_b, v_b], -1)
         else:
             uv_t = jnp.stack([jnp.take_along_axis(u_tr, best_tr[:, None], 1)[:, 0],
@@ -261,6 +302,14 @@ def any_hit(table: ShapeTable, tri: TriData | None, o, d, maxt,
     if bvh is not None:
         from .bvh import traverse_any
         hit |= traverse_any(bvh, o, d, maxt, tmin=tmin)
+    elif tri is not None and tri.n_faces > CHUNK_F:
+        for start in range(0, tri.n_faces, CHUNK_F):
+            end = min(start + CHUNK_F, tri.n_faces)
+            sub = TriData(v0=tri.v0[start:end], e1=tri.e1[start:end],
+                          e2=tri.e2[start:end], n=tri.n[start:end],
+                          shape_idx=tri.shape_idx[start:end])
+            t_tr, _, _ = triangle_ts(sub, o, d, tmin, maxt[:, None] * eps)
+            hit |= jnp.any(jnp.isfinite(t_tr), axis=1)
     elif tri is not None and tri.n_faces > 0:
         t_tr, _, _ = triangle_ts(tri, o, d, tmin, maxt[:, None] * eps)
         hit |= jnp.any(jnp.isfinite(t_tr), axis=1)

@@ -103,3 +103,25 @@ def test_bvh_visit_efficiency():
     t1, i1, _, _ = bvh_mod.traverse_closest(bvh, o, d, max_iters=600)
     t2, i2, _, _ = bvh_mod.traverse_closest(bvh, o, d, max_iters=4096)
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_chunked_dense_matches_unchunked():
+    """Face counts above CHUNK_F route through the running-minimum chunked
+    intersector; results must match the dense path exactly."""
+    from beifong_tpu.geometry import intersect as ix
+    v0, e1, e2 = _random_soup(ix.CHUNK_F + 700, seed=11)
+    nrm = np.cross(e1, e2)
+    nrm /= np.maximum(np.linalg.norm(nrm, axis=1, keepdims=True), 1e-20)
+    tri = TriData(v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+                  n=jnp.asarray(nrm),
+                  shape_idx=jnp.zeros(len(v0), jnp.int32))
+    o, d = _rays(333, seed=12)
+    t_c, i_c, u_c, v_c = ix._triangle_closest_chunked(tri, o, d)
+    t_all, u_all, v_all = ix.triangle_ts(tri, o, d)
+    t_ref = jnp.min(t_all, axis=1)
+    i_ref = jnp.argmin(t_all, axis=1)
+    hit = np.isfinite(np.asarray(t_ref))
+    np.testing.assert_allclose(np.asarray(t_c)[hit], np.asarray(t_ref)[hit],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_c)[hit],
+                                  np.asarray(i_ref)[hit])
