@@ -15,8 +15,15 @@ import jax
 import numpy as np
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing — normalize once so the archive
+    and its sidecar always agree regardless of how the caller spelled it."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save(path: str, accumulators: dict, pass_idx: int, key, meta: dict | None = None):
     """Write accumulators + RNG state to an .npz + sidecar json."""
+    path = _npz_path(path)
     arrays = {k: np.asarray(v) for k, v in accumulators.items()}
     arrays["__key"] = np.asarray(jax.random.key_data(key))
     np.savez(path, **arrays)
@@ -28,13 +35,15 @@ def save(path: str, accumulators: dict, pass_idx: int, key, meta: dict | None = 
 def load(path: str):
     """Returns (accumulators dict of jnp arrays, pass_idx, key, meta)."""
     import jax.numpy as jnp
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    path = _npz_path(path)
+    data = np.load(path)
     accs = {k: jnp.asarray(v) for k, v in data.items() if k != "__key"}
     key = jax.random.wrap_key_data(jnp.asarray(data["__key"]))
-    side_path = (path if path.endswith(".npz") else path + ".npz") + ".json"
-    if os.path.exists(side_path):
-        with open(side_path) as fh:
-            side = json.load(fh)
-    else:
-        side = {"pass_idx": 0, "meta": {}}
+    side_path = path + ".json"
+    if not os.path.exists(side_path):
+        raise FileNotFoundError(
+            f"checkpoint sidecar missing: {side_path} — refusing to resume "
+            "from pass 0 (would duplicate the pass-0 RNG stream)")
+    with open(side_path) as fh:
+        side = json.load(fh)
     return accs, side["pass_idx"], key, side["meta"]

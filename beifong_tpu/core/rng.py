@@ -153,19 +153,25 @@ class StratifiedStream:
 @dataclasses.dataclass
 class HaltonStream:
     """Low-discrepancy stream (reference `ldsampler`): per-dimension scrambled
-    Halton radical inverse of the global sample index."""
+    Halton radical inverse of the global sample index.
+
+    Each draw advances the prime base with the dimension counter (a *static*
+    Python int — streams are only ever consumed in Python-unrolled tracer
+    loops, never as scan carries), so successive dimensions use genuinely
+    different radical-inverse sequences; a Cranley-Patterson shift per
+    dimension decorrelates repeated base reuse beyond the prime table.
+    """
 
     key: jax.Array
     sample_idx: jax.Array
-    dim: jax.Array
+    dim: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @staticmethod
     def make(key, n_lanes: int, sample_idx) -> "HaltonStream":
         lane = jnp.arange(n_lanes, dtype=jnp.uint32)
         base = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(n_lanes)
         return HaltonStream(key=jax.random.key_data(key),
-                            sample_idx=base + lane,
-                            dim=jnp.zeros((), jnp.uint32))
+                            sample_idx=base + lane, dim=0)
 
     def _shift(self, extra=0):
         k = jax.random.fold_in(jax.random.wrap_key_data(self.key),
@@ -173,18 +179,16 @@ class HaltonStream:
         return jax.random.uniform(k, ())
 
     def next_1d(self):
-        d = int(0)  # dimension base rotates via Cranley-Patterson shift
-        u = radical_inverse(_PRIMES[0], self.sample_idx)
+        u = radical_inverse(_PRIMES[self.dim % len(_PRIMES)], self.sample_idx)
         u = jnp.mod(u + self._shift(), 1.0)
-        del d
         return u, dataclasses.replace(self, dim=self.dim + 1)
 
     def next_2d(self):
-        ux = jnp.mod(radical_inverse(_PRIMES[1], self.sample_idx)
-                     + self._shift(0), 1.0)
-        uy = jnp.mod(radical_inverse(_PRIMES[2], self.sample_idx)
-                     + self._shift(1), 1.0)
-        return jnp.stack([ux, uy], -1), dataclasses.replace(self, dim=self.dim + 1)
+        bx = _PRIMES[self.dim % len(_PRIMES)]
+        by = _PRIMES[(self.dim + 1) % len(_PRIMES)]
+        ux = jnp.mod(radical_inverse(bx, self.sample_idx) + self._shift(0), 1.0)
+        uy = jnp.mod(radical_inverse(by, self.sample_idx) + self._shift(1), 1.0)
+        return jnp.stack([ux, uy], -1), dataclasses.replace(self, dim=self.dim + 2)
 
 
 def make_stream(kind: str, key, n_lanes: int, sample_idx, n_total_log2: int = 20):

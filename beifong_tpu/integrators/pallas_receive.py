@@ -680,25 +680,49 @@ def _pack_scene(scene, rx, shape_idx):
     return params, prim
 
 
-def supported(scene_data, rx) -> bool:
-    """Can the megakernel run this scene?"""
+# Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
+# reductions per depth and the intersector unrolls over prims, so both
+# directly scale compile time / Mosaic program size.  Oversized scenes fall
+# back to the jnp wavefront with a logged reason instead of compile-bombing.
+MAX_ADC_CELLS = 512
+MAX_PRIMS = 24
+
+
+def supported(scene_data, rx, reason: list | None = None) -> bool:
+    """Can the megakernel run this scene?  Appends the rejection reason to
+    `reason` (if given) so `use_pallas='auto'` fallbacks are diagnosable."""
     import numpy as np
-    if scene_data.transmitters is None or scene_data.tris is not None:
+
+    def no(why: str) -> bool:
+        if reason is not None:
+            reason.append(why)
         return False
+
+    if scene_data.transmitters is None:
+        return no('no transmitters')
+    if scene_data.tris is not None:
+        return no('triangle meshes outside megakernel scope')
     if scene_data.transmitters.n != 1:
-        return False
+        return no(f'{scene_data.transmitters.n} transmitters (kernel handles 1)')
     if not bool(np.asarray(scene_data.transmitters.resample[0])):
-        return False
+        return no('non-delta-resampled transmitter')
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
     if not kinds <= {-1, RECTANGLE, SPHERE}:
-        return False
+        return no(f'unsupported shape kinds {kinds}')
     from ..bsdf.tables import DIFFUSE
     if not set(scene_data.bsdfs.present) <= {DIFFUSE}:
-        return False
+        return no('non-diffuse BSDFs')
     if rx.receive_type not in ('raw', 'mix_resample'):
-        return False
+        return no(f'receive_type {rx.receive_type!r}')
     if scene_data.medium is not None:
-        return False
+        return no('participating medium')
+    cells = rx.adc.n_time * rx.adc.n_freq
+    if cells > MAX_ADC_CELLS:
+        return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} cells '
+                  f'> {MAX_ADC_CELLS} (unrolled splat would compile-bomb)')
+    n_prims = int(scene_data.shapes.kind.shape[0])
+    if n_prims > MAX_PRIMS:
+        return no(f'{n_prims} prims > {MAX_PRIMS} (unrolled intersector)')
     return True
 
 
@@ -767,16 +791,20 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     # Scene packing reads ~20 device buffers back to host; over the tunneled
     # TPU each D2H costs milliseconds, so cache the packed tables per
     # (scene_data, receiver) — this took the call from ~160 ms to kernel-only.
+    # Keyed by id() but holding a strong ref to scene_data: CPython reuses
+    # ids after GC, so we verify identity on lookup to reject stale entries.
     cache = scene_host.__dict__.setdefault('_pallas_pack_cache', {})
     ck = (id(scene_data), rx.id)
-    if ck not in cache:
+    hit = cache.get(ck)
+    if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
         params, prim = _pack_scene(scene_data, rx, shape_idx)
         cache[ck] = (
+            scene_data,
             shape_idx, params, jnp.asarray(prim),
             tuple(int(k) for k in prim[:, 0]),
             tuple(bool(f > 0.5) for f in prim[:, 14]))
-    shape_idx, params, prim_dev, prim_kinds, prim_is_tx = cache[ck]
+    _, shape_idx, params, prim_dev, prim_kinds, prim_is_tx = cache[ck]
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     n_lanes = max(TILE, (spp // TILE) * TILE)

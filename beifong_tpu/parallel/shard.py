@@ -60,12 +60,16 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                                               supported)
     assert supported(scene_data, rx), "scene outside megakernel scope"
     # cache packing: D2H reads cost ms each over the tunneled TPU
+    # id()-keyed with a strong ref kept in the value; identity is re-checked
+    # on lookup because CPython reuses ids after GC.
     cache = scene_host.__dict__.setdefault('_pallas_pack_cache', {})
     ck = (id(scene_data), rx.id, 'shard')
-    if ck not in cache:
+    hit = cache.get(ck)
+    if hit is None or hit[0] is not scene_data:
         shape_idx0 = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        cache[ck] = (shape_idx0, *_pack_scene(scene_data, rx, shape_idx0))
-    shape_idx, params, prim = cache[ck]
+        cache[ck] = (scene_data, shape_idx0,
+                     *_pack_scene(scene_data, rx, shape_idx0))
+    _, shape_idx, params, prim = cache[ck]
     prim_kinds = tuple(int(k) for k in prim[:, 0])
     prim_is_tx = tuple(bool(f > 0.5) for f in prim[:, 14])
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'

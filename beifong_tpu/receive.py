@@ -126,7 +126,8 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
         scene_data = scene.compile()
     if use_pallas:
         from .integrators.pallas_receive import receive_pallas, supported
-        if supported(scene_data, receiver or scene.receivers[0]):
+        why: list = []
+        if supported(scene_data, receiver or scene.receivers[0], why):
             rx0 = receiver or scene.receivers[0]
             out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
                                     seed=seed, max_depth=max_depth,
@@ -142,8 +143,12 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
                 adc = adc.at[..., 0].set(out)
             return adc, n
         elif use_pallas is True:
-            raise ValueError("scene outside the Pallas megakernel's scope "
-                             "(see pallas_receive.supported)")
+            raise ValueError("scene outside the Pallas megakernel's scope: "
+                             + '; '.join(why))
+        else:
+            from .profiler import log
+            log.info('receive: megakernel fallback to jnp wavefront (%s)',
+                     '; '.join(why))
     scene_data = scene_mono(scene_data)
     if receiver is None:
         receiver = scene.receivers[0]

@@ -41,20 +41,25 @@ def main():
     n_lanes = 1 << 20
     max_depth = 3
     n_iter = 8
+    n_blocks = 3   # median-of-blocks: tunnel / host noise made single-shot
+    #              # driver runs vary 173-237 M on identical code (r1->r2)
 
     if supported(sd_full, rx):
         # Pallas megakernel path (the production hot loop)
         out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=0,
                                  max_depth=max_depth, time_sampling='gate')
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for i in range(n_iter):
-            out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=i + 1,
-                                     max_depth=max_depth,
-                                     time_sampling='gate')
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        samples_per_s = n_iter * n_lanes / dt
+        rates = []
+        for b in range(n_blocks):
+            t0 = time.perf_counter()
+            for i in range(n_iter):
+                out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes,
+                                         seed=b * n_iter + i + 1,
+                                         max_depth=max_depth,
+                                         time_sampling='gate')
+            jax.block_until_ready(out)
+            rates.append(n_iter * n_lanes / (time.perf_counter() - t0))
+        samples_per_s = sorted(rates)[len(rates) // 2]
         print(json.dumps({
             "metric": "radar_receive_samples_per_s_per_chip",
             "value": round(samples_per_s, 1),

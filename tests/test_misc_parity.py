@@ -67,3 +67,31 @@ def test_phase_binning_integrator():
     # histogram (not uniform)
     frac = prof.max() / prof.sum()
     assert frac > 0.3, f"phase histogram too flat: {frac}"
+
+
+def test_checkpoint_roundtrip_path_normalization(tmp_path):
+    """save()/load() agree on archive + sidecar names regardless of whether
+    the caller spelled '.npz' (ADVICE r1: mismatch made resume silently
+    restart from pass 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+    from beifong_tpu import checkpoint as ckpt
+
+    accs = {"adc": jnp.arange(6.0).reshape(2, 3)}
+    key = jax.random.key(42)
+    for name in ("a", "b.npz"):
+        p = str(tmp_path / name)
+        ckpt.save(p, accs, pass_idx=7, key=key, meta={"x": 1})
+        accs2, pass_idx, key2, meta = ckpt.load(p)
+        np.testing.assert_array_equal(np.asarray(accs2["adc"]),
+                                      np.asarray(accs["adc"]))
+        assert pass_idx == 7 and meta == {"x": 1}
+        np.testing.assert_array_equal(np.asarray(jax.random.key_data(key2)),
+                                      np.asarray(jax.random.key_data(key)))
+    # a missing sidecar must be an error, not a silent pass-0 resume
+    import os
+    os.remove(str(tmp_path / "b.npz.json"))
+    with pytest.raises(FileNotFoundError):
+        ckpt.load(str(tmp_path / "b.npz"))

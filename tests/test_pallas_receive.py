@@ -68,6 +68,13 @@ def test_supported_gates():
     from beifong_tpu.geometry import shapes as sh
     s2.add(sh.rectangle(transmitter="tx"))
     assert not supported(s2.compile(), rx)
+    # oversized ADC grids must be rejected with a reason (the in-kernel
+    # splat is unrolled over cells: a 256x128 grid would compile-bomb)
+    import dataclasses as dc
+    big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=256, n_freq=128))
+    why = []
+    assert not supported(sd, big, why)
+    assert any('cells' in w for w in why)
 
 
 def test_receive_use_pallas_auto():
