@@ -44,17 +44,26 @@ class BVH:
 
 
 def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
-          leaf_size: int = LEAF_SIZE, use_native: bool = True) -> BVH:
+          leaf_size: int = LEAF_SIZE, use_native: bool = True,
+          align: bool = False) -> BVH:
     """Median-split BVH build (host).  O(T log T).
 
     Uses the C++ builder (`native/bvh_builder.cpp`) when available — same
     threaded layout, ~50x faster for large meshes — with this Python
     implementation as the fallback and correctness reference.
+
+    `align=True` keeps every split a multiple of `leaf_size`, so every leaf
+    except the globally last holds exactly `leaf_size` triangles — ~40%
+    fewer leaves/nodes, which the Pallas speculative traversal
+    (`pallas_bvh.py`) turns directly into fewer visits and less SMEM.
     """
     v0 = np.asarray(v0, np.float32)
     e1 = np.asarray(e1, np.float32)
     e2 = np.asarray(e2, np.float32)
     T = len(v0)
+
+    if align:
+        use_native = False
 
     if use_native:
         from .. import native
@@ -92,6 +101,17 @@ def build(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
                              start=start, count=len(idx))
             return ni
         axis = int(np.argmax(bmax - bmin))
+        if align:
+            # sort by centroid and split at a leaf_size-aligned median so
+            # leaves come out full
+            ordc = np.argsort(centroid[idx, axis], kind='stable')
+            half = len(idx) // 2
+            half = max(leaf_size, (half // leaf_size) * leaf_size)
+            l = rec(idx[ordc[:half]])
+            r = rec(idx[ordc[half:]])
+            nodes[ni] = dict(bbmin=bmin, bbmax=bmax, left=l, right=r,
+                             start=-1, count=0)
+            return ni
         med = np.median(centroid[idx, axis])
         mask = centroid[idx, axis] < med
         if mask.all() or not mask.any():

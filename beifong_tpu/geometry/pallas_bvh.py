@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: speculative per-tile BVH traversal for triangle meshes.
+
+The TPU answer to the reference's OptiX BVH (`scene_optix.inl`,
+`src/librender/optix_api.cpp`): per-lane divergent traversal doesn't map to
+a vector machine, so each (SUB, LANE) ray tile traverses the *threaded* BVH
+(`geometry/bvh.py` hit/miss-link layout) with ONE shared scalar node
+pointer.  At every node the AABB slab test runs vectorized across all lanes
+of the tile; a scalar any-lane reduction decides hit_link vs miss_link, and
+leaf triangles (packed 8 per leaf) are tested densely under per-lane masks.
+
+This is *speculative* traversal: a tile visits the union of its lanes'
+node sets, so throughput depends on ray coherence within a tile.  The
+receive pipeline makes tiles coherent by construction — direction strata
+are assigned per tile (`coherence by construction`), so primary and NEE
+sweeps trace narrow beams.  Incoherent tiles degrade toward a dense sweep
+(still correct, never wrong).
+
+Scene tables live in SMEM (scalar memory): traversal is a scalar-indexed
+walk, which is exactly what SMEM is for; rays/outputs ride VMEM tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bvh import BVH
+
+SUB, LANE = 8, 128
+TILE = SUB * LANE
+K_LEAF = 8           # triangles per packed leaf row
+_INF = 3.4e38
+
+
+@dataclasses.dataclass(frozen=True)
+class PackedBVH:
+    """Kernel-ready tables (see pack()); hashable by id for jit closure."""
+    # All tables are FLAT 1-D: SMEM pads the minor dim of 2-D arrays to
+    # 128 lanes (a (N,6) f32 table allocates N*512 bytes), and SMEM is 1 MiB.
+    bbox: jax.Array     # (N*6,) f32: [bbmin(3), bbmax(3)] per node
+    links: jax.Array    # (N*3,) i32: [hit_link, miss_link, leaf_id] per node
+    leaves: jax.Array   # (L*80,) f32: v0x*8 v0y*8 v0z*8 e1*24 e2*24 idx*8
+    n_nodes: int
+    n_leaves: int
+
+
+def pack(bvh: BVH) -> PackedBVH:
+    """Flatten a threaded BVH into SMEM-friendly tables, padding every leaf
+    to exactly K_LEAF triangles (degenerate zero-edge pads never hit)."""
+    bb_min = np.asarray(bvh.bb_min, np.float32)
+    bb_max = np.asarray(bvh.bb_max, np.float32)
+    hit_l = np.asarray(bvh.hit_link, np.int32)
+    miss_l = np.asarray(bvh.miss_link, np.int32)
+    leaf_off = np.asarray(bvh.leaf_offset, np.int32)
+    leaf_cnt = np.asarray(bvh.leaf_count, np.int32)
+    v0 = np.asarray(bvh.v0, np.float32)
+    e1 = np.asarray(bvh.e1, np.float32)
+    e2 = np.asarray(bvh.e2, np.float32)
+    perm = np.asarray(bvh.perm, np.int32)
+
+    n = len(bb_min)
+    bbox = np.concatenate([bb_min, bb_max], axis=1).astype(np.float32)
+    links = np.stack([hit_l, miss_l, np.full(n, -1, np.int32)], axis=1)
+
+    leaf_nodes = np.nonzero(leaf_off >= 0)[0]
+    rows = []
+    for li, ni in enumerate(leaf_nodes):
+        links[ni, 2] = li
+        off, cnt = int(leaf_off[ni]), int(leaf_cnt[ni])
+        row = np.zeros(80, np.float32)
+        idxs = np.full(K_LEAF, -1, np.float32)
+        for k in range(min(cnt, K_LEAF)):
+            row[0 + k] = v0[off + k, 0]
+            row[8 + k] = v0[off + k, 1]
+            row[16 + k] = v0[off + k, 2]
+            row[24 + k] = e1[off + k, 0]
+            row[32 + k] = e1[off + k, 1]
+            row[40 + k] = e1[off + k, 2]
+            row[48 + k] = e2[off + k, 0]
+            row[56 + k] = e2[off + k, 1]
+            row[64 + k] = e2[off + k, 2]
+            idxs[k] = float(perm[off + k])
+        row[72:80] = idxs
+        rows.append(row)
+    leaves = (np.stack(rows) if rows
+              else np.zeros((1, 80), np.float32))
+    return PackedBVH(bbox=jnp.asarray(bbox.reshape(-1)),
+                     links=jnp.asarray(links.reshape(-1)),
+                     leaves=jnp.asarray(leaves.reshape(-1)), n_nodes=n,
+                     n_leaves=max(len(rows), 1))
+
+
+def _traversal_kernel(mode: str):
+    """mode: 'closest' -> (t, idx, u, v); 'any' -> occluded flag (t<maxt)."""
+    anyhit = mode == 'any'
+
+    def kernel(bbox_ref, links_ref, leaf_ref,          # SMEM scene
+               ox, oy, oz, dx, dy, dz, *rest):
+        if anyhit:
+            (maxt_ref, occ_ref) = rest
+        else:
+            (t_ref, idx_ref, u_ref, v_ref) = rest
+
+        rox, roy, roz = ox[:], oy[:], oz[:]
+        rdx, rdy, rdz = dx[:], dy[:], dz[:]
+
+        def safe_inv(v):
+            tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
+            return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
+
+        ix, iy, iz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+        if anyhit:
+            occ_ref[:] = jnp.zeros_like(occ_ref)
+            limit = maxt_ref[:] * (1.0 - 1e-3)
+        else:
+            t_ref[:] = jnp.full_like(t_ref, _INF)
+            idx_ref[:] = jnp.full_like(idx_ref, -1)
+            u_ref[:] = jnp.zeros_like(u_ref)
+            v_ref[:] = jnp.zeros_like(v_ref)
+
+        def tbest():
+            if anyhit:
+                # once a lane is occluded it stops pruning: nothing to gain
+                return jnp.where(occ_ref[:] > 0.0, 0.0, limit)
+            return t_ref[:]
+
+        def body(carry):
+            node, _ = carry
+            nb = node * 6
+            x0 = bbox_ref[nb + 0]
+            y0 = bbox_ref[nb + 1]
+            z0 = bbox_ref[nb + 2]
+            x1 = bbox_ref[nb + 3]
+            y1 = bbox_ref[nb + 4]
+            z1 = bbox_ref[nb + 5]
+            tb = tbest()
+            tx0 = (x0 - rox) * ix
+            tx1 = (x1 - rox) * ix
+            ty0 = (y0 - roy) * iy
+            ty1 = (y1 - roy) * iy
+            tz0 = (z0 - roz) * iz
+            tz1 = (z1 - roz) * iz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            mask = (tf >= jnp.maximum(tn, 0.0)) & (tn < tb)
+            n_hit = jnp.sum(jnp.where(mask, 1.0, 0.0))
+            hit_any = n_hit > 0.0
+            leaf_id = links_ref[node * 3 + 2]
+
+            @pl.when(hit_any & (leaf_id >= 0))
+            def _():
+                lb = leaf_id * 80
+                for k in range(K_LEAF):
+                    v0x = leaf_ref[lb + 0 + k]
+                    v0y = leaf_ref[lb + 8 + k]
+                    v0z = leaf_ref[lb + 16 + k]
+                    e1x = leaf_ref[lb + 24 + k]
+                    e1y = leaf_ref[lb + 32 + k]
+                    e1z = leaf_ref[lb + 40 + k]
+                    e2x = leaf_ref[lb + 48 + k]
+                    e2y = leaf_ref[lb + 56 + k]
+                    e2z = leaf_ref[lb + 64 + k]
+                    tri = leaf_ref[lb + 72 + k]
+                    # Möller-Trumbore, scalar triangle vs vector rays
+                    px = rdy * e2z - rdz * e2y
+                    py = rdz * e2x - rdx * e2z
+                    pz = rdx * e2y - rdy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) \
+                        / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+                    tvx = rox - v0x
+                    tvy = roy - v0y
+                    tvz = roz - v0z
+                    uu = (tvx * px + tvy * py + tvz * pz) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (rdx * qx + rdy * qy + rdz * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                           & (tt > 1e-4) & (tri >= 0.0))
+                    if anyhit:
+                        blocked = hit & (tt < limit)
+                        occ_ref[:] = jnp.where(blocked, 1.0, occ_ref[:])
+                    else:
+                        better = hit & (tt < t_ref[:])
+                        t_ref[:] = jnp.where(better, tt, t_ref[:])
+                        idx_ref[:] = jnp.where(
+                            better, jnp.int32(1) * tri.astype(jnp.int32),
+                            idx_ref[:])
+                        u_ref[:] = jnp.where(better, uu, u_ref[:])
+                        v_ref[:] = jnp.where(better, vv, v_ref[:])
+
+            nxt = jnp.where(hit_any, links_ref[node * 3],
+                            links_ref[node * 3 + 1])
+            if anyhit:
+                live = jnp.sum(jnp.where(occ_ref[:] > 0.0, 0.0, 1.0))
+            else:
+                live = 1.0
+            return nxt, live
+
+        def cond(carry):
+            node, live = carry
+            return (node >= 0) & (live > 0.0)
+
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+
+    return kernel
+
+
+def _tile_shape(x, n):
+    pad = (-n) % TILE
+    xp = jnp.pad(x, ((0, pad),))
+    return xp.reshape(-1, LANE), n + pad
+
+
+@functools.partial(jax.jit, static_argnames=('pb_shape', 'interpret'))
+def _run_closest(ox, oy, oz, dx, dy, dz, bbox, links, leaves,
+                 pb_shape, interpret=False):
+    n_rows = ox.shape[0]
+    grid = (n_rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    t, idx, u, v = pl.pallas_call(
+        _traversal_kernel('closest'),
+        grid=grid,
+        in_specs=[smem, smem, smem] + [ray_spec] * 6,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
+        ],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(bbox, links, leaves, ox, oy, oz, dx, dy, dz)
+    return t, idx, u, v
+
+
+def bvh_closest(pb: PackedBVH, o, d, interpret: bool = False):
+    """Closest hit for (R,3) rays; returns (t, tri_idx, u, v) like
+    `bvh.traverse_closest` (t=inf on miss)."""
+    n = o.shape[0]
+    comps = []
+    for arr, c in ((o, 0), (o, 1), (o, 2), (d, 0), (d, 1), (d, 2)):
+        x, npad = _tile_shape(arr[:, c], n)
+        comps.append(x)
+    t, idx, u, v = _run_closest(*comps, pb.bbox, pb.links, pb.leaves,
+                                (pb.n_nodes, pb.n_leaves), interpret)
+    t = t.reshape(-1)[:n]
+    idx = idx.reshape(-1)[:n]
+    u = u.reshape(-1)[:n]
+    v = v.reshape(-1)[:n]
+    miss = t >= _INF
+    return (jnp.where(miss, jnp.inf, t), jnp.where(miss, -1, idx), u, v)
+
+
+# Kernel ordering note: the t/idx/u/v outputs are ref-mutated inside the
+# while body, which Pallas requires to be declared as outputs written every
+# grid step; the unconditional init at kernel entry guarantees that.
+
+
+@functools.partial(jax.jit, static_argnames=('pb_shape', 'interpret'))
+def _run_any(ox, oy, oz, dx, dy, dz, maxt, bbox, links, leaves,
+             pb_shape, interpret=False):
+    n_rows = ox.shape[0]
+    grid = (n_rows // SUB,)
+    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    occ = pl.pallas_call(
+        _traversal_kernel('any'),
+        grid=grid,
+        in_specs=[smem, smem, smem] + [ray_spec] * 7,
+        out_specs=[ray_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32)],
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(bbox, links, leaves, ox, oy, oz, dx, dy, dz, maxt)
+    return occ[0]
+
+
+def bvh_any(pb: PackedBVH, o, d, maxt, interpret: bool = False):
+    """Early-exit occlusion: True where a triangle blocks before maxt."""
+    n = o.shape[0]
+    comps = []
+    for arr, c in ((o, 0), (o, 1), (o, 2), (d, 0), (d, 1), (d, 2)):
+        x, _ = _tile_shape(arr[:, c], n)
+        comps.append(x)
+    mt, _ = _tile_shape(maxt, n)
+    occ = _run_any(*comps, mt, pb.bbox, pb.links, pb.leaves,
+                   (pb.n_nodes, pb.n_leaves), interpret)
+    return occ.reshape(-1)[:n] > 0.0

@@ -712,7 +712,8 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     from ..bsdf.tables import DIFFUSE
     if not set(scene_data.bsdfs.present) <= {DIFFUSE}:
         return no('non-diffuse BSDFs')
-    if rx.receive_type not in ('raw', 'mix_resample'):
+    if rx.receive_type not in ('raw', 'mix_resample') and not (
+            rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')
     if scene_data.medium is not None:
         return no('participating medium')

@@ -102,8 +102,16 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         return lo_wf.inst_freq(t)
 
     def bin_freq(f_recv, t_rx_conn):
+        """Frequency-axis bin coordinate per receive type (reference
+        `integrator.cpp:1588-1625` + the mixer design comment `:1626-1636`):
+        raw/raw_resample bin the received (Doppler-shifted) frequency;
+        mix_resample bins the unsigned beat |f_recv - f_LO(t)|; mixer bins
+        the signed lower-sideband beat f_LO(t) - f_recv (positive for a
+        delayed echo of an up-chirp)."""
         if receive_type == 'mix_resample':
             return jnp.abs(f_recv - lo_freq(t_rx_conn))
+        if receive_type == 'mixer':
+            return lo_freq(t_rx_conn) - f_recv
         return f_recv
 
     def ref_phase(t):

@@ -127,7 +127,7 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
         t_rx = t_start + cfg.sampling_start + u_t * cfg.sampling_time
         u_f, stream = stream.next_1d()
         f_rx, f_w = rx_sample_frequency(rx.receive_type, lo_wf,
-                                        scene_data.band, t_rx, u_f)
+                                        scene_data.band, t_rx, u_f, cfg)
         u_pos, stream = stream.next_2d()
         u_dir, stream = stream.next_2d()
         o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)

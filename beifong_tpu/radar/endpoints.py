@@ -123,7 +123,8 @@ class ReceiverSpec:
     kind: int
     adc: ADCConfig
     lo_waveform: Optional[Waveform] = None   # mixer LO (mix mode)
-    receive_type: str = 'raw'                # raw | raw_resample | mix_resample
+    # raw | raw_resample | mix_resample | mixer (reference receiver.cpp:21)
+    receive_type: str = 'raw'
     gain: float = 1.0
     to_world: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32))
@@ -460,18 +461,44 @@ def rx_aperture_weight(scene, rx_spec: ReceiverSpec, shape_idx: int,
     return rect_aperture_gain(scene.shapes, idxs, p, d, wavelength)
 
 
-def rx_sample_frequency(receive_type: str, lo_wf, band, time, u):
+def rx_sample_frequency(receive_type: str, lo_wf, band, time, u,
+                        adc_cfg: ADCConfig | None = None):
     """Receive-frequency sampling per receive_type (reference
-    `wignerreceiver.cpp::sample_frequency:170-201`):
-      raw / raw_resample: uniform over the band (importance over the ADC
-        frequency axis) — returns the RECEIVED frequency;
+    `wignerreceiver.cpp::sample_frequency:170-201` + the four types at
+    `receiver.cpp:21`):
+      raw: uniform over the band (importance over the ADC frequency axis)
+        — returns the RECEIVED frequency;
+      raw_resample: the rx frequency is RE-sampled from the receiver's LO
+        waveform delta (instantaneous frequency at receive time) instead of
+        uniformly.  The reference's raw/raw_resample `sample_frequency`
+        branches are literally identical (`wignerreceiver.cpp:178-186`) —
+        the distinct delta-resampling behavior lives in its else-branch /
+        `sample_delta_frequency` (`:152-167`), which is what the name
+        means; without an LO waveform this degrades to `raw` exactly as the
+        reference degrades.
       mix_resample: delta at the LO instantaneous frequency (dechirp).
+      mixer: importance-sample the BEAT axis (reference design comment,
+        `integrator.cpp:1626-1636`): draw beat ~ U[ADC freq window], set
+        f_rx = f_LO(t) - beat; paths whose delay matches the drawn beat get
+        waveform weight, others evaluate the WDF's skirt — the frequency
+        axis is filled by importance sampling rather than splatting.
     Returns (f_rx, pdf_weight).
     """
     if receive_type == 'mix_resample':
         if lo_wf is None:
             raise ValueError("mix_resample receiver needs lo_waveform")
         f = lo_wf.inst_freq(time)
+        return f, jnp.ones_like(f)
+    if receive_type == 'raw_resample' and lo_wf is not None:
+        f = lo_wf.inst_freq(time)
+        return f, jnp.ones_like(f)
+    if receive_type == 'mixer':
+        if lo_wf is None:
+            raise ValueError("mixer receiver needs lo_waveform")
+        if adc_cfg is None:
+            raise ValueError("mixer receiver needs the ADC config")
+        beat = adc_cfg.freq_lo + u * (adc_cfg.freq_hi - adc_cfg.freq_lo)
+        f = lo_wf.inst_freq(time) - beat
         return f, jnp.ones_like(f)
     lo = band.freq_min
     hi = band.freq_max

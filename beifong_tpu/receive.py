@@ -74,7 +74,7 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
 
     u_f, stream = stream.next_1d()
     f_rx, f_w = rx_sample_frequency(rx.receive_type, lo_wf, scene_data.band,
-                                    t_for_freq, u_f)
+                                    t_for_freq, u_f, cfg)
 
     u_pos, stream = stream.next_2d()
     u_dir, stream = stream.next_2d()

@@ -217,3 +217,98 @@ def test_doppler_shift_moving_target():
     bin_w = 5e3 / 256
     assert abs(f_peak - (40e3 + f_shift)) < 3 * bin_w, (
         f"peak {f_peak:.0f} Hz, expected {40e3 + f_shift:.0f} Hz")
+
+
+def _fmcw_scene(receive_type, resample_tx=True):
+    """Shared FMCW point-target scene for receive-type tests."""
+    R = 6.0
+    band = Band.from_freq(C, 40e3, 4e3)
+    chirp_len, sweep = 0.09, 2e3
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = linfmcw(f_centre=40e3, crf=1.0 / chirp_len, chirp_len=chirp_len,
+                 freq_sweep=sweep, is_delta=resample_tx)
+    s.add(wigner_transmitter("tx", wf, resample_freq=resample_tx))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    f_beat_expect = sweep / chirp_len * 2 * R / C
+    adc = ADCConfig(n_time=8, n_freq=128, sampling_start=0.03,
+                    sampling_time=0.05, freq_lo=0.0, freq_hi=4 * f_beat_expect)
+    rx = wigner_receiver("rx", adc, receive_type=receive_type, lo_waveform=wf)
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+    return s, rx, f_beat_expect
+
+
+def test_mixer_beat_frequency():
+    """`mixer` receive type (reference design comment,
+    `integrator.cpp:1626-1636`): the beat axis is importance-sampled, yet
+    the binned spectrum must still peak at beat = slope * 2R/c."""
+    s, rx, f_beat_expect = _fmcw_scene('mixer')
+    adc_g, n = receive(s, receiver=rx, spp=1 << 15, max_depth=2, seed=3)
+    spectrum = np.asarray(develop_signal(adc_g, n, rx.adc)).sum(axis=0)[:, 0]
+    f_axis = (np.arange(128) + 0.5) / 128 * (4 * f_beat_expect)
+    f_peak = f_axis[np.argmax(spectrum)]
+    bin_w = 4 * f_beat_expect / 128
+    assert spectrum.sum() > 0
+    assert abs(f_peak - f_beat_expect) < 3 * bin_w, (
+        f"mixer beat at {f_peak:.1f} Hz, expected {f_beat_expect:.1f} Hz")
+
+
+def test_raw_resample_follows_lo_delta():
+    """`raw_resample` draws the rx frequency from the LO instantaneous-
+    frequency delta (`wignerreceiver.cpp::sample_delta_frequency:152-167`)
+    rather than uniformly over the band; without an LO it degrades to raw
+    (the reference's raw/raw_resample branches are literally identical)."""
+    from beifong_tpu.radar.endpoints import rx_sample_frequency
+    band = Band.from_freq(C, 40e3, 4e3)
+    wf = linfmcw(f_centre=40e3, crf=10.0, chirp_len=0.09, freq_sweep=2e3)
+    t = jnp.full((256,), 0.02)
+    u = jnp.linspace(0.0, 1.0, 256)
+    f_rs, _ = rx_sample_frequency('raw_resample', wf, band, t, u)
+    np.testing.assert_allclose(np.asarray(f_rs),
+                               np.asarray(wf.inst_freq(t)), rtol=1e-6)
+    f_raw, _ = rx_sample_frequency('raw', wf, band, t, u)
+    assert np.asarray(f_raw).std() > 100.0          # spread over the band
+    f_deg, _ = rx_sample_frequency('raw_resample', None, band, t, u)
+    np.testing.assert_allclose(np.asarray(f_deg), np.asarray(f_raw))
+
+
+def test_raw_resample_end_to_end():
+    """raw_resample end-to-end: all received energy lands at the (static-
+    target) received frequency = the chirp band on the raw frequency axis."""
+    R = 6.0
+    band = Band.from_freq(C, 40e3, 4e3)
+    chirp_len, sweep = 0.09, 2e3
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = linfmcw(f_centre=40e3, crf=1.0 / chirp_len, chirp_len=chirp_len,
+                 freq_sweep=sweep, is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=8, n_freq=64, sampling_start=0.03,
+                    sampling_time=0.05, freq_lo=38e3, freq_hi=42e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw_resample',
+                         lo_waveform=wf)
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+    adc_g, n = receive(s, receiver=rx, spp=1 << 14, max_depth=2, seed=5)
+    spectrum = np.asarray(develop_signal(adc_g, n, rx.adc)).sum(axis=0)[:, 0]
+    f_axis = 38e3 + (np.arange(64) + 0.5) / 64 * 4e3
+    assert spectrum.sum() > 0
+    # static target: all energy inside the swept band [39, 41] kHz
+    inband = (f_axis >= 39e3 - 100) & (f_axis <= 41e3 + 100)
+    assert spectrum[inband].sum() > 0.99 * spectrum.sum()
