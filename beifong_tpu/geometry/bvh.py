@@ -237,7 +237,63 @@ def traverse_closest(bvh: BVH, o, d, tmin: float = 1e-4,
 
 def traverse_any(bvh: BVH, o, d, maxt, tmin: float = 1e-4,
                  max_iters: int = 4096, leaf_size: int = LEAF_SIZE):
-    """Shadow-ray traversal with early exit per lane."""
-    t, idx, _, _ = traverse_closest(bvh, o, d, tmin=tmin, max_iters=max_iters,
-                                    leaf_size=leaf_size)
-    return jnp.isfinite(t) & (t < maxt * (1.0 - 1e-3))
+    """Shadow-ray traversal: True where any triangle blocks before maxt.
+
+    Real any-hit (not closest-hit): the slab test prunes against `maxt`
+    instead of the running best, and a lane terminates (node -> -1) the
+    moment it finds any blocker — occlusion is ~half of all rays in the
+    NEE-heavy receive loop, so the early exit matters.
+    """
+    n = o.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d,
+                            jnp.where(d >= 0, 1e-12, -1e-12))
+    limit = maxt * (1.0 - 1e-3)
+
+    def cond(state):
+        node, _, it = state
+        return jnp.any(node >= 0) & (it < max_iters)
+
+    def body(state):
+        node, occ, it = state
+        active = node >= 0
+        ni = jnp.maximum(node, 0)
+        bmin = bvh.bb_min[ni]
+        bmax = bvh.bb_max[ni]
+        t0 = (bmin - o) * inv_d
+        t1 = (bmax - o) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        bbox_hit = (tf >= jnp.maximum(tn, 0.0)) & (tn < limit) & active
+
+        is_leaf = bvh.leaf_offset[ni] >= 0
+        test_leaf = bbox_hit & is_leaf
+
+        offs = (jnp.maximum(bvh.leaf_offset[ni], 0)[:, None]
+                + jnp.arange(leaf_size)[None, :])
+        cnt_ok = jnp.arange(leaf_size)[None, :] < bvh.leaf_count[ni][:, None]
+        v0 = bvh.v0[offs]
+        e1 = bvh.e1[offs]
+        e2 = bvh.e2[offs]
+        pvec = jnp.cross(d[:, None, :], e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvec = o[:, None, :] - v0
+        uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        vv = jnp.sum(d[:, None, :] * qvec, axis=-1) * inv_det
+        tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        hit = (cnt_ok & test_leaf[:, None] & (jnp.abs(det) > 1e-12)
+               & (uu >= 0) & (vv >= 0) & (uu + vv <= 1) & (tt > tmin)
+               & (tt < limit[:, None]))
+        occ = occ | jnp.any(hit, axis=1)
+
+        node = jnp.where(active & ~occ,
+                         jnp.where(bbox_hit, bvh.hit_link[ni],
+                                   bvh.miss_link[ni]),
+                         jnp.int32(-1))
+        return node, occ, it + 1
+
+    init = (jnp.zeros((n,), jnp.int32), jnp.zeros((n,), bool),
+            jnp.zeros((), jnp.int32))
+    _, occ, _ = jax.lax.while_loop(cond, body, init)
+    return occ
