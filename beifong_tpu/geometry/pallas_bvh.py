@@ -8,15 +8,21 @@ pointer.  At every node the AABB slab test runs vectorized across all lanes
 of the tile; a scalar any-lane reduction decides hit_link vs miss_link, and
 leaf triangles (packed 8 per leaf) are tested densely under per-lane masks.
 
-This is *speculative* traversal: a tile visits the union of its lanes'
-node sets, so throughput depends on ray coherence within a tile.  The
-receive pipeline makes tiles coherent by construction — direction strata
-are assigned per tile (`coherence by construction`), so primary and NEE
-sweeps trace narrow beams.  Incoherent tiles degrade toward a dense sweep
-(still correct, never wrong).
+Two TPU-specific tricks:
+  * speculative traversal — a tile visits the union of its lanes' node
+    sets, so throughput depends on ray coherence within a tile.  The
+    receive pipeline makes tiles coherent *by construction*: direction
+    strata are assigned per tile, so primary and NEE sweeps trace narrow
+    beams.  Incoherent tiles degrade toward a dense sweep (correct, slower).
+  * stream interleaving — each kernel invocation walks STREAMS independent
+    tiles with independent node pointers inside one while loop; their
+    scalar load -> vector slab -> any() reduce -> branch chains interleave,
+    hiding the vector->scalar reduce latency that otherwise bounds the walk.
 
-Scene tables live in SMEM (scalar memory): traversal is a scalar-indexed
-walk, which is exactly what SMEM is for; rays/outputs ride VMEM tiles.
+Scene tables live in SMEM (scalar memory, 1 MiB): traversal is a
+scalar-indexed walk, which is exactly what SMEM is for.  Tables are FLAT
+1-D because SMEM pads 2-D minor dims to 128 lanes.  Rays/outputs ride VMEM
+tiles.
 """
 
 from __future__ import annotations
@@ -34,8 +40,22 @@ from .bvh import BVH
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE
+STREAMS = 1          # interleaved traversals per invocation (measured:
+#                      the walk is compute-bound, interleave doesn't pay)
 K_LEAF = 8           # triangles per packed leaf row
 _INF = 3.4e38
+
+# SMEM budget (bytes) available to the scene tables; the hard SMEM limit is
+# 1 MiB and the kernel needs headroom for its own scalars.
+SMEM_TABLE_BUDGET = 900 * 1024
+
+
+def smem_bytes(n_tris: int) -> int:
+    """Approximate SMEM footprint of a packed BVH over n_tris (aligned
+    leaves: ~n_tris/8 leaves, ~2x that many nodes)."""
+    n_leaves = (n_tris + K_LEAF - 1) // K_LEAF
+    n_nodes = 2 * n_leaves
+    return n_nodes * (6 + 3) * 4 + n_leaves * 80 * 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,9 +116,114 @@ def pack(bvh: BVH) -> PackedBVH:
                      n_leaves=max(len(rows), 1))
 
 
-def _traversal_kernel(mode: str):
+def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
+                   streams: int = STREAMS, sub: int = SUB):
+    """Run the interleaved traversal loop over `streams` independent tiles.
+
+    rays: (rox..rdz, ix, iy, iz) tuple of (streams*sub, LANE) arrays.
+    state: dict of mutable-ref callables — see bvh_closest/_run for the
+    standalone wiring; the megakernel reuses this with its own state.
+    Exposed as a library function so `integrators/pallas_receive.py` embeds
+    the exact same walk inside the receive megakernel.
+    """
+    rox, roy, roz, rdx, rdy, rdz, ix, iy, iz = rays
+    S = streams
+
+    def srows(x, s):
+        return x[s * sub:(s + 1) * sub, :]
+
+    def body(carry):
+        nodes = carry[:S]
+        new_nodes = []
+        for s in range(S):
+            node = nodes[s]
+            ni = jnp.maximum(node, 0)
+            nb = ni * 6
+            x0 = bbox_ref[nb + 0]
+            y0 = bbox_ref[nb + 1]
+            z0 = bbox_ref[nb + 2]
+            x1 = bbox_ref[nb + 3]
+            y1 = bbox_ref[nb + 4]
+            z1 = bbox_ref[nb + 5]
+            ox_s, oy_s, oz_s = srows(rox, s), srows(roy, s), srows(roz, s)
+            ix_s, iy_s, iz_s = srows(ix, s), srows(iy, s), srows(iz, s)
+            tb = state['tbest'](s)
+            tx0 = (x0 - ox_s) * ix_s
+            tx1 = (x1 - ox_s) * ix_s
+            ty0 = (y0 - oy_s) * iy_s
+            ty1 = (y1 - oy_s) * iy_s
+            tz0 = (z0 - oz_s) * iz_s
+            tz1 = (z1 - oz_s) * iz_s
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                         jnp.minimum(ty0, ty1)),
+                             jnp.minimum(tz0, tz1))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                         jnp.maximum(ty0, ty1)),
+                             jnp.maximum(tz0, tz1))
+            mask = (tf >= jnp.maximum(tn, 0.0)) & (tn < tb)
+            n_hit = jnp.sum(jnp.where(mask, 1.0, 0.0))
+            hit_any = (n_hit > 0.0) & (node >= 0)
+            leaf_id = links_ref[ni * 3 + 2]
+
+            @pl.when(hit_any & (leaf_id >= 0))
+            def _(s=s, leaf_id=leaf_id, ox_s=ox_s, oy_s=oy_s, oz_s=oz_s):
+                dx_s, dy_s, dz_s = (srows(rdx, s), srows(rdy, s),
+                                    srows(rdz, s))
+                lb = leaf_id * 80
+                for k in range(K_LEAF):
+                    v0x = leaf_ref[lb + 0 + k]
+                    v0y = leaf_ref[lb + 8 + k]
+                    v0z = leaf_ref[lb + 16 + k]
+                    e1x = leaf_ref[lb + 24 + k]
+                    e1y = leaf_ref[lb + 32 + k]
+                    e1z = leaf_ref[lb + 40 + k]
+                    e2x = leaf_ref[lb + 48 + k]
+                    e2y = leaf_ref[lb + 56 + k]
+                    e2z = leaf_ref[lb + 64 + k]
+                    tri = leaf_ref[lb + 72 + k]
+                    # Möller-Trumbore, scalar triangle vs vector rays
+                    px = dy_s * e2z - dz_s * e2y
+                    py = dz_s * e2x - dx_s * e2z
+                    pz = dx_s * e2y - dy_s * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) \
+                        / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+                    tvx = ox_s - v0x
+                    tvy = oy_s - v0y
+                    tvz = oz_s - v0z
+                    uu = (tvx * px + tvy * py + tvz * pz) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (dx_s * qx + dy_s * qy + dz_s * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                           & (tt > 1e-4) & (tri >= 0.0))
+                    state['leaf_hit'](s, hit, tt, uu, vv, tri,
+                                      (e1x, e1y, e1z, e2x, e2y, e2z))
+
+            nxt = jnp.where(hit_any, links_ref[ni * 3],
+                            links_ref[ni * 3 + 1])
+            nxt = jnp.where(node >= 0, nxt, node)
+            new_nodes.append(nxt)
+        live = state['live']()
+        return tuple(new_nodes) + (live,)
+
+    def cond(carry):
+        nodes = carry[:S]
+        any_active = nodes[0] >= 0
+        for s in range(1, S):
+            any_active = any_active | (nodes[s] >= 0)
+        return any_active & (carry[-1] > 0.0)
+
+    init = tuple(jnp.int32(0) for _ in range(S)) + (jnp.float32(1.0),)
+    jax.lax.while_loop(cond, body, init)
+
+
+def _traversal_kernel(mode: str, streams: int = STREAMS):
     """mode: 'closest' -> (t, idx, u, v); 'any' -> occluded flag (t<maxt)."""
     anyhit = mode == 'any'
+    S = streams
 
     def kernel(bbox_ref, links_ref, leaf_ref,          # SMEM scene
                ox, oy, oz, dx, dy, dz, *rest):
@@ -125,116 +250,62 @@ def _traversal_kernel(mode: str):
             u_ref[:] = jnp.zeros_like(u_ref)
             v_ref[:] = jnp.zeros_like(v_ref)
 
-        def tbest():
-            if anyhit:
+        def sl(s):
+            return slice(s * SUB, (s + 1) * SUB)
+
+        if anyhit:
+            def tbest(s):
                 # once a lane is occluded it stops pruning: nothing to gain
-                return jnp.where(occ_ref[:] > 0.0, 0.0, limit)
-            return t_ref[:]
+                return jnp.where(occ_ref[sl(s), :] > 0.0, 0.0,
+                                 limit[sl(s), :])
 
-        def body(carry):
-            node, _ = carry
-            nb = node * 6
-            x0 = bbox_ref[nb + 0]
-            y0 = bbox_ref[nb + 1]
-            z0 = bbox_ref[nb + 2]
-            x1 = bbox_ref[nb + 3]
-            y1 = bbox_ref[nb + 4]
-            z1 = bbox_ref[nb + 5]
-            tb = tbest()
-            tx0 = (x0 - rox) * ix
-            tx1 = (x1 - rox) * ix
-            ty0 = (y0 - roy) * iy
-            ty1 = (y1 - roy) * iy
-            tz0 = (z0 - roz) * iz
-            tz1 = (z1 - roz) * iz
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1))
-            mask = (tf >= jnp.maximum(tn, 0.0)) & (tn < tb)
-            n_hit = jnp.sum(jnp.where(mask, 1.0, 0.0))
-            hit_any = n_hit > 0.0
-            leaf_id = links_ref[node * 3 + 2]
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges):
+                blocked = hit & (tt < limit[sl(s), :])
+                occ_ref[sl(s), :] = jnp.where(blocked, 1.0, occ_ref[sl(s), :])
 
-            @pl.when(hit_any & (leaf_id >= 0))
-            def _():
-                lb = leaf_id * 80
-                for k in range(K_LEAF):
-                    v0x = leaf_ref[lb + 0 + k]
-                    v0y = leaf_ref[lb + 8 + k]
-                    v0z = leaf_ref[lb + 16 + k]
-                    e1x = leaf_ref[lb + 24 + k]
-                    e1y = leaf_ref[lb + 32 + k]
-                    e1z = leaf_ref[lb + 40 + k]
-                    e2x = leaf_ref[lb + 48 + k]
-                    e2y = leaf_ref[lb + 56 + k]
-                    e2z = leaf_ref[lb + 64 + k]
-                    tri = leaf_ref[lb + 72 + k]
-                    # Möller-Trumbore, scalar triangle vs vector rays
-                    px = rdy * e2z - rdz * e2y
-                    py = rdz * e2x - rdx * e2z
-                    pz = rdx * e2y - rdy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) \
-                        / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-                    tvx = rox - v0x
-                    tvy = roy - v0y
-                    tvz = roz - v0z
-                    uu = (tvx * px + tvy * py + tvz * pz) * inv
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    vv = (rdx * qx + rdy * qy + rdz * qz) * inv
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-                    hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                           & (tt > 1e-4) & (tri >= 0.0))
-                    if anyhit:
-                        blocked = hit & (tt < limit)
-                        occ_ref[:] = jnp.where(blocked, 1.0, occ_ref[:])
-                    else:
-                        better = hit & (tt < t_ref[:])
-                        t_ref[:] = jnp.where(better, tt, t_ref[:])
-                        idx_ref[:] = jnp.where(
-                            better, jnp.int32(1) * tri.astype(jnp.int32),
-                            idx_ref[:])
-                        u_ref[:] = jnp.where(better, uu, u_ref[:])
-                        v_ref[:] = jnp.where(better, vv, v_ref[:])
+            def live():
+                return jnp.sum(jnp.where(occ_ref[:] > 0.0, 0.0, 1.0))
+        else:
+            def tbest(s):
+                return t_ref[sl(s), :]
 
-            nxt = jnp.where(hit_any, links_ref[node * 3],
-                            links_ref[node * 3 + 1])
-            if anyhit:
-                live = jnp.sum(jnp.where(occ_ref[:] > 0.0, 0.0, 1.0))
-            else:
-                live = 1.0
-            return nxt, live
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges):
+                better = hit & (tt < t_ref[sl(s), :])
+                t_ref[sl(s), :] = jnp.where(better, tt, t_ref[sl(s), :])
+                idx_ref[sl(s), :] = jnp.where(
+                    better, tri.astype(jnp.int32), idx_ref[sl(s), :])
+                u_ref[sl(s), :] = jnp.where(better, uu, u_ref[sl(s), :])
+                v_ref[sl(s), :] = jnp.where(better, vv, v_ref[sl(s), :])
 
-        def cond(carry):
-            node, live = carry
-            return (node >= 0) & (live > 0.0)
+            def live():
+                return jnp.float32(1.0)
 
-        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(1.0)))
+        traversal_body(bbox_ref, links_ref, leaf_ref,
+                       (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz),
+                       dict(tbest=tbest, leaf_hit=leaf_hit, live=live),
+                       anyhit, streams=S, sub=SUB)
 
     return kernel
 
 
-def _tile_shape(x, n):
-    pad = (-n) % TILE
+def _tile_shape(x, n, block_rows):
+    pad = (-n) % (block_rows * LANE)
     xp = jnp.pad(x, ((0, pad),))
     return xp.reshape(-1, LANE), n + pad
 
 
-@functools.partial(jax.jit, static_argnames=('pb_shape', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('pb_shape', 'streams',
+                                             'interpret'))
 def _run_closest(ox, oy, oz, dx, dy, dz, bbox, links, leaves,
-                 pb_shape, interpret=False):
+                 pb_shape, streams=STREAMS, interpret=False):
     n_rows = ox.shape[0]
-    grid = (n_rows // SUB,)
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+    block = streams * SUB
+    grid = (n_rows // block,)
+    ray_spec = pl.BlockSpec((block, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, idx, u, v = pl.pallas_call(
-        _traversal_kernel('closest'),
+        _traversal_kernel('closest', streams),
         grid=grid,
         in_specs=[smem, smem, smem] + [ray_spec] * 6,
         out_specs=[ray_spec] * 4,
@@ -249,16 +320,17 @@ def _run_closest(ox, oy, oz, dx, dy, dz, bbox, links, leaves,
     return t, idx, u, v
 
 
-def bvh_closest(pb: PackedBVH, o, d, interpret: bool = False):
+def bvh_closest(pb: PackedBVH, o, d, streams: int = STREAMS,
+                interpret: bool = False):
     """Closest hit for (R,3) rays; returns (t, tri_idx, u, v) like
     `bvh.traverse_closest` (t=inf on miss)."""
     n = o.shape[0]
     comps = []
     for arr, c in ((o, 0), (o, 1), (o, 2), (d, 0), (d, 1), (d, 2)):
-        x, npad = _tile_shape(arr[:, c], n)
+        x, _ = _tile_shape(arr[:, c], n, streams * SUB)
         comps.append(x)
     t, idx, u, v = _run_closest(*comps, pb.bbox, pb.links, pb.leaves,
-                                (pb.n_nodes, pb.n_leaves), interpret)
+                                (pb.n_nodes, pb.n_leaves), streams, interpret)
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
@@ -267,21 +339,18 @@ def bvh_closest(pb: PackedBVH, o, d, interpret: bool = False):
     return (jnp.where(miss, jnp.inf, t), jnp.where(miss, -1, idx), u, v)
 
 
-# Kernel ordering note: the t/idx/u/v outputs are ref-mutated inside the
-# while body, which Pallas requires to be declared as outputs written every
-# grid step; the unconditional init at kernel entry guarantees that.
-
-
-@functools.partial(jax.jit, static_argnames=('pb_shape', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('pb_shape', 'streams',
+                                             'interpret'))
 def _run_any(ox, oy, oz, dx, dy, dz, maxt, bbox, links, leaves,
-             pb_shape, interpret=False):
+             pb_shape, streams=STREAMS, interpret=False):
     n_rows = ox.shape[0]
-    grid = (n_rows // SUB,)
-    ray_spec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0),
+    block = streams * SUB
+    grid = (n_rows // block,)
+    ray_spec = pl.BlockSpec((block, LANE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
-        _traversal_kernel('any'),
+        _traversal_kernel('any', streams),
         grid=grid,
         in_specs=[smem, smem, smem] + [ray_spec] * 7,
         out_specs=[ray_spec],
@@ -291,14 +360,15 @@ def _run_any(ox, oy, oz, dx, dy, dz, maxt, bbox, links, leaves,
     return occ[0]
 
 
-def bvh_any(pb: PackedBVH, o, d, maxt, interpret: bool = False):
+def bvh_any(pb: PackedBVH, o, d, maxt, streams: int = STREAMS,
+            interpret: bool = False):
     """Early-exit occlusion: True where a triangle blocks before maxt."""
     n = o.shape[0]
     comps = []
     for arr, c in ((o, 0), (o, 1), (o, 2), (d, 0), (d, 1), (d, 2)):
-        x, _ = _tile_shape(arr[:, c], n)
+        x, _ = _tile_shape(arr[:, c], n, streams * SUB)
         comps.append(x)
-    mt, _ = _tile_shape(maxt, n)
+    mt, _ = _tile_shape(maxt, n, streams * SUB)
     occ = _run_any(*comps, mt, pb.bbox, pb.links, pb.leaves,
-                   (pb.n_nodes, pb.n_leaves), interpret)
+                   (pb.n_nodes, pb.n_leaves), streams, interpret)
     return occ.reshape(-1)[:n] > 0.0

@@ -30,12 +30,21 @@ from jax.experimental.pallas import tpu as pltpu
 import os
 
 from ..geometry.shapes import RECTANGLE, SPHERE
+from ..geometry import pallas_bvh as pbvh
 from ..radar.waveform import CW, PULSE, LINFMCW
 
 _ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
 
 SUB, LANE = 64, 128
-TILE = SUB * LANE          # rays per grid step
+TILE = SUB * LANE          # rays per grid step (analytic scenes)
+# Mesh scenes run narrow (8,128) tiles: the speculative BVH walk
+# (geometry/pallas_bvh.py) prunes by the any-lane reduction, and narrow
+# tiles keep the per-tile direction cone tight (coherence by construction).
+MESH_SUB = 8
+# Direction strata: the unit square of the cosine-hemisphere draw is cut
+# into PATCH_P^2 cells; each mesh tile samples ONE cell (+ jitter), so a
+# tile's rays form a narrow beam.  Unbiased: tiles cover all cells evenly.
+PATCH_P = 16
 
 TWO_PI = 6.283185307179586
 INV_TWO24 = 1.0 / float(1 << 24)
@@ -79,7 +88,8 @@ def _tri(x):
 def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                  receive_type: str, time_sampling: str,
                  max_depth: int, rx_kind: str, n_tiles: int,
-                 use_prng: bool = True, coherent: bool = False):
+                 use_prng: bool = True, coherent: bool = False,
+                 has_mesh: bool = False, sub: int = SUB):
     """Build the kernel body closed over static config."""
 
     n_time = cfg.n_time
@@ -90,13 +100,19 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
     f_hi = cfg.freq_hi
     gate = time_sampling == 'gate'
     mix = receive_type == 'mix_resample'
+    SUB = sub   # shadow the module constant: tile height is per-scene
 
     def kernel(sp_ref,      # SMEM scalar params vector
                prim_ref,    # (n_prims, 24) prim table rows (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
+               bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
+               bvh_links_ref,
+               bvh_leaf_ref,
                out_ref,     # (n_time, n_freq) power (or I when coherent)
                q_ref,       # (n_time, n_freq) Q (coherent; zeros otherwise)
-               cnt_ref):    # (1, 1) total events
+               cnt_ref,     # (1, 1) total events
+               ms_t_ref,    # VMEM scratch: mesh hit state (t, normal)
+               ms_nx_ref, ms_ny_ref, ms_nz_ref):
         tile_id = pl.program_id(0)
 
         @pl.when(tile_id == 0)
@@ -230,6 +246,19 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
             nn = jax.lax.rsqrt(nzx * nzx + nzy * nzy + nzz * nzz)
             nzx, nzy, nzz = nzx * nn, nzy * nn, nzz * nn
             u3, u4 = draw(), draw()
+            n_patches = PATCH_P * PATCH_P
+            if has_mesh and n_tiles % n_patches == 0:
+                # coherence by construction: this tile samples ONE stratum
+                # of the direction grid (+ per-lane jitter), so the BVH walk
+                # sees a narrow beam.  131 is coprime with PATCH_P^2, so any
+                # n_patches consecutive tiles cover every stratum exactly
+                # once — stratified, not biased.  (Small runs whose tile
+                # count doesn't tile the strata stay iid.)
+                patch = (tile_id * 131 + jnp.int32(sp_ref[0])) % n_patches
+                px_f = (patch % PATCH_P).astype(jnp.float32)
+                py_f = (patch // PATCH_P).astype(jnp.float32)
+                u3 = (px_f + u3) * (1.0 / PATCH_P)
+                u4 = (py_f + u4) * (1.0 / PATCH_P)
             rr = jnp.sqrt(u3)
             ph = TWO_PI * u4
             tx_, ty_ = rr * _fast_cos(ph), rr * _fast_sin(ph)
@@ -332,6 +361,50 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                     txh = txh | closer
                 else:
                     txh = txh & ~closer
+            if has_mesh:
+                # mesh closest hit: speculative BVH walk (pallas_bvh.py)
+                # with per-lane state in VMEM scratch, pruned by the
+                # analytic best t
+                ms_t_ref[:] = jnp.full(shape, 3.4e38)
+                ms_nx_ref[:] = jnp.zeros(shape)
+                ms_ny_ref[:] = jnp.zeros(shape)
+                ms_nz_ref[:] = jnp.zeros(shape)
+                tb_a = tb
+
+                def minv(v):
+                    tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
+                    return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
+
+                def tbest(s):
+                    return jnp.minimum(ms_t_ref[:], tb_a)
+
+                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges):
+                    e1x, e1y, e1z, e2x, e2y, e2z = edges
+                    better = hit_m & (tt < ms_t_ref[:]) & (tt > 1e-4)
+                    # geometric normal from the edge scalars
+                    gnx = e1y * e2z - e1z * e2y
+                    gny = e1z * e2x - e1x * e2z
+                    gnz = e1x * e2y - e1y * e2x
+                    rn = jax.lax.rsqrt(jnp.maximum(
+                        gnx * gnx + gny * gny + gnz * gnz, 1e-20))
+                    ms_nx_ref[:] = jnp.where(better, gnx * rn, ms_nx_ref[:])
+                    ms_ny_ref[:] = jnp.where(better, gny * rn, ms_ny_ref[:])
+                    ms_nz_ref[:] = jnp.where(better, gnz * rn, ms_nz_ref[:])
+                    ms_t_ref[:] = jnp.where(better, tt, ms_t_ref[:])
+
+                pbvh.traversal_body(
+                    bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
+                    (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
+                    dict(tbest=tbest, leaf_hit=leaf_hit,
+                         live=lambda: jnp.float32(1.0)),
+                    anyhit=False, streams=1, sub=SUB)
+                m_closer = ms_t_ref[:] < tb
+                tb = jnp.where(m_closer, ms_t_ref[:], tb)
+                nx = jnp.where(m_closer, ms_nx_ref[:], nx)
+                ny = jnp.where(m_closer, ms_ny_ref[:], ny)
+                nz = jnp.where(m_closer, ms_nz_ref[:], nz)
+                rb = jnp.where(m_closer, sp(39), rb)   # shared mesh refl
+                txh = txh & ~m_closer
             hit = tb < 3.4e37
             return tb, nx, ny, nz, rb, txh, hit
 
@@ -370,6 +443,31 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
                     t_p = jnp.where(tn > 0.0, tn, tf)
                     hit_p = (disc >= 0.0) & (t_p > 0.0)
                 occ = occ | (hit_p & (t_p > 1e-4) & (t_p < maxt * 0.999))
+            if has_mesh:
+                # mesh any-hit walk; ms_t_ref doubles as the occlusion flag
+                occ_a = occ
+                ms_t_ref[:] = jnp.zeros(shape)
+                limit = maxt * 0.999
+
+                def minv(v):
+                    tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
+                    return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
+
+                def tbest(s):
+                    done = occ_a | (ms_t_ref[:] > 0.0)
+                    return jnp.where(done, 0.0, limit)
+
+                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges):
+                    blocked = hit_m & (tt < limit)
+                    ms_t_ref[:] = jnp.where(blocked, 1.0, ms_t_ref[:])
+
+                pbvh.traversal_body(
+                    bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
+                    (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
+                    dict(tbest=tbest, leaf_hit=leaf_hit,
+                         live=lambda: jnp.float32(1.0)),
+                    anyhit=True, streams=1, sub=SUB)
+                occ = occ | (ms_t_ref[:] > 0.0)
             return occ
 
         # transmitter normal (col2 normalized)
@@ -626,7 +724,10 @@ def _make_kernel(prim_kinds: tuple, prim_is_tx: tuple, cfg,
 
 
 def _pack_scene(scene, rx, shape_idx):
-    """Flatten scene + receiver into (params vector, prim table)."""
+    """Flatten scene + receiver into (params vector, prim table, mesh pack).
+
+    mesh pack is a `pallas_bvh.PackedBVH` (SMEM-flat BVH + leaf-tri tables)
+    when the scene has triangle meshes, else None."""
     sd = scene
     shapes = sd.shapes
     n = int(shapes.kind.shape[0])
@@ -677,7 +778,21 @@ def _pack_scene(scene, rx, shape_idx):
     params[36] = float(np.asarray(wf.f_centre).reshape(-1)[0])
     params[37] = float(np.asarray(wf.f_ext).reshape(-1)[0])
     params[38] = sd.band.boundary_phase
-    return params, prim
+
+    mesh_pack = None
+    params[39] = 0.0
+    if sd.tris is not None:
+        from ..geometry import bvh as bvh_mod
+        tri = sd.tris
+        b = bvh_mod.build(np.asarray(tri.v0), np.asarray(tri.e1),
+                          np.asarray(tri.e2), align=True)
+        mesh_pack = pbvh.pack(b)
+        # shared diffuse reflectance of all mesh shapes (supported() gates
+        # on equality, so one scalar is exact)
+        sidx0 = int(np.asarray(tri.shape_idx)[0])
+        b_i = int(np.asarray(shapes.bsdf_idx)[sidx0])
+        params[39] = float(refl[b_i, 0]) if b_i >= 0 else 0.0
+    return params, prim, mesh_pack
 
 
 # Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
@@ -700,15 +815,33 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
 
     if scene_data.transmitters is None:
         return no('no transmitters')
-    if scene_data.tris is not None:
-        return no('triangle meshes outside megakernel scope')
     if scene_data.transmitters.n != 1:
         return no(f'{scene_data.transmitters.n} transmitters (kernel handles 1)')
     if not bool(np.asarray(scene_data.transmitters.resample[0])):
         return no('non-delta-resampled transmitter')
+    from ..geometry.shapes import TRIANGLE
+    if scene_data.tris is not None:
+        n_tris = scene_data.tris.n_faces
+        if pbvh.smem_bytes(n_tris) > pbvh.SMEM_TABLE_BUDGET:
+            return no(f'{n_tris} mesh triangles exceed the SMEM BVH budget '
+                      f'({pbvh.smem_bytes(n_tris)} > '
+                      f'{pbvh.SMEM_TABLE_BUDGET} bytes)')
+        sidx = np.asarray(scene_data.tris.shape_idx)
+        b_idx = np.asarray(scene_data.shapes.bsdf_idx)[sidx]
+        if (b_idx < 0).any():
+            return no('mesh shape without a BSDF')
+        refls = np.asarray(scene_data.bsdfs.reflectance)[b_idx, 0]
+        if not np.allclose(refls, refls[0]):
+            return no('mesh shapes with differing reflectance '
+                      '(the kernel packs one shared scalar)')
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
-    if not kinds <= {-1, RECTANGLE, SPHERE}:
+    if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
+    # the kernel models no Doppler: moving scenes go to the jnp wavefront
+    if float(np.abs(np.asarray(scene_data.shapes.velocity)).max()) > 0.0:
+        return no('moving shapes (kernel has no Doppler; jnp path has)')
+    if float(np.abs(np.asarray(scene_data.transmitters.velocity)).max()) > 0.0:
+        return no('moving transmitter (kernel has no Doppler)')
     from ..bsdf.tables import DIFFUSE
     if not set(scene_data.bsdfs.present) <= {DIFFUSE}:
         return no('non-diffuse BSDFs')
@@ -733,33 +866,43 @@ def n_draws(max_depth: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_is_tx', 'cfg', 'receive_type', 'time_sampling',
-    'max_depth', 'rx_kind', 'n_lanes', 'interpret', 'coherent'))
+    'max_depth', 'rx_kind', 'n_lanes', 'interpret', 'coherent', 'has_mesh'))
 def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
          receive_type: str, time_sampling: str, max_depth: int,
          rx_kind: str, n_lanes: int, interpret: bool = False,
-         coherent: bool = False):
-    n_tiles = max(n_lanes // TILE, 1)
+         coherent: bool = False, has_mesh: bool = False,
+         bvh_bbox=None, bvh_links=None, bvh_leaves=None):
+    sub = MESH_SUB if has_mesh else SUB
+    tile = sub * LANE
+    n_tiles = max(n_lanes // tile, 1)
     nd = n_draws(max_depth)
     use_prng = not interpret
     if use_prng:
         # tiny placeholder: draws come from the in-kernel PRNG
-        uniforms = jnp.zeros((n_tiles, 1, SUB, LANE), jnp.float32)
+        uniforms = jnp.zeros((n_tiles, 1, sub, LANE), jnp.float32)
         nd = 1
         del key
     else:
-        uniforms = jax.random.uniform(key, (n_tiles, nd, SUB, LANE),
+        uniforms = jax.random.uniform(key, (n_tiles, nd, sub, LANE),
                                       dtype=jnp.float32)
+    if bvh_bbox is None:
+        bvh_bbox = jnp.zeros((6,), jnp.float32)
+        bvh_links = jnp.full((3,), -1, jnp.int32)
+        bvh_leaves = jnp.zeros((80,), jnp.float32)
     kernel = _make_kernel(prim_kinds, prim_is_tx, cfg, receive_type,
                           time_sampling, max_depth, rx_kind, n_tiles,
-                          use_prng=use_prng, coherent=coherent)
+                          use_prng=use_prng, coherent=coherent,
+                          has_mesh=has_mesh, sub=sub)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nd, SUB, LANE), lambda i: (i, 0, 0, 0),
+            smem,
+            smem,
+            pl.BlockSpec((1, nd, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            smem, smem, smem,
         ],
         out_specs=[
             pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
@@ -774,8 +917,14 @@ def _run(params, prim, key, prim_kinds: tuple, prim_is_tx: tuple, cfg,
             jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+        ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, uniforms)
+    )(params, prim, uniforms, bvh_bbox, bvh_links, bvh_leaves)
     return out, out_q, cnt
 
 
@@ -799,21 +948,30 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     hit = cache.get(ck)
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        params, prim = _pack_scene(scene_data, rx, shape_idx)
+        params, prim, mesh_pack = _pack_scene(scene_data, rx, shape_idx)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim),
             tuple(int(k) for k in prim[:, 0]),
-            tuple(bool(f > 0.5) for f in prim[:, 14]))
-    _, shape_idx, params, prim_dev, prim_kinds, prim_is_tx = cache[ck]
+            tuple(bool(f > 0.5) for f in prim[:, 14]),
+            mesh_pack)
+    (_, shape_idx, params, prim_dev, prim_kinds, prim_is_tx,
+     mesh_pack) = cache[ck]
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
-    n_lanes = max(TILE, (spp // TILE) * TILE)
+    has_mesh = mesh_pack is not None
+    tile = (MESH_SUB if has_mesh else SUB) * LANE
+    n_lanes = max(tile, (spp // tile) * tile)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
+    mesh_kw = {}
+    if has_mesh:
+        mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
+                       bvh_leaves=mesh_pack.leaves)
     out, out_q, cnt = _run(jnp.asarray(params), prim_dev,
                            jax.random.key(seed), prim_kinds, prim_is_tx,
                            rx.adc, rx.receive_type, time_sampling, max_depth,
-                           rx_kind, n_lanes, interpret, coherent)
+                           rx_kind, n_lanes, interpret, coherent,
+                           has_mesh=has_mesh, **mesh_kw)
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

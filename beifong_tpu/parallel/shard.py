@@ -57,7 +57,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     seed; partial ADCs psum-merge across the whole mesh (the SignalBlock
     merge at pod scale).  Returns (signal grid, total_samples)."""
     from ..integrators.pallas_receive import (_pack_scene, _run, TILE,
-                                              supported)
+                                              LANE, MESH_SUB, supported)
     assert supported(scene_data, rx), "scene outside megakernel scope"
     # cache packing: D2H reads cost ms each over the tunneled TPU
     # id()-keyed with a strong ref kept in the value; identity is re-checked
@@ -69,11 +69,17 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         shape_idx0 = scene_host.shape_index_of_endpoint('receiver', rx.id)
         cache[ck] = (scene_data, shape_idx0,
                      *_pack_scene(scene_data, rx, shape_idx0))
-    _, shape_idx, params, prim = cache[ck]
+    _, shape_idx, params, prim, mesh_pack = cache[ck]
     prim_kinds = tuple(int(k) for k in prim[:, 0])
     prim_is_tx = tuple(bool(f > 0.5) for f in prim[:, 14])
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
-    n_lanes = max(TILE, (spp_per_device // TILE) * TILE)
+    has_mesh = mesh_pack is not None
+    tile = (MESH_SUB * LANE) if has_mesh else TILE
+    n_lanes = max(tile, (spp_per_device // tile) * tile)
+    mesh_kw = {}
+    if has_mesh:
+        mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
+                       bvh_leaves=mesh_pack.leaves)
     n_dev = mesh.devices.size
     params_dev = jnp.asarray(params)
     prim_dev = jnp.asarray(prim)
@@ -90,7 +96,8 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         k = jax.random.fold_in(jax.random.wrap_key_data(key_data), dev)
         out = _run(p2, prim_r, k, prim_kinds, prim_is_tx, rx.adc,
                    rx.receive_type, time_sampling, max_depth, rx_kind,
-                   n_lanes, interpret, coherent)
+                   n_lanes, interpret, coherent, has_mesh=has_mesh,
+                   **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)

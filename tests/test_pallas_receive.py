@@ -54,7 +54,8 @@ def test_supported_gates():
     s, rx = g._build_scene(ground=False)
     sd = s.compile()
     assert supported(sd, rx)
-    # mesh scenes unsupported
+    # mesh scenes ARE in scope now (in-kernel BVH) — but only with one
+    # shared mesh reflectance; mixed-material meshes fall back
     import beifong_tpu as bt
     from beifong_tpu import scene as sc
     from beifong_tpu.geometry.mesh import MeshSpec, make_grid
@@ -67,7 +68,19 @@ def test_supported_gates():
                               resample_freq=True))
     from beifong_tpu.geometry import shapes as sh
     s2.add(sh.rectangle(transmitter="tx"))
-    assert not supported(s2.compile(), rx)
+    assert supported(s2.compile(), rx)
+    s2.add(diffuse("d2", reflectance=0.9))
+    v2, f2 = make_grid(2, 2)
+    s2.add(MeshSpec(v2, f2, bsdf="d2"))
+    why2 = []
+    assert not supported(s2.compile(), rx, why2)
+    assert any('reflectance' in w for w in why2)
+    # moving shapes fall back: the kernel models no Doppler
+    s3, rx3 = g._build_scene(ground=False)
+    s3.shapes[-1].velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
+    why3 = []
+    assert not supported(s3.compile(), rx3, why3)
+    assert any('Doppler' in w for w in why3)
     # oversized ADC grids must be rejected with a reason (the in-kernel
     # splat is unrolled over cells: a 256x128 grid would compile-bomb)
     import dataclasses as dc
@@ -156,3 +169,60 @@ def test_sharded_megakernel_psum_merge():
     assert n == 16384
     assert int(a.argmax()) in (25, 26, 27)
     assert a.sum() > 0
+
+
+def _mesh_scene(R=4.0, n_side=9):
+    """Point-target scene with a crumpled-grid mesh target."""
+    import beifong_tpu as bt
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    from beifong_tpu.core import transform as tfm
+    aim = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                 tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tfm.compose(tfm.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                    tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    v, f = make_grid(n_side, n_side)
+    v = np.asarray(v, np.float32)
+    v[:, 2] = 0.05 * np.sin(4 * v[:, 0]) * np.cos(3 * v[:, 1])
+    m = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                               tfm.scale(0.6)))
+    s.add(MeshSpec(v, np.asarray(f), bsdf="mat", to_world=m))
+    return s, rx
+
+
+def test_megakernel_mesh_matches_jnp():
+    """Mesh scenes in the megakernel (in-kernel speculative BVH walk,
+    geometry/pallas_bvh.py): round-trip peak bin must match the jnp
+    wavefront's on the same scene.  (Analogue of the reference's OptiX
+    wavefront covering mesh shapes, scene_optix.inl.)"""
+    from beifong_tpu.receive import develop_signal
+    s, rx = _mesh_scene()
+    sd = s.compile(use_bvh=False)
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 12, seed=0, max_depth=1,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
+    a, n2 = receive(s, sd, rx, seed=11, spp=1 << 13, max_depth=1,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
