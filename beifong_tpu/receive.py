@@ -110,7 +110,9 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             receiver: ReceiverSpec | None = None, seed: int = 0,
             spp: int = 4096, max_depth: int = 3, coherent: bool = False,
             lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
-            time_sampling: str = 'fixed', use_pallas: str | bool = False):
+            time_sampling: str = 'fixed', use_pallas: str | bool = False,
+            checkpoint_path: str | None = None, checkpoint_every: int = 16,
+            resume: bool = False, timeout_s: float | None = None):
     """Simulate the received signal; returns (adc_grid, total_samples).
 
     adc_grid: (n_time, n_freq, C+2) with C=1 (power) or 2 (I/Q coherent).
@@ -121,6 +123,19 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     `use_pallas`: True/'auto' routes supported scenes through the Pallas
     megakernel (integrators/pallas_receive.py) — same estimator, different
     RNG stream; the returned grid has empty weight/count channels.
+
+    Long-run controls (reference `Integrator::cancel`/timeout,
+    `integrator.h:158-170`, and the SIGHUP partial develop,
+    `mitsuba.cpp:149-157` — upgraded to true checkpoint/resume):
+      checkpoint_path: save the accumulator + pass counter every
+        `checkpoint_every` passes, and on SIGHUP / KeyboardInterrupt /
+        timeout.  Accumulation is associative, so a resumed run is
+        bit-exact with an uninterrupted one.
+      resume: load `checkpoint_path` (if present) and continue from the
+        saved pass.
+      timeout_s: stop cleanly after this much wall time; the partial
+        accumulation is returned (and checkpointed) with `total_samples`
+        reflecting only the completed passes.
     """
     if scene_data is None:
         scene_data = scene.compile()
@@ -164,11 +179,69 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     key = jax.random.key(seed)
     rx_h = _HashableRx(receiver)
     lo = receiver.lo_waveform
-    for p in range(n_pass):
-        adc = _receive_pass(scene_data, rx_h, shape_idx, lo, key,
-                            jnp.uint32(p), adc, lanes, max_depth, coherent,
-                            sampler, n_total_log2, time_sampling)
-    return adc, total
+
+    import os
+    import signal
+    import time as _time
+    from . import checkpoint as _ckpt
+    from .profiler import log
+
+    p0 = 0
+    if resume and checkpoint_path is not None \
+            and os.path.exists(_ckpt._npz_path(checkpoint_path)):
+        accs, p0, _, meta = _ckpt.load(checkpoint_path)
+        adc = accs['adc']
+        log.info('receive: resumed %s at pass %d/%d', checkpoint_path, p0,
+                 n_pass)
+
+    hup = [False]
+    prev_handler = None
+    if checkpoint_path is not None and hasattr(signal, 'SIGHUP'):
+        try:
+            prev_handler = signal.signal(
+                signal.SIGHUP, lambda *_: hup.__setitem__(0, True))
+        except ValueError:
+            prev_handler = None   # not the main thread
+
+    def save(pidx):
+        if checkpoint_path is not None:
+            _ckpt.save(checkpoint_path, {'adc': adc}, pidx, key,
+                       meta={'lanes': lanes, 'n_pass': n_pass, 'seed': seed})
+
+    t_start = _time.monotonic()
+    done = p0
+    try:
+        for p in range(p0, n_pass):
+            adc = _receive_pass(scene_data, rx_h, shape_idx, lo, key,
+                                jnp.uint32(p), adc, lanes, max_depth,
+                                coherent, sampler, n_total_log2,
+                                time_sampling)
+            done = p + 1
+            at_ckpt = (checkpoint_path is not None
+                       and done % max(checkpoint_every, 1) == 0)
+            if at_ckpt or hup[0]:
+                jax.block_until_ready(adc)
+                save(done)
+                hup[0] = False
+            if timeout_s is not None \
+                    and _time.monotonic() - t_start > timeout_s:
+                jax.block_until_ready(adc)
+                save(done)
+                log.info('receive: timeout after %d/%d passes', done, n_pass)
+                break
+    except KeyboardInterrupt:
+        # reference: KeyboardInterrupt -> integrator->cancel() -> partial
+        # develop (integrator_v.cpp:318-338); here: checkpoint + partial
+        jax.block_until_ready(adc)
+        save(done)
+        log.info('receive: interrupted at pass %d/%d (checkpointed)', done,
+                 n_pass)
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGHUP, prev_handler)
+    if checkpoint_path is not None and done == n_pass:
+        save(done)
+    return adc, lanes * done
 
 
 def develop_signal(adc, total_samples, cfg: ADCConfig, mode: str = 'density'):

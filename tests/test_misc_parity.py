@@ -95,3 +95,26 @@ def test_checkpoint_roundtrip_path_normalization(tmp_path):
     os.remove(str(tmp_path / "b.npz.json"))
     with pytest.raises(FileNotFoundError):
         ckpt.load(str(tmp_path / "b.npz"))
+
+
+def test_receive_checkpoint_timeout_resume_bit_exact(tmp_path):
+    """receive() long-run controls (reference `Integrator::cancel`/timeout,
+    `integrator.h:158-170`; SIGHUP partial develop, `mitsuba.cpp:149-157`):
+    a run stopped by timeout checkpoints its partial accumulator, and a
+    resumed run reproduces the uninterrupted result bit-exactly (the
+    per-pass RNG stream is keyed by pass index, not wall history)."""
+    import __graft_entry__ as g
+    from beifong_tpu.receive import receive
+
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    kw = dict(spp=2048, lanes_per_pass=512, max_depth=1, seed=3)
+    full, n_full = receive(s, sd, rx, **kw)
+    assert n_full == 2048
+
+    p = str(tmp_path / "ck")
+    part, n_part = receive(s, sd, rx, checkpoint_path=p, timeout_s=0.0, **kw)
+    assert n_part == 512        # timed out after the first pass
+    res, n_res = receive(s, sd, rx, checkpoint_path=p, resume=True, **kw)
+    assert n_res == n_full
+    np.testing.assert_array_equal(np.asarray(res), np.asarray(full))
