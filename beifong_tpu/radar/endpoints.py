@@ -171,17 +171,26 @@ def omni_receiver(id, adc, position=(0, 0, 0), receive_type='raw',
 # ---------------------------------------------------------------------------
 
 
-def _phased_pairs(spec, band_wl_centre: float):
-    """Virtual element pair geometry in the array's LOCAL frame
-    (reference `phased.cpp:78-120`): midpoints, baselines, steering phases."""
+def _elem_locs(spec) -> np.ndarray:
+    """Element centre positions in the array's LOCAL frame [m]
+    (reference `phased.cpp:78-96` element grid)."""
     n = spec.n_elems
     axis = spec.elem_axis / max(np.linalg.norm(spec.elem_axis), 1e-20)
     if n % 2 == 0:
-        locs = np.stack([-spec.elem_spacing * axis * (i - n / 2.0 + 0.5)
-                         for i in range(n)])
-    else:
-        locs = np.stack([-spec.elem_spacing * axis * (i - (n - 1) / 2.0)
-                         for i in range(n)])
+        return np.stack([-spec.elem_spacing * axis * (i - n / 2.0 + 0.5)
+                         for i in range(n)]).astype(np.float32)
+    return np.stack([-spec.elem_spacing * axis * (i - (n - 1) / 2.0)
+                     for i in range(n)]).astype(np.float32)
+
+
+def _phased_pairs(spec, band_wl_centre: float):
+    """Virtual element pair geometry in the array's LOCAL frame
+    (reference `phased.cpp:78-120`): midpoints, baselines, steering phases.
+    Steering phases are baked at the band-centre wavelength, as the
+    reference bakes `m_psi_dash` at construction."""
+    n = spec.n_elems
+    axis = spec.elem_axis / max(np.linalg.norm(spec.elem_axis), 1e-20)
+    locs = _elem_locs(spec)
     mids, bases, psis = [], [], []
     steer = np.sin(np.deg2rad(spec.steer_deg))
     k_steer = 2.0 * np.pi / band_wl_centre * steer
@@ -424,6 +433,36 @@ def rx_sample_ray(scene, rx_spec: ReceiverSpec, shape_idx: int, time,
         # weight = 1/pdf = 4*pi
         return p, d, jnp.full((n,), 4.0 * Pi)
 
+    if rx_spec.kind == PHASED and rx_spec.n_elems > 1:
+        # Sample the position across the ARRAY's extent, not the plain
+        # attached rect (reference `phasedreceiver.cpp:314-341` samples the
+        # array-spanning shape; the cross-WDF's support is the union of
+        # pair-midpoint footprints, which fills the array bounding rect).
+        if shape_idx >= 0:
+            tw = scene.shapes.to_world[shape_idx]
+        else:
+            tw = jnp.asarray(rx_spec.to_world)
+        s_ax, t_ax = tw[:3, 0], tw[:3, 1]
+        sn = s_ax / jnp.maximum(jnp.linalg.norm(s_ax), 1e-20)
+        tn = t_ax / jnp.maximum(jnp.linalg.norm(t_ax), 1e-20)
+        nrm = jnp.cross(sn, tn)
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), 1e-20)
+        origin = tw[:3, 3]
+        # bounding rect of all element footprints, local in-plane extents
+        locs = _elem_locs(rx_spec)
+        hx = float(np.abs(locs[:, 0]).max()) + float(rx_spec.elem_wid[0])
+        hy = float(np.abs(locs[:, 1]).max()) + float(rx_spec.elem_wid[1])
+        lx = (u_pos[:, 0] * 2.0 - 1.0) * hx
+        ly = (u_pos[:, 1] * 2.0 - 1.0) * hy
+        p = origin[None] + lx[:, None] * sn[None] + ly[:, None] * tn[None]
+        d_local = warp.square_to_cosine_hemisphere(u_dir)
+        frame = tfm.frame_from_normal(jnp.broadcast_to(nrm, (n, 3)))
+        d = tfm.to_world(frame, d_local)
+        o = p + 1e-4 * nrm[None]
+        area = 4.0 * hx * hy
+        # cosine-hemisphere pdf cancels cos; uniform position pdf -> x area
+        return o, d, jnp.full((n,), Pi * area * rx_spec.gain)
+
     idxs = jnp.full((n,), shape_idx, jnp.int32)
     p, nrm, pdf_a, _ = sample_position(scene.shapes, idxs, u_pos)
     d_local = warp.square_to_cosine_hemisphere(u_dir)
@@ -445,8 +484,10 @@ def rx_aperture_weight(scene, rx_spec: ReceiverSpec, shape_idx: int,
         return jnp.ones((n,))
     idxs = jnp.full((n,), shape_idx, jnp.int32)
     if rx_spec.kind == PHASED and rx_spec.n_elems > 1:
-        band_wl = 1.0  # steering phases baked at build below
-        mids, bases, psis = _phased_pairs(rx_spec, band_wl)
+        # steering phases baked at the band-centre wavelength (reference
+        # phasedreceiver.cpp bakes m_psi_dash at construction)
+        mids, bases, psis = _phased_pairs(rx_spec,
+                                          scene.band.wavelength_centre)
         tw = scene.shapes.to_world[shape_idx]
         s_ax = tw[:3, 0] / jnp.maximum(jnp.linalg.norm(tw[:3, 0]), 1e-20)
         t_ax = tw[:3, 1] / jnp.maximum(jnp.linalg.norm(tw[:3, 1]), 1e-20)

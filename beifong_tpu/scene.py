@@ -240,7 +240,8 @@ class Scene:
                 tx_table = TransmitterTable.build(
                     self.transmitters,
                     shape_of=lambda tid: self.shape_index_of_endpoint(
-                        'transmitter', tid))
+                        'transmitter', tid),
+                    band_wl_centre=self.band.wavelength_centre)
             if self.receivers:
                 rx_table = ReceiverTable.build(
                     self.receivers,

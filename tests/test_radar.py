@@ -312,3 +312,116 @@ def test_raw_resample_end_to_end():
     # static target: all energy inside the swept band [39, 41] kHz
     inband = (f_axis >= 39e3 - 100) & (f_axis <= 41e3 + 100)
     assert spectrum[inband].sum() > 0.99 * spectrum.sum()
+
+
+def _array_factor(u, locs_x, wl, steer_deg):
+    """Closed-form power array factor |sum_e exp(i k x_e (u - u0))|^2."""
+    u0 = np.sin(np.deg2rad(steer_deg))
+    ph = 2.0 * np.pi * locs_x[None, :] * (u[:, None] - u0) / wl
+    s = np.exp(1j * ph).sum(axis=1)
+    return np.abs(s) ** 2
+
+
+def test_phased_rx_steering_pattern():
+    """Phased receiver steered off-boresight: Monte-Carlo aperture
+    integration of the cross-WDF (positions sampled across the ARRAY extent
+    by rx_sample_ray, reference `phasedreceiver.cpp:314-341`) must
+    reproduce the closed-form array factor: main lobe at the steer angle,
+    deep first null at u0 + lambda/(E d)."""
+    from beifong_tpu.radar import phased_receiver, ADCConfig
+    from beifong_tpu.radar.endpoints import (rx_sample_ray,
+                                             rx_aperture_weight, _elem_locs)
+    import jax
+
+    band = bt.band_preset("sonar_40k_narrow")
+    wl = band.wavelength_centre
+    E, steer = 8, 15.0
+    spacing = wl / 2.0
+    adc = ADCConfig(n_time=16, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.05, freq_lo=39e3, freq_hi=41e3)
+    rx = phased_receiver("rx", adc, n_elems=E, elem_spacing=spacing,
+                         elem_wid=(wl / 4, wl / 4), steer_deg=steer)
+    s = sc.Scene(band=band)
+    s.add(rx)
+    # attached rect much SMALLER than the array: position sampling must
+    # still cover the array extent (the old code sampled only the rect)
+    s.add(sh.rectangle(to_world=np.asarray(tf.scale(1e-4)), receiver="rx"))
+    sd = s.compile()
+    sidx = s.shape_index_of_endpoint('receiver', rx.id)
+
+    n = 1 << 14
+    k = jax.random.split(jax.random.key(0), 2)
+    u_pos = jax.random.uniform(k[0], (n, 2))
+    u_dir = jax.random.uniform(k[1], (n, 2))
+    o, _, w0 = rx_sample_ray(sd, rx, sidx, jnp.zeros((n,)), u_pos, u_dir)
+    # sampled positions must span the array, not the 1e-4 rect
+    locs = _elem_locs(rx)
+    span = np.abs(locs[:, 0]).max() + wl / 4
+    xs = np.asarray(o)[:, 0]
+    assert xs.max() > 0.8 * span and xs.min() < -0.8 * span
+
+    thetas = np.deg2rad(np.linspace(-60, 60, 241))
+    u_grid = np.sin(thetas)
+    P = []
+    for th in thetas:
+        d = jnp.broadcast_to(
+            jnp.asarray([np.sin(th), 0.0, np.cos(th)], jnp.float32), (n, 3))
+        W = rx_aperture_weight(sd, rx, sidx, o, d,
+                               jnp.full((n,), wl, jnp.float32))
+        P.append(float(jnp.mean(w0 * W)))
+    P = np.asarray(P)
+    af = _array_factor(u_grid, locs[:, 0], wl, steer)
+
+    # main lobe at the steer angle
+    th_peak = np.rad2deg(thetas[P.argmax()])
+    assert abs(th_peak - steer) < 2.0, th_peak
+    # first-null depth: AF null at u0 + lambda/(E*spacing)
+    u_null = np.sin(np.deg2rad(steer)) + wl / (E * spacing)
+    i_null = np.argmin(np.abs(u_grid - u_null))
+    assert P[i_null] < 0.05 * P.max(), (P[i_null], P.max())
+    # pattern matches the closed form across the sweep
+    corr = np.corrcoef(P, af)[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_phased_tx_steering_pattern():
+    """Phased transmitter steering: aperture-integrated tx gain peaks at
+    the steer angle (steering phases baked at the band-centre wavelength
+    via Scene.compile — regression for the lambda=1m bake bug)."""
+    from beifong_tpu.radar import phased_transmitter, cw
+    from beifong_tpu.radar.endpoints import tx_aperture_gain, _elem_locs
+    import jax
+
+    band = bt.band_preset("sonar_40k_narrow")
+    wl = band.wavelength_centre
+    E, steer = 8, -20.0
+    spacing = wl / 2.0
+    txs = phased_transmitter("tx", cw(40e3), n_elems=E, elem_spacing=spacing,
+                             elem_wid=(wl / 4, wl / 4), steer_deg=steer,
+                             resample_freq=True)
+    s = sc.Scene(band=band)
+    s.add(txs)
+    s.add(sh.rectangle(to_world=np.asarray(tf.scale(1.0)), transmitter="tx"))
+    sd = s.compile()
+
+    locs = _elem_locs(txs)
+    n = 1 << 13
+    key = jax.random.key(1)
+    hx = np.abs(locs[:, 0]).max() + wl / 4
+    px = (jax.random.uniform(key, (n,)) * 2 - 1) * hx
+    p = jnp.stack([px, jnp.zeros_like(px), jnp.zeros_like(px)], -1)
+
+    thetas = np.deg2rad(np.linspace(-60, 60, 121))
+    P = []
+    for th in thetas:
+        d = jnp.broadcast_to(
+            jnp.asarray([np.sin(th), 0.0, np.cos(th)], jnp.float32), (n, 3))
+        g = tx_aperture_gain(sd, jnp.zeros((n,), jnp.int32), p, d,
+                             jnp.full((n,), wl, jnp.float32))
+        P.append(float(jnp.mean(g)))
+    P = np.asarray(P)
+    th_peak = np.rad2deg(thetas[P.argmax()])
+    assert abs(th_peak - steer) < 2.5, th_peak
+    af = _array_factor(np.sin(thetas), locs[:, 0], wl, steer)
+    corr = np.corrcoef(P, af)[0, 1]
+    assert corr > 0.9, corr
