@@ -11,6 +11,7 @@ reference's embedded tables.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .config import Band
 
@@ -64,14 +65,16 @@ def cie1931_xyz(wl_nm):
 
 
 # Column-major sRGB (D65) <-> XYZ matrices.
-_XYZ_TO_SRGB = jnp.array([
+# numpy (not jnp): module-level device arrays would initialize the XLA
+# backend at import, which breaks jax.distributed.initialize ordering
+_XYZ_TO_SRGB = np.array([
     [3.240479, -1.537150, -0.498535],
     [-0.969256, 1.875991, 0.041556],
-    [0.055648, -0.204043, 1.057311]], jnp.float32)
-_SRGB_TO_XYZ = jnp.array([
+    [0.055648, -0.204043, 1.057311]], np.float32)
+_SRGB_TO_XYZ = np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
-    [0.019334, 0.119193, 0.950227]], jnp.float32)
+    [0.019334, 0.119193, 0.950227]], np.float32)
 
 
 def xyz_to_srgb(xyz):

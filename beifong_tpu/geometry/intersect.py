@@ -25,7 +25,7 @@ from ..core.math import safe_rsqrt, safe_sqrt, normalize, TwoPi
 from ..interaction import SurfaceInteraction
 from .shapes import RECTANGLE, SPHERE, DISK, CYLINDER, ShapeTable
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")   # python float: module-level jnp would init the backend at import
 
 
 def _object_ray(to_object, o, d):
