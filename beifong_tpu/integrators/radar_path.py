@@ -41,6 +41,7 @@ def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
 
     adc: (n_time, n_freq, C+2); t_off [s] receive-time offset; f_out [Hz].
     In coherent mode two channels (I, Q) accumulate sqrt(power)*e^{i phase}.
+    `value` may be (n,) power or (n, C) multi-channel (polarized Stokes).
     """
     x = (f_out - cfg.freq_lo) / max(cfg.freq_hi - cfg.freq_lo, 1e-30) * cfg.n_freq
     y = t_off / cfg.sampling_time * cfg.n_time
@@ -48,16 +49,92 @@ def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
     if coherent:
         amp = jnp.sqrt(jnp.maximum(value, 0.0))
         vals = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)], -1)
+    elif value.ndim == 2:
+        vals = value
     else:
         vals = value[:, None]
     return film_mod.splat(adc, pos, vals, active, cfg.rfilter)
+
+
+# ---------------------------------------------------------------------------
+# Polarized transport helpers (reference `*_polarized` variants,
+# `mitsuba.conf:120-123` + `include/mitsuba/render/mueller.h`)
+# ---------------------------------------------------------------------------
+
+
+def _perp_basis(d):
+    """An arbitrary transverse basis vector perpendicular to direction d."""
+    z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+    x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+    ref = jnp.where(jnp.abs(d[:, 2:3]) < 0.9, z[None], x[None])
+    b = jnp.cross(ref, d)
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-20)
+
+
+def _vertex_mueller(scene, bsdf_idx, d_rx_side, d_tx_side, pol_b):
+    """Mueller matrix of one path vertex for reverse-traced radar transport.
+
+    d_rx_side: reverse-ray arrival direction at the vertex (physical light
+    LEAVES the vertex along -d_rx_side, toward the receiver side);
+    d_tx_side: unit direction from the vertex toward the transmitter side
+    (physical light ARRIVES along -d_tx_side).  pol_b: transverse basis
+    (perpendicular to d_rx_side) in which the accumulated chain expects its
+    input Stokes.
+
+    Returns (M, s_axis): M = R(pol_b <- s/p frame) @ M_vertex with
+    M_vertex normalized so M[0,0] == 1 — the scalar Fresnel/albedo factor
+    already lives in the path throughput, so the matrix carries only the
+    polarization STRUCTURE (S0 of a polarized run equals the unpolarized
+    power exactly).  Conductor/dielectric families use
+    `mueller.specular_reflection` at the (half-vector) incidence angle;
+    everything else depolarizes (reference `mueller.h` + `depolarize`
+    semantics of diffuse scattering)."""
+    from .. import mueller as mu
+    from ..bsdf.tables import (CONDUCTOR, ROUGH_CONDUCTOR, DIELECTRIC,
+                               ROUGH_DIELECTRIC, THIN_DIELECTRIC)
+    i = jnp.maximum(bsdf_idx, 0)
+    typ = scene.bsdfs.type[i]
+    eta = jnp.maximum(scene.bsdfs.eta[i, 0], 1e-3)
+    kk = scene.bsdfs.k[i, 0]
+
+    # away-from-surface directions: in = d_tx_side, out = -d_rx_side
+    h = d_tx_side - d_rx_side
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    cos_i = jnp.clip(jnp.abs(jnp.sum(d_tx_side * h, axis=-1)), 1e-3, 1.0)
+
+    m_cond = mu.specular_reflection(cos_i, eta, kk)
+    m_diel = mu.specular_reflection(cos_i, eta)
+    m_cond = m_cond / jnp.maximum(m_cond[..., 0:1, 0:1], 1e-20)
+    m_diel = m_diel / jnp.maximum(m_diel[..., 0:1, 0:1], 1e-20)
+    m_depol = jnp.broadcast_to(mu.depolarizer(1.0), m_cond.shape)
+
+    is_cond = (typ == CONDUCTOR) | (typ == ROUGH_CONDUCTOR)
+    is_diel = ((typ == DIELECTRIC) | (typ == ROUGH_DIELECTRIC)
+               | (typ == THIN_DIELECTRIC))
+    m_sp = jnp.where(is_cond[:, None, None], m_cond,
+                     jnp.where(is_diel[:, None, None], m_diel, m_depol))
+
+    # s axis of the plane of incidence (perpendicular to both segments);
+    # degenerate at normal incidence -> fall back to pol_b (rotator -> I)
+    s_ax = jnp.cross(d_rx_side, d_tx_side)
+    s_n = jnp.linalg.norm(s_ax, axis=-1, keepdims=True)
+    s_ax = jnp.where(s_n > 1e-6, s_ax / jnp.maximum(s_n, 1e-20), pol_b)
+
+    # rotator aligning the vertex's s/p output frame to pol_b, around the
+    # physical out-propagation axis (-d_rx_side)
+    cos_a = jnp.clip(jnp.sum(s_ax * pol_b, axis=-1), -1.0, 1.0)
+    sin_a = jnp.sum(jnp.cross(s_ax, pol_b) * (-d_rx_side), axis=-1)
+    ang = jnp.arctan2(sin_a, cos_a)
+    m = mu.rotator(ang) @ m_sp
+    return m, s_ax
 
 
 def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
                         t_rx, f_rx, ray_weight, adc, cfg: ADCConfig,
                         receive_type: str, lo_wf, rx_velocity,
                         max_depth: int = 4, coherent: bool = False,
-                        time_sampling: str = 'fixed'):
+                        time_sampling: str = 'fixed',
+                        polarized: bool = False):
     """Trace one wavefront of receive rays, splatting every transmitter
     connection into `adc`.  Returns (adc, stream).
 
@@ -80,6 +157,14 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
     n = o.shape[0]
     c = scene.band.c
     gate = time_sampling == 'gate'
+    if polarized:
+        assert not coherent, "polarized + coherent not supported together"
+        # Accumulated Mueller chain of the rx-side path prefix (identity at
+        # the receiver) and the transverse basis its input Stokes uses.
+        # ADC gets 4 Stokes channels; S0 equals the unpolarized power
+        # (matrices are M00-normalized, scalars stay in `throughput`).
+        pol_M = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (n, 4, 4))
+        pol_b = _perp_basis(d)
 
     throughput = ray_weight
     active = jnp.ones((n,), bool)
@@ -187,9 +272,15 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ph_hit = wf_ph - ref_phase(t_rx_hit) + depth * seg_boundary
         else:
             ph_hit = None
+        if polarized:
+            # unpolarized tx Stokes e0 through the accumulated chain
+            val_hit = val_hit[:, None] * pol_M[:, :, 0]
+            ok_hit = hit_tx & (val_hit[:, 0] != 0.0)
+        else:
+            ok_hit = hit_tx & (val_hit != 0.0)
         adc = _adc_splat(adc, cfg, t_rx_hit - cfg.sampling_start,
                          bin_freq(f_recv_hit, t_rx_hit), val_hit,
-                         hit_tx & (val_hit != 0.0), ph_hit, coherent)
+                         ok_hit, ph_hit, coherent)
 
         # -------- NEE toward transmitters --------
         bsdf_idx = scene.bsdf_of(si.shape_idx)
@@ -236,9 +327,16 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ph_nee = wf_ph - ref_phase(t_rx_nee) + (depth + 1) * seg_boundary
         else:
             ph_nee = None
+        if polarized:
+            # the NEE vertex scatters tx light toward the rx-side segment
+            m_nee, _ = _vertex_mueller(scene, bsdf_idx, d_cur, ds.d, pol_b)
+            val_nee = val_nee[:, None] * (pol_M @ m_nee)[:, :, 0]
+            ok_nee = nee_ok & (val_nee[:, 0] != 0.0)
+        else:
+            ok_nee = nee_ok & (val_nee != 0.0)
         adc = _adc_splat(adc, cfg, t_rx_nee - cfg.sampling_start,
                          bin_freq(f_recv_nee, t_rx_nee), val_nee,
-                         nee_ok & (val_nee != 0.0), ph_nee, coherent)
+                         ok_nee, ph_nee, coherent)
 
         if depth == max_depth - 1:
             break
@@ -252,6 +350,13 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         alive = active & has_bsdf & (pdf_b > 0.0) & (throughput != 0.0)
 
         d_new = si.to_world(wo)
+        if polarized:
+            # extend the accumulated Mueller chain through this bounce; the
+            # chain's new input basis is the bounce's s/p frame on the
+            # tx-side segment
+            m_b, s_ax = _vertex_mueller(scene, bsdf_idx, d_cur, d_new, pol_b)
+            pol_M = jnp.where(alive[:, None, None], pol_M @ m_b, pol_M)
+            pol_b = jnp.where(alive[:, None], s_ax, pol_b)
         # bounce Doppler for the continued path
         dop = dop * (1.0 + jnp.sum((d_new - d_cur) * vel_here, axis=-1) / c)
         o_new = si.spawn_origin(d_new)

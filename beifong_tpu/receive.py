@@ -53,11 +53,11 @@ class _HashableRx:
 @functools.partial(jax.jit, static_argnames=('rx', 'shape_idx', 'n_lanes',
                                              'max_depth', 'coherent',
                                              'sampler', 'n_total_log2',
-                                             'time_sampling'))
+                                             'time_sampling', 'polarized'))
 def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
                   pass_idx, adc, n_lanes: int, max_depth: int, coherent: bool,
                   sampler: str = 'independent', n_total_log2: int = 20,
-                  time_sampling: str = 'fixed'):
+                  time_sampling: str = 'fixed', polarized: bool = False):
     cfg = rx.adc
     stream = make_stream(sampler, key, n_lanes, pass_idx, n_total_log2)
 
@@ -87,7 +87,7 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
     adc, stream = radar_receive_trace(
         scene_data, stream, o, d, t_rx, f_rx, w * f_w, adc, cfg,
         rx.receive_type, lo_wf, rx_vel, max_depth=max_depth,
-        coherent=coherent, time_sampling=time_sampling)
+        coherent=coherent, time_sampling=time_sampling, polarized=polarized)
     return adc
 
 
@@ -112,10 +112,14 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
             time_sampling: str = 'fixed', use_pallas: str | bool = False,
             checkpoint_path: str | None = None, checkpoint_every: int = 16,
-            resume: bool = False, timeout_s: float | None = None):
+            resume: bool = False, timeout_s: float | None = None,
+            polarized: bool = False):
     """Simulate the received signal; returns (adc_grid, total_samples).
 
-    adc_grid: (n_time, n_freq, C+2) with C=1 (power) or 2 (I/Q coherent).
+    adc_grid: (n_time, n_freq, C+2) with C=1 (power), 2 (I/Q coherent) or
+    4 (Stokes S0..S3 with `polarized=True` — the radar analogue of the
+    reference's `*_polarized` variants, `mitsuba.conf:120-123`; S0 equals
+    the unpolarized power).
     `sampler`: independent | stratified | multijitter | halton.
     `time_sampling`: 'fixed' (reference semantics) or 'gate' (deferred
     time-gated importance sampling — ~window/pulse_len x effective spp for
@@ -139,6 +143,11 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     """
     if scene_data is None:
         scene_data = scene.compile()
+    if use_pallas and polarized:
+        if use_pallas is True:
+            raise ValueError("polarized receive is outside the megakernel's "
+                             "scope (jnp wavefront only)")
+        use_pallas = False
     if use_pallas:
         from .integrators.pallas_receive import receive_pallas, supported
         why: list = []
@@ -169,7 +178,7 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
         receiver = scene.receivers[0]
     shape_idx = scene.shape_index_of_endpoint('receiver', receiver.id)
     cfg = receiver.adc
-    n_ch = 2 if coherent else 1
+    n_ch = 4 if polarized else (2 if coherent else 1)
     adc = film_mod.film_new(cfg.n_time, cfg.n_freq, n_ch)
 
     n_pass = max(1, (spp + lanes_per_pass - 1) // lanes_per_pass)
@@ -215,7 +224,7 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             adc = _receive_pass(scene_data, rx_h, shape_idx, lo, key,
                                 jnp.uint32(p), adc, lanes, max_depth,
                                 coherent, sampler, n_total_log2,
-                                time_sampling)
+                                time_sampling, polarized)
             done = p + 1
             at_ckpt = (checkpoint_path is not None
                        and done % max(checkpoint_every, 1) == 0)
