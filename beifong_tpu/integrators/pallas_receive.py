@@ -845,6 +845,8 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     from ..bsdf.tables import DIFFUSE
     if not set(scene_data.bsdfs.present) <= {DIFFUSE}:
         return no('non-diffuse BSDFs')
+    if (np.asarray(scene_data.bsdfs.texture_idx) >= 0).any():
+        return no('textured BSDFs (kernel packs scalar reflectance)')
     if rx.receive_type not in ('raw', 'mix_resample') and not (
             rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')

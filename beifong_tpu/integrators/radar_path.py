@@ -286,7 +286,10 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         bsdf_idx = scene.bsdf_of(si.shape_idx)
         has_bsdf = bsdf_idx >= 0
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
-        refl_scale = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
+        # per-lane wavelength feeds spectral-curve reflectance (reference
+        # evaluates textures at si.wavelengths — the ray's sampled lambda)
+        refl_scale = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx,
+                                  wl=c / jnp.maximum(f_rx, 1e-20))
 
         u_sel, stream = stream.next_1d()
         u_pos, stream = stream.next_2d()
@@ -315,8 +318,15 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         spawn_o = si.spawn_origin(ds.d)
         occluded = scene.ray_test(spawn_o, ds.d, ds.dist)
         wo_nee = si.to_local(ds.d)
+        # spectral reflectance of the NEE vertex at the connection's ACTUAL
+        # frequency: for delta-resampled transmitters f_emit is the chirp's
+        # instantaneous frequency, not the lane's receiver-sampled one (the
+        # reference evaluates at the ray's lambda — an approximation; same
+        # cost either way here, so take the exact value)
+        refl_nee = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx,
+                                wl=c / jnp.maximum(f_recv_nee, 1e-20))
         f_b, pdf_b_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
-                                       refl_scale)
+                                       refl_nee)
         mis = m.mis_weight(ds.pdf, pdf_b_nee)
         nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
         val_nee = throughput * f_b[:, 0] * w_nee * mis * w_gate_nee

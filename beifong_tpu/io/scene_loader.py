@@ -140,35 +140,103 @@ def _to_world_of(val):
     return _np4(tw)
 
 
+def _resolve_curve_refl(scene: Scene, val) -> dict:
+    """If a diffuse-family reflectance slot holds a curve-typed spectrum,
+    register a `spectrum_curve` texture evaluated per-wavelength along the
+    radar path and rewrite the slot to (reflectance=1, texture=id)."""
+    for key in ("reflectance", "diffuse_reflectance"):
+        curve = _curve_of(val.get(key))
+        if curve is not None:
+            from ..textures import spectrum_curve
+            tid = _gen_id("spectex")
+            scene.add(spectrum_curve(tid, wavelengths=curve[0],
+                                     values=curve[1], band=scene.band))
+            val = dict(val)
+            val[key] = 1.0
+            val["texture"] = tid
+    return val
+
+
 def _load_bsdf(scene: Scene, val, id_hint=None) -> str:
     t = val["type"]
     bid = val.get("id", id_hint or _gen_id("bsdf"))
     if t == "twosided":
         nested = next(v for v in val.values()
                       if isinstance(v, dict) and v.get("type") in _BSDF_TYPES)
-        inner = dict(nested, id=bid)
-        spec = _bsdf_spec(inner)
+        inner = _resolve_curve_refl(scene, dict(nested, id=bid))
+        spec = _bsdf_spec(inner, band=scene.band)
         spec.twosided = True
         scene.add(spec)
         return bid
-    spec = _bsdf_spec(dict(val, id=bid))
+    spec = _bsdf_spec(_resolve_curve_refl(scene, dict(val, id=bid)),
+                      band=scene.band)
     scene.add(spec)
     return bid
 
 
-def _refl_of(val, key="reflectance", default=0.5):
+_CURVE_SPECTRA = {"regular", "irregular", "d65", "srgb_d65"}
+
+
+def _floats(v):
+    if isinstance(v, str):
+        return np.asarray([float(x) for x in v.replace(",", " ").split()],
+                          np.float64)
+    return np.asarray(v, np.float64).reshape(-1)
+
+
+def _curve_of(r):
+    """(wavelengths [m], values) if `r` is a curve-typed spectrum dict
+    (reference `src/spectra/{regular,irregular,d65}.cpp`), else None.
+    Wavelengths are SI metres; the XML path converts from the reference's
+    nm units before this sees them."""
+    if not isinstance(r, dict):
+        return None
+    t = r.get("type")
+    if t == "irregular":
+        return _floats(r["wavelengths"]), _floats(r["values"])
+    if t == "regular":
+        v = _floats(r["values"])
+        return (np.linspace(float(r["lambda_min"]), float(r["lambda_max"]),
+                            max(v.size, 2)),
+                v if v.size > 1 else np.repeat(v, 2))
+    if t == "d65":
+        from ..core import spectrum as spec_mod
+        return spec_mod.d65_curve(float(r.get("scale", 1.0)))
+    if t == "srgb_d65":
+        # RGB modulating the D65 illuminant; collapse the RGB to luminance
+        # (non-visible bands cannot resolve hue) and carry the D65 shape
+        from ..core import spectrum as spec_mod
+        col = _floats(r.get("color", r.get("value", 1.0)))
+        lum = (float(col[0]) if col.size == 1 else
+               float(0.2126 * col[0] + 0.7152 * col[1] + 0.0722 * col[2]))
+        return spec_mod.d65_curve(lum)
+    return None
+
+
+def _refl_of(val, key="reflectance", default=0.5, band=None):
+    """Scalar/RGB reflectance value; curve-typed spectra collapse to their
+    band mean (callers that can evaluate per-wavelength create a
+    `spectrum_curve` texture instead — see `_load_bsdf`)."""
     r = val.get(key, default)
+    curve = _curve_of(r)
+    if curve is not None:
+        from ..textures import spectrum_curve
+        spec = spectrum_curve("_tmp", wavelengths=curve[0], values=curve[1],
+                              band=band)
+        return spec.color0[0] if band is not None else float(curve[1].mean())
     if isinstance(r, dict):
         # {"type":"spectrum"/"rgb", "value": x}
         return r.get("value", default)
     return r
 
 
-def _bsdf_spec(val) -> bt.BSDFSpec:
+def _bsdf_spec(val, band=None) -> bt.BSDFSpec:
     t = val["type"]
     bid = val["id"]
+    tex = val.get("texture")
     if t == "diffuse":
-        return bt.diffuse(bid, reflectance=_refl_of(val))
+        return bt.diffuse(bid, reflectance=_refl_of(val, band=band),
+                          texture=tex)
     if t == "conductor":
         return bt.conductor(bid, eta=val.get("eta", 0.2), k=val.get("k", 3.0))
     if t == "roughconductor":
@@ -180,11 +248,15 @@ def _bsdf_spec(val) -> bt.BSDFSpec:
     if t == "thindielectric":
         return bt.thin_dielectric(bid, int_ior=_ior(val.get("int_ior", 1.5046)))
     if t == "plastic":
-        return bt.plastic(bid, diffuse_reflectance=_refl_of(val, "diffuse_reflectance"))
+        return bt.plastic(bid,
+                          diffuse_reflectance=_refl_of(
+                              val, "diffuse_reflectance", band=band),
+                          texture=tex)
     if t == "roughplastic":
         return bt.rough_plastic(bid,
-                                diffuse_reflectance=_refl_of(val, "diffuse_reflectance"),
-                                alpha=val.get("alpha", 0.1))
+                                diffuse_reflectance=_refl_of(
+                                    val, "diffuse_reflectance", band=band),
+                                alpha=val.get("alpha", 0.1), texture=tex)
     if t == "null":
         return bt.null(bid)
     raise ValueError(f"unsupported bsdf {t}")
@@ -251,24 +323,24 @@ def _load_emitter(scene: Scene, val, attached=False):
     eid = val.get("id", _gen_id("em"))
     tw = _to_world_of(val)
     if t in ("area", "wigner", "coherent", "incoherent"):
-        spec = em.area(eid, radiance=_refl_of(val, "radiance", 1.0))
+        spec = em.area(eid, radiance=_refl_of(val, "radiance", 1.0, band=scene.band))
     elif t == "point":
-        spec = em.point(eid, intensity=_refl_of(val, "intensity", 1.0),
+        spec = em.point(eid, intensity=_refl_of(val, "intensity", 1.0, band=scene.band),
                         position=val.get("position", tw[:3, 3]))
     elif t == "spot":
-        spec = em.spot(eid, intensity=_refl_of(val, "intensity", 1.0),
+        spec = em.spot(eid, intensity=_refl_of(val, "intensity", 1.0, band=scene.band),
                        cutoff_angle=val.get("cutoff_angle", 20.0),
                        beam_width=val.get("beam_width"), to_world=tw)
     elif t == "directional":
-        spec = em.directional(eid, irradiance=_refl_of(val, "irradiance", 1.0),
+        spec = em.directional(eid, irradiance=_refl_of(val, "irradiance", 1.0, band=scene.band),
                               direction=val.get("direction", (0, 0, -1)))
     elif t in ("constant", "envmap"):
-        spec = em.constant(eid, radiance=_refl_of(val, "radiance", 1.0))
+        spec = em.constant(eid, radiance=_refl_of(val, "radiance", 1.0, band=scene.band))
     elif t == "pointbeam":
-        spec = em.pointbeam(eid, intensity=_refl_of(val, "intensity", 1.0),
+        spec = em.pointbeam(eid, intensity=_refl_of(val, "intensity", 1.0, band=scene.band),
                             beam_width=val.get("beam_width", 15.0), to_world=tw)
     elif t == "phased":
-        spec = em.area(eid, radiance=_refl_of(val, "power", 1.0))
+        spec = em.area(eid, radiance=_refl_of(val, "power", 1.0, band=scene.band))
     else:
         raise ValueError(f"unsupported emitter {t}")
     scene.add(spec)
@@ -339,7 +411,7 @@ def _load_transmitter(scene: Scene, val, attached=False):
     if t == "wignertransmitter":
         spec = wigner_transmitter(tid, wf, gain=gain, resample_freq=res)
         if "radiance" in val:
-            spec._proxy_radiance = float(np.ravel(_refl_of(val, "radiance", 1.0))[0])
+            spec._proxy_radiance = float(np.ravel(_refl_of(val, "radiance", 1.0, band=scene.band))[0])
         scene.add(spec)
     elif t == "phasedtransmitter":
         scene.add(phased_transmitter(
@@ -435,16 +507,25 @@ def load_xml(path: str, defaults: dict | None = None, band: Band = ULTRASOUND_40
                 out[name] = subst(ch.get("value")).lower() == "true"
             elif tag in ("string",):
                 out[name] = subst(ch.get("value"))
+            elif tag in ("spectrum", "rgb") and ch.get("type"):
+                # plugin-form spectrum, e.g. <spectrum type="d65"> (reference
+                # src/spectra/*.cpp); wavelengths arrive in nm -> convert SI
+                sub = conv(ch)
+                for k in ("wavelengths", "lambda_min", "lambda_max"):
+                    if k in sub:
+                        sub[k] = (_floats(sub[k]) * 1e-9).tolist() \
+                            if k == "wavelengths" else float(sub[k]) * 1e-9
+                out[name] = sub
             elif tag in ("spectrum", "rgb"):
                 v = subst(ch.get("value"))
                 toks = v.replace(",", " ").split()
                 if any(":" in t for t in toks):
-                    # irregular spectrum "wavelength:value" pairs (reference
-                    # src/spectra/irregular.cpp); collapse to the mean value
-                    # over the band — bands are runtime config here
+                    # inline irregular spectrum "wavelength:value" pairs
+                    # (reference src/spectra/irregular.cpp); nm -> m
+                    wls = [float(t.split(":")[0]) * 1e-9 for t in toks]
                     vals = [float(t.split(":")[1]) for t in toks]
-                    out[name] = {"type": "spectrum",
-                                 "value": float(np.mean(vals))}
+                    out[name] = {"type": "irregular",
+                                 "wavelengths": wls, "values": vals}
                 else:
                     vals = [float(x) for x in toks]
                     out[name] = {"type": "spectrum",
