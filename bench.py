@@ -38,27 +38,28 @@ def main():
     shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
     rx_h = _HashableRx(rx)
 
-    n_lanes = 1 << 20
     max_depth = 3
-    n_iter = 8
-    n_blocks = 3   # median-of-blocks: tunnel / host noise made single-shot
-    #              # driver runs vary 173-237 M on identical code (r1->r2)
 
     if supported(sd_full, rx):
-        # Pallas megakernel path (the production hot loop)
+        # Pallas megakernel path (the production hot loop).  One LARGE call:
+        # the kernel grid scales with spp, and each dispatch over the
+        # tunneled chip costs ~8-24 ms of fixed host/RPC overhead — round-1's
+        # 8x 1M-lane calls measured dispatch latency (173-237 M/s,
+        # run-to-run jitter), while a single 256M-lane call runs the kernel
+        # at its real ~920 M samples/s within +-1%.
+        n_lanes = 1 << 28
+        n_blocks = 4
         out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=0,
                                  max_depth=max_depth, time_sampling='gate')
         jax.block_until_ready(out)
         rates = []
         for b in range(n_blocks):
             t0 = time.perf_counter()
-            for i in range(n_iter):
-                out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes,
-                                         seed=b * n_iter + i + 1,
-                                         max_depth=max_depth,
-                                         time_sampling='gate')
+            out, nn = receive_pallas(s, sd_full, rx, spp=n_lanes, seed=b + 1,
+                                     max_depth=max_depth,
+                                     time_sampling='gate')
             jax.block_until_ready(out)
-            rates.append(n_iter * n_lanes / (time.perf_counter() - t0))
+            rates.append(n_lanes / (time.perf_counter() - t0))
         samples_per_s = sorted(rates)[len(rates) // 2]
         print(json.dumps({
             "metric": "radar_receive_samples_per_s_per_chip",
@@ -68,6 +69,8 @@ def main():
         }))
         return 0
 
+    n_lanes = 1 << 20
+    n_iter = 8
     adc = film_mod.film_new(rx.adc.n_time, rx.adc.n_freq, 1)
     key = jax.random.key(0)
 
