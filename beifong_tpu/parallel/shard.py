@@ -137,9 +137,10 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
                                         scene_data.band, t_rx, u_f, cfg)
         u_pos, stream = stream.next_2d()
         u_dir, stream = stream.next_2d()
-        o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
-        w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d,
-                                   scene_data.band.c / jnp.maximum(f_rx, 1e-6))
+        wl_rx = scene_data.band.c / jnp.maximum(f_rx, 1e-6)
+        o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir,
+                                wavelength=wl_rx)
+        w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d, wl_rx)
         adc = film_mod.film_new(cfg.n_time, cfg.n_freq, n_ch)
         adc, _ = radar_receive_trace(
             scene_data, stream, o, d, t_rx - t_start, f_rx, w * f_w, adc, cfg,

@@ -419,10 +419,20 @@ def tx_pdf_direction(scene, tx_idx, dist, cos_at_tx):
 
 
 def rx_sample_ray(scene, rx_spec: ReceiverSpec, shape_idx: int, time,
-                  u_pos, u_dir):
+                  u_pos, u_dir, wavelength=None):
     """Sample the receive ray: position on the antenna + direction, with the
     aperture WDF importance weight (reference
     `wignerreceiver.cpp::sample_ray_differential:208-269`).
+
+    For rectangle apertures the direction is drawn from a 50/50 mixture of
+    the cosine hemisphere and a power-cosine lobe whose width matches the
+    aperture WDF mainlobe (first null at sin(theta) = lambda/2w), so
+    directive antennas (w >> lambda) no longer waste ~all lanes outside the
+    beam — the signed WDF weight stays in the estimator, only the sampling
+    density changes (unbiased; reference samples pure cosine,
+    `wignerreceiver.cpp:208-269`, which is the variance smell the round-1
+    review flagged).  Branch selection rescales u_dir[:,0], keeping the QMC
+    stream layout unchanged.
 
     Returns (o, d, weight).
     """
@@ -465,13 +475,39 @@ def rx_sample_ray(scene, rx_spec: ReceiverSpec, shape_idx: int, time,
 
     idxs = jnp.full((n,), shape_idx, jnp.int32)
     p, nrm, pdf_a, _ = sample_position(scene.shapes, idxs, u_pos)
-    d_local = warp.square_to_cosine_hemisphere(u_dir)
+    if wavelength is None:
+        d_local = warp.square_to_cosine_hemisphere(u_dir)
+        frame = tfm.frame_from_normal(nrm)
+        d = tfm.to_world(frame, d_local)
+        o = p + 1e-4 * nrm
+        # cosine-hemisphere pdf cancels cos; position pdf -> x area
+        base_w = Pi / jnp.maximum(pdf_a, 1e-20)
+        return o, d, base_w * rx_spec.gain
+
+    tw = scene.shapes.to_world[shape_idx]
+    w_min = jnp.minimum(jnp.linalg.norm(tw[:3, 0]), jnp.linalg.norm(tw[:3, 1]))
+    # power-cosine exponent matching the WDF mainlobe: lobe rms angle
+    # sqrt(2/(k+2)) ~= 0.6 * lambda/(2 w_min)
+    k = jnp.maximum(2.0 * (2.0 * w_min / (0.6 * wavelength)) ** 2 - 2.0, 0.0)
+    pick_lobe = u_dir[:, 0] >= 0.5
+    u0 = jnp.where(pick_lobe, 2.0 * u_dir[:, 0] - 1.0, 2.0 * u_dir[:, 0])
+    u1 = u_dir[:, 1]
+    # cosine branch
+    d_cos = warp.square_to_cosine_hemisphere(jnp.stack([u0, u1], -1))
+    # lobe branch: cos(theta) = u^(1/(k+1)), phi = 2 pi u1
+    ct = jnp.power(jnp.maximum(u0, 1e-12), 1.0 / (k + 1.0))
+    st = jnp.sqrt(jnp.maximum(1.0 - ct * ct, 0.0))
+    phi = TwoPi * u1
+    d_lobe = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi), ct], -1)
+    d_local = jnp.where(pick_lobe[:, None], d_lobe, d_cos)
+    cos_t = jnp.maximum(d_local[:, 2], 0.0)
+    pdf_dir = (0.5 * cos_t / Pi
+               + 0.5 * (k + 1.0) / TwoPi * jnp.power(jnp.maximum(cos_t, 1e-12), k))
     frame = tfm.frame_from_normal(nrm)
     d = tfm.to_world(frame, d_local)
     o = p + 1e-4 * nrm
-    # cosine-hemisphere pdf cancels cos; position pdf -> x area
-    base_w = Pi / jnp.maximum(pdf_a, 1e-20)
-    return o, d, base_w * rx_spec.gain
+    w = cos_t / jnp.maximum(pdf_dir * pdf_a, 1e-30)
+    return o, d, w * rx_spec.gain
 
 
 def rx_aperture_weight(scene, rx_spec: ReceiverSpec, shape_idx: int,

@@ -78,10 +78,11 @@ def _receive_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
 
     u_pos, stream = stream.next_2d()
     u_dir, stream = stream.next_2d()
-    o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir)
+    wl_rx = scene_data.band.c / jnp.maximum(f_rx, 1e-6)
+    o, d, w = rx_sample_ray(scene_data, rx, shape_idx, t_rx, u_pos, u_dir,
+                            wavelength=wl_rx)
     # receiver aperture WDF directivity (signed; reference wignerreceiver)
-    w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d,
-                               scene_data.band.c / jnp.maximum(f_rx, 1e-6))
+    w = w * rx_aperture_weight(scene_data, rx, shape_idx, o, d, wl_rx)
 
     rx_vel = jnp.asarray(rx.velocity)
     adc, stream = radar_receive_trace(

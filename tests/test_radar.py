@@ -159,29 +159,82 @@ def test_film_mode_range_profile():
 
 def test_time_gate_importance_sampling():
     """Deferred time-gate sampling must reproduce the fixed-time estimator
-    (same peak, consistent energy) at a fraction of the samples."""
+    (same peak, consistent energy) at a fraction of the samples.
+
+    Scene choices are variance-motivated, not physics-motivated: the target
+    fits inside the rx WDF mainlobe (half-angle 3.6 deg < first null at
+    4.9 deg) so the signed-sinc cancellation that dominates larger targets
+    is absent, and fixed mode uses the stratified sampler so the number of
+    in-gate time draws per batch is near-deterministic.  Measured over 8
+    seeds: fixed rel-std 0.17 (multijitter, 32k spp), gate rel-std ~0.14
+    (independent, 8k spp) -> the rel=0.2 bound is ~2.5 sigma (was rel=0.7
+    before the WDF-mainlobe mixture direction sampler in rx_sample_ray)."""
     R = 4.0
-    pulse_len = 2e-3
-    s, rx = _point_target_scene(R=R, pulse_len=pulse_len)
+    pulse_len = 6e-3
+    s, rx = _point_target_scene(R=R, pulse_len=pulse_len, target_size=0.25)
     sd = s.compile()
     f_tot, g_tot = [], []
     f_prof = g_prof = 0
-    for seed in range(3):
+    for seed in range(8):
         a, n = receive(s, sd, rx, seed=seed, spp=1 << 15, max_depth=2,
-                       time_sampling='fixed')
+                       time_sampling='fixed', sampler='multijitter')
         sig = np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
         f_prof = f_prof + sig
         f_tot.append(sig.sum())
-        a, n = receive(s, sd, rx, seed=seed, spp=1 << 12, max_depth=2,
+        a, n = receive(s, sd, rx, seed=seed, spp=1 << 13, max_depth=2,
                        time_sampling='gate')
         sig = np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
         g_prof = g_prof + sig
         g_tot.append(sig.sum())
-    # same round-trip peak bin, consistent total energy (gate uses 8x fewer
-    # samples and still has lower spread)
+    # same round-trip peak bin, consistent total energy (gate uses 4x fewer
+    # samples and still has comparable spread)
     assert abs(int(np.argmax(f_prof)) - int(np.argmax(g_prof))) <= 1
-    # fixed-mode totals are heavy-tailed (few gated samples); loose bound
-    assert np.mean(g_tot) == pytest.approx(np.mean(f_tot), rel=0.7)
+    assert np.mean(g_tot) == pytest.approx(np.mean(f_tot), rel=0.2)
+
+
+def test_rx_aperture_mixture_variance():
+    """The WDF-mainlobe mixture direction sampler (rx_sample_ray with a
+    wavelength) must estimate the same first-bounce flux as plain cosine
+    sampling (wavelength=None) with materially lower variance for a
+    directive aperture (w/lambda ~ 5.9 here).  This pins the measured
+    variance ratio the round-1 review asked for."""
+    import jax
+    from beifong_tpu.radar.endpoints import rx_sample_ray, rx_aperture_weight
+
+    s, rx = _point_target_scene(R=4.0, pulse_len=2e-3)
+    sd = s.compile()
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+    lam = C / 40e3
+
+    # target rect: unit square at y=-4 facing +y (world x/z in [-0.5, 0.5])
+    def batch_means(wavelength, n_batch=48, n=4096):
+        vals = []
+        for b in range(n_batch):
+            key = jax.random.key(b)
+            u_pos = jax.random.uniform(key, (n, 2))
+            u_dir = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2))
+            t = jnp.zeros((n,))
+            o, d, w = rx_sample_ray(sd, rx, shape_idx, t, u_pos, u_dir,
+                                    wavelength=wavelength)
+            w = w * rx_aperture_weight(sd, rx, shape_idx, o, d, lam)
+            o, d, w = np.asarray(o), np.asarray(d), np.asarray(w)
+            tt = (-4.0 - o[:, 1]) / np.where(np.abs(d[:, 1]) > 1e-9,
+                                             d[:, 1], 1e-9)
+            hx = o[:, 0] + tt * d[:, 0]
+            hz = o[:, 2] + tt * d[:, 2]
+            hit = (tt > 0) & (np.abs(hx) <= 0.5) & (np.abs(hz) <= 0.5)
+            vals.append(float(np.mean(w * hit)))
+        return np.array(vals)
+
+    mix = batch_means(lam)
+    cos = batch_means(None)
+    # unbiasedness: means agree within combined standard error
+    se = np.hypot(mix.std() / np.sqrt(mix.size), cos.std() / np.sqrt(cos.size))
+    assert abs(mix.mean() - cos.mean()) < 4 * se, (
+        f"mixture {mix.mean():.4g} vs cosine {cos.mean():.4g}, se {se:.2g}")
+    # measured variance ratio (>= 2x was observed; assert a safe floor)
+    ratio = cos.var() / max(mix.var(), 1e-300)
+    assert ratio > 1.5, f"variance ratio {ratio:.2f}"
 
 
 def test_doppler_shift_moving_target():
