@@ -243,6 +243,33 @@ def wlfrac_phase(acc):
     return TwoPi * _frac_renorm(*acc)[0]
 
 
+def ds_mul(x, y):
+    """(hi,lo) * (hi,lo) -> (hi,lo) (~2^-46 relative)."""
+    xh, xl = x
+    yh, yl = y
+    p, e = two_prod(xh, yh)
+    e = e + xh * yl + xl * yh
+    return two_sum(p, e)
+
+
+def ds_const(v):
+    """Split a Python float (f64, known at trace time) into an f32 (hi, lo)
+    pair with hi + lo == v to ~2^-48 relative."""
+    import numpy as np
+    hi = np.float32(v)
+    lo = np.float32(np.float64(v) - np.float64(hi))
+    return jnp.float32(hi), jnp.float32(lo)
+
+
+def cyc_frac_prod(a_ds, b):
+    """frac((a_hi + a_lo) * b) for f32 array b — exact-for-inputs cycle
+    count of a big product (e.g. carrier freq x time), in [0, 1)."""
+    ah, al = a_ds
+    p, e = two_prod(jnp.broadcast_to(jnp.float32(ah), jnp.shape(b)), b)
+    fr = (p - jnp.floor(p)) + (e + al * b)
+    return fr - jnp.floor(fr)
+
+
 def wlfrac_add_phase(acc, phase_rad):
     """Add a raw phase offset (e.g. per-bounce boundary phase MTS_P,
     reference `spectrum.h:36-40`) in radians to the cycle accumulator."""

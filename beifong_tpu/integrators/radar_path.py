@@ -199,23 +199,10 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             return lo_freq(t_rx_conn) - f_recv
         return f_recv
 
-    def ref_phase(t):
-        """Local-oscillator reference phase at receive time: the coherent
-        baseband phase of a connection is wf_phase(t_emit) - ref_phase(t_rx)
-        (+ boundary phases) — carrier downconversion.  Range information
-        enters through t_rx = t_emit + path delay, giving the classic
-        -2 pi f tau echo phase without a separate propagation term."""
-        if lo_wf is not None:
-            return lo_wf.phase(t)
-        fc = 0.5 * (scene.band.freq_min + scene.band.freq_max)
-        # compensated frac(f*t): f*t can be >> 2^24 cycles
-        p, e = m.two_prod(jnp.float32(fc), t)
-        fr = (p - jnp.floor(p)) + e
-        return m.TwoPi * (fr - jnp.floor(fr))
-
     def gate_times(tau, tx_row, u_g):
         """Deferred emission-time sample for connections with delay tau.
-        Returns (t_emit, t_rx_conn, weight_factor)."""
+        Returns (t_emit, t_rx_conn, weight_factor, k_pri) where k_pri is the
+        integer count of whole PRIs the receive time was shifted by."""
         wf = scene.transmitters.wf
         from ..radar.waveform import CW
         t_ext = wf.t_ext[tx_row]
@@ -233,7 +220,7 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         t_recv = t_recv + k / jnp.maximum(prf, 1e-12)
         t_emit = t_emit0
         w = sup / window
-        return t_emit, t_recv, w
+        return t_emit, t_recv, w, k
 
     med = scene.medium
 
@@ -257,10 +244,10 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         f_at_tx = f_rx / jnp.maximum(dop, 1e-6)
         if gate:
             u_g, stream = stream.next_1d()
-            t_emit_hit, t_rx_hit, w_gate = gate_times(
+            t_emit_hit, t_rx_hit, w_gate, k_hit = gate_times(
                 -time, jnp.maximum(tx_idx, 0), u_g)
         else:
-            t_emit_hit, t_rx_hit, w_gate = time, t_rx, 1.0
+            t_emit_hit, t_rx_hit, w_gate, k_hit = time, t_rx, 1.0, 0.0
         w_hit, f_emit_hit = tx_eval(scene, tx_idx, si.p, -d_cur, cos_hit,
                                     t_emit_hit, f_at_tx,
                                     c / jnp.maximum(f_at_tx, 1e-6))
@@ -268,8 +255,9 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         val_hit = throughput * emission_weight * w_hit * w_gate
         if coherent:
             tx_row = jnp.maximum(tx_idx, 0)
-            wf_ph = jnp.where(hit_tx, _wf_phase(scene, tx_row, t_emit_hit), 0.0)
-            ph_hit = wf_ph - ref_phase(t_rx_hit) + depth * seg_boundary
+            ph_hit = _echo_phase(scene, tx_row, lo_wf, plen, 0.0,
+                                 t_emit_hit, k_hit, t_rx_hit,
+                                 depth, seg_boundary)
         else:
             ph_hit = None
         if polarized:
@@ -300,14 +288,15 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ds, tx_row_g, cos_tx_g = tx_sample_geom(scene, si.p, u_sel, u_pos)
             tau_nee = -time + ds.dist / c
             u_g2, stream = stream.next_1d()
-            t_emit_s, t_rx_nee, w_gate_nee = gate_times(tau_nee, tx_row_g, u_g2)
+            t_emit_s, t_rx_nee, w_gate_nee, k_nee = gate_times(tau_nee,
+                                                               tx_row_g, u_g2)
             ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
                 scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos,
                 t_emit_override=t_emit_s)
         else:
             ds, w_nee, f_emit_nee, t_emit, tx_row = tx_sample_direction(
                 scene, si.p, time, f_rx / jnp.maximum(dop, 1e-6), u_sel, u_pos)
-            t_rx_nee, w_gate_nee = t_rx, 1.0
+            t_rx_nee, w_gate_nee, k_nee = t_rx, 1.0, 0.0
         # per-connection Doppler: vertex bounce + tx motion
         dop_vtx = 1.0 + jnp.sum((ds.d - d_cur) * vel_here, axis=-1) / c
         tx_vel = scene.transmitters.velocity[tx_row]
@@ -333,8 +322,9 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         if med is not None:
             val_nee = val_nee * med.transmittance(ds.dist)
         if coherent:
-            wf_ph = _wf_phase(scene, tx_row, t_emit)
-            ph_nee = wf_ph - ref_phase(t_rx_nee) + (depth + 1) * seg_boundary
+            ph_nee = _echo_phase(scene, tx_row, lo_wf, plen, ds.dist,
+                                 t_emit, k_nee, t_rx_nee,
+                                 depth + 1, seg_boundary)
         else:
             ph_nee = None
         if polarized:
@@ -385,9 +375,114 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
     return adc, stream
 
 
-def _wf_phase(scene, tx_row, t):
+def _h_cycles(kind, fc_x, t_ext, f_ext, tm_ds, fc_ref_ds):
+    """Small-argument waveform cycles h(tm) = g(tm) - fc_ref*tm (mod 1).
+
+    g is the folded carrier/chirp cycle count of `Waveform.phase`
+    (waveform.py:72-80); subtracting the fc_ref*tm pivot removes the only
+    term whose f32 rounding exceeds a cycle at MMW frequencies.  `tm_ds` is
+    the folded time as a double-single pair — the chirp's quadratic term has
+    sensitivity s*dtc up to sweep/2 Hz, so even ulp(tm) matters.  Every
+    product is an error-free two_prod of the (rounded) inputs:
+      tone:  (fc_x - fc_ref) * tm
+      chirp: (fc_x - fc_ref) * tm - fc_x*ti + 0.5*s*(tm - ti)^2
+    """
+    from ..radar.waveform import LINFMCW
+    tm_hi, tm_lo = tm_ds
+    fr_hi, fr_lo = fc_ref_ds
+    # delta-f as a ds pair: (fc_x - hi) is Sterbenz-exact when close
+    df_hi = fc_x - fr_hi
+    p, e = m.two_prod(df_hi, tm_hi)
+    cyc = (p - jnp.floor(p)) + (e + df_hi * tm_lo - fr_lo * (tm_hi + tm_lo))
+
+    ti = 0.5 * t_ext
+    s = f_ext / jnp.maximum(t_ext, 1e-12)
+    d0, e0 = m.two_sum(tm_hi, -ti)
+    dtc_hi, dtc_lo = d0, e0 + tm_lo
+    p2, e2 = m.two_prod(fc_x, ti)
+    sd_hi, sd_lo = m.two_prod(s, dtc_hi)
+    q_hi, q_lo = m.two_prod(sd_hi, 0.5 * dtc_hi)
+    chirp_extra = ((q_hi - jnp.floor(q_hi)) + q_lo
+                   + 0.5 * sd_lo * dtc_hi + sd_hi * dtc_lo
+                   - ((p2 - jnp.floor(p2)) + e2))
+    cyc = cyc + jnp.where(kind == LINFMCW, chirp_extra, 0.0)
+    return cyc - jnp.floor(cyc)
+
+
+def _echo_phase(scene, tx_row, lo_wf, plen_ds, extra_dist, t_emit, k_pri,
+                t_recv, n_boundary, boundary_phase):
+    """Coherent baseband phase of one transmitter connection [rad].
+
+    Mathematically identical (mod 2 pi) to
+    `wf.phase(t_emit) - ref_phase(t_recv)` but computed from the
+    propagation delay tau = (plen + extra_dist)/c, which is known to
+    ~2^-46 relative through the double-single path length — the direct
+    time difference loses whole cycles at MMW (f * ulp(t_recv) ~= 5.6
+    cycles at 94 GHz with millisecond receive times; VERDICT weak #7).
+
+    Decomposition (cycles, everything mod 1):
+      phi0_tx - phi0_lo + h_tx(tm_e) - h_lo(tm_r)
+        - frac(fc_ref * tau) - (m_e + k_pri) * frac(fc_ref * PRI_tx)
+        + m_r * frac(fc_ref * PRI_lo)
+    with tm/m the PRI folds of emission/receive time, fc_ref the static
+    band centre, and every big product an exact two_prod (core/math.py).
+    `k_pri` is the whole-PRI shift gate mode applied to t_recv (0 fixed).
+    """
+    band = scene.band
+    c = band.c
+    fc_ref = 0.5 * (band.freq_min + band.freq_max)   # static python f64
+    fc_ref_ds = m.ds_const(fc_ref)
+
     wfr = jax.tree_util.tree_map(lambda x: x[tx_row], scene.transmitters.wf)
-    return wfr.phase(t)
+    prf = jnp.maximum(wfr.rep_freq, 1e-12)
+    pri = 1.0 / prf
+
+    # tau cycles at fc_ref from the compensated path length
+    acc = m.wlfrac_zero(plen_ds[0].shape)
+    inv_wl = m.ds_const(fc_ref / c)                  # 1/lambda_ref, exact ds
+    acc = m.wlfrac_add_dist(acc, plen_ds[0], inv_wl)
+    acc = m.wlfrac_add_dist(acc, extra_dist, inv_wl)
+    # low word separately: adding it to extra_dist first would round it away
+    acc = m.wlfrac_add_dist(acc, plen_ds[1], inv_wl)
+    cyc_tau = m._frac_renorm(*acc)[0]
+
+    # emission fold
+    m_e = jnp.floor(t_emit * prf)
+    tm_e = t_emit - m_e * pri
+    cyc = (wfr.phi0 * jnp.float32(m.InvTwoPi)
+           + _h_cycles(wfr.kind, wfr.f_centre, wfr.t_ext, wfr.f_ext,
+                       (tm_e, jnp.zeros_like(tm_e)), fc_ref_ds)
+           - cyc_tau
+           - (m_e + k_pri) * m.cyc_frac_prod(fc_ref_ds, pri))
+
+    if lo_wf is not None:
+        prf_lo = jnp.maximum(lo_wf.rep_freq, 1e-12)
+        pri_lo = 1.0 / prf_lo
+        m_r = jnp.floor(t_recv * prf_lo)
+        tm_r0 = t_recv - m_r * pri_lo
+        # high-precision receive fold: when tau + tm_e - tm_r is a whole
+        # number of LO PRIs (matched dechirp), rebuild tm_r from the ds
+        # delay so h_lo sees a sub-wavelength-accurate argument
+        tau_f = (plen_ds[0] + plen_ds[1] + extra_dist) / c
+        jr = (tau_f + tm_e - tm_r0) * prf_lo
+        j = jnp.round(jr)
+        tau_ds = m.ds_mul(m.ds_add_f(plen_ds, extra_dist),
+                          m.ds_const(1.0 / c))
+        jp_hi, jp_lo = m.two_prod(j, pri_lo)
+        delta = m.ds_add(tau_ds, (-jp_hi, -jp_lo))
+        hp_hi, hp_e = m.two_sum(tm_e, delta[0])
+        hp = (hp_hi, hp_e + delta[1])
+        use_hp = jnp.abs(jr - j) < 1e-3
+        tm_r = (jnp.where(use_hp, hp[0], tm_r0),
+                jnp.where(use_hp, hp[1], 0.0))
+        cyc = (cyc
+               - lo_wf.phi0 * jnp.float32(m.InvTwoPi)
+               - _h_cycles(lo_wf.kind, lo_wf.f_centre, lo_wf.t_ext,
+                           lo_wf.f_ext, tm_r, fc_ref_ds)
+               + m_r * m.cyc_frac_prod(fc_ref_ds, pri_lo))
+
+    cyc = cyc + n_boundary * (boundary_phase * jnp.float32(m.InvTwoPi))
+    return m.TwoPi * (cyc - jnp.floor(cyc))
 
 
 def _prop_phase(plen, wavelength, n_bounces, boundary_phase):

@@ -107,12 +107,17 @@ def pulse_train_range_doppler():
                                    ADCConfig)
     from beifong_tpu.receive import receive
 
-    R0, v = 4.0, 5.0
+    # motion gentle enough that the per-pulse range step (v/prf = 2.7 mm)
+    # keeps every lane's phase step near-common (a 12.5 cm step spreads
+    # lane phases by whole cycles across the aperture/target geometry and
+    # the frozen-speckle line decoheres); v chosen so the aliased Doppler
+    # lands exactly on FFT bin 5: frac(fd/prf) = 5/8 with fd = 2 v fc / c
+    R0, v = 4.0, 1.0625
     fc = 40e3
-    n_pulses, prf = 8, 40.0
+    n_pulses, prf = 8, 400.0
     band = Band.from_freq(C_SOUND, fc, 10e3)
     adc = ADCConfig(n_time=8, n_freq=1, sampling_start=0.0,
-                    sampling_time=0.04, freq_lo=fc - 2e3, freq_hi=fc + 2e3)
+                    sampling_time=2e-3, freq_lo=fc - 2e3, freq_hi=fc + 2e3)
 
     iq = []
     for p in range(n_pulses):
@@ -133,7 +138,11 @@ def pulse_train_range_doppler():
                                     tf.scale(0.5)))
         s.add(sh.rectangle(to_world=tgt, bsdf="mat",
                            velocity=np.array([0, v, 0], np.float32)))
-        a, n = receive(s, receiver=rx, spp=1 << 13, max_depth=1, seed=p,
+        # one common seed: correlated (frozen-speckle) sampling across the
+        # CPI, so the slow-time phase progression is driven by the target
+        # motion alone — per-pulse seeds decorrelate the MC speckle and the
+        # Doppler line drowns (same technique as test_coherent_doppler.py)
+        a, n = receive(s, receiver=rx, spp=1 << 13, max_depth=1, seed=11,
                        coherent=True, time_sampling='gate')
         g = np.asarray(a)
         iq.append((g[:, 0, 0] + 1j * g[:, 0, 1]).sum() / n)
@@ -141,7 +150,8 @@ def pulse_train_range_doppler():
     dop = np.abs(np.fft.fft(iq)) ** 2           # (n_pulses,) Doppler power
     wl = C_SOUND / fc
     fd = 2 * v / wl                              # closing -> +fd
-    exp_bin = int(round(fd / prf)) % n_pulses    # aliased Doppler line
+    # aliased slow-time line: the FFT bin of frac(fd / prf) cycles/pulse
+    exp_bin = int(round((fd / prf % 1.0) * n_pulses)) % n_pulses
     return ({"iq": iq.astype(np.complex128), "doppler": dop},
             {"expected_doppler_bin": exp_bin})
 
