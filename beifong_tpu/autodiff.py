@@ -114,6 +114,71 @@ class Adam:
         return out
 
 
+# ---------------------------------------------------------------------------
+# PyTorch interop (reference `render_torch`, autodiff.py:380): expose the
+# differentiable signal chain as a torch.autograd.Function so the simulator
+# can sit inside a torch training loop / nn.Module pipeline.
+# ---------------------------------------------------------------------------
+
+
+def torch_function(jax_fn: Callable):
+    """Wrap `jax_fn(params_dict) -> jax array` as a torch-differentiable
+    callable `f({name: torch.Tensor}) -> torch.Tensor`.
+
+    Forward runs under jax (any backend — CPU or TPU); backward replays the
+    stored `jax.vjp` and hands the parameter cotangents back to torch.
+    Tensors bridge host-side (numpy): torch in this environment is CPU-only
+    while jax may hold TPU buffers, so zero-copy dlpack is not generally
+    possible — correctness over copy elision.
+    """
+    import numpy as np
+    import torch
+
+    class _Fn(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, keys, *tensors):
+            params = {k: jnp.asarray(np.asarray(t.detach().cpu()))
+                      for k, t in zip(keys, tensors)}
+            out, vjp = jax.vjp(jax_fn, params)
+            ctx.jax_vjp = vjp
+            ctx.keys = keys
+            return torch.from_numpy(np.asarray(out).copy())
+
+        @staticmethod
+        def backward(ctx, grad_out):
+            (gp,) = ctx.jax_vjp(jnp.asarray(np.asarray(grad_out.cpu())))
+            grads = tuple(torch.from_numpy(np.asarray(gp[k]).copy())
+                          for k in ctx.keys)
+            return (None, *grads)
+
+    def call(params: dict):
+        keys = tuple(params)
+        return _Fn.apply(keys, *(params[k] for k in keys))
+
+    return call
+
+
+def render_torch(scene_data, paths: list[str], render_fn: Callable):
+    """The reference's `render_torch` (autodiff.py:380) for this framework:
+    returns (torch_render, params0) where `torch_render({path: tensor})`
+    produces a torch tensor of the rendered/received signal, differentiable
+    w.r.t. the selected SceneData leaves.
+
+    render_fn(scene_data) -> jax array (e.g. a lambda around `receive` or
+    `render`); paths select the optimizable leaves as in `select_params`.
+    """
+    import numpy as np
+    import torch
+
+    def jf(pdict):
+        return render_fn(apply_params(scene_data, pdict))
+
+    fn = torch_function(jf)
+    params0 = {p: torch.from_numpy(np.asarray(v).copy()).requires_grad_(True)
+               for p, v in select_params(scene_data, paths).items()}
+    return fn, params0
+
+
 def optimize(loss_fn: Callable, scene_data, paths: list[str], optimizer=None,
              n_steps: int = 50, callback=None):
     """Gradient-descend selected scene parameters against `loss_fn`.

@@ -87,3 +87,55 @@ def test_sgd_and_adam_steps():
     p3 = adam.step(p, gr)
     assert np.all(np.isfinite(np.asarray(p3['x'])))
     np.testing.assert_allclose(np.asarray(p3['x']), [0.9, 2.1], atol=1e-5)
+
+
+def test_render_torch_interop():
+    """The reference's `render_torch` (autodiff.py:380): the simulator runs
+    inside a torch training loop — torch.autograd gradients match jax.grad,
+    and a torch Adam recovers the target reflectance."""
+    torch = pytest.importorskip("torch")
+    from beifong_tpu.autodiff import render_torch, value_and_grad
+
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+
+    def render_fn(scene_data):
+        return _signal(scene_data, rx, shape_idx, n=16384, seed=1)
+
+    sd_true = apply_params(sd, {
+        'bsdfs.reflectance': jnp.full_like(sd.bsdfs.reflectance, 0.7)})
+    target = torch.from_numpy(np.asarray(render_fn(sd_true)).copy())
+    assert float(target.abs().sum()) > 0
+
+    sd0 = apply_params(sd, {
+        'bsdfs.reflectance': jnp.full_like(sd.bsdfs.reflectance, 0.2)})
+    fn, params = render_torch(sd0, ['bsdfs.reflectance'], render_fn)
+
+    # gradient parity: torch backward == jax.grad of the same scalar loss
+    out = fn(params)
+    loss_t = ((out - target) ** 2).sum() * 1e12
+    loss_t.backward()
+    g_torch = params['bsdfs.reflectance'].grad.numpy().copy()
+
+    def loss_j(scene_data):
+        sig = render_fn(scene_data)
+        return jnp.sum((sig - jnp.asarray(np.asarray(target))) ** 2) * 1e12
+
+    _, g_jax = value_and_grad(loss_j, sd0, ['bsdfs.reflectance'])
+    np.testing.assert_allclose(g_torch, np.asarray(g_jax['bsdfs.reflectance']),
+                               rtol=1e-4)
+
+    # end-to-end torch optimization loop
+    opt = torch.optim.Adam(params.values(), lr=0.1)
+    first = None
+    for _ in range(25):
+        opt.zero_grad()
+        loss_t = ((fn(params) - target) ** 2).sum() * 1e12
+        if first is None:
+            first = float(loss_t)
+        loss_t.backward()
+        opt.step()
+    refl = float(params['bsdfs.reflectance'].detach()[0, 0])
+    assert float(loss_t) < first * 0.05
+    assert refl == pytest.approx(0.7, abs=0.1)
