@@ -191,14 +191,78 @@ class HaltonStream:
         return jnp.stack([ux, uy], -1), dataclasses.replace(self, dim=self.dim + 2)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class OrthogonalStream:
+    """Bose orthogonal-array stream (reference `src/samplers/orthogonal.cpp`,
+    Jarosz et al. 2019): N = p^2 samples (p prime) with STRENGTH 2 — every
+    pair of dimensions j1 != j2 (j < p) sees each of the p x p coarse cells
+    exactly once, a guarantee plain stratification/multijitter cannot make.
+
+    Row i -> (a, b) = (i mod p, i div p); column j value (a + j*b) mod p,
+    then a per-dimension affine scramble c -> (m*c + s) mod p (m in [1,p),
+    a GF(p) bijection, preserves the OA property) and in-cell jitter.
+    """
+
+    key: jax.Array
+    sample_idx: jax.Array          # (n,) global indices in [0, p^2)
+    dim: jax.Array                 # () consumed dimensions
+    p: int = dataclasses.field(metadata=dict(static=True), default=331)
+
+    @staticmethod
+    def make(key, n_lanes: int, sample_idx, p: int) -> "OrthogonalStream":
+        lane = jnp.arange(n_lanes, dtype=jnp.uint32)
+        base = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(n_lanes)
+        return OrthogonalStream(key=jax.random.key_data(key),
+                                sample_idx=(base + lane)
+                                % jnp.uint32(p * p),
+                                dim=jnp.zeros((), jnp.uint32), p=p)
+
+    def _column(self, j_extra):
+        p = jnp.uint32(self.p)
+        a = self.sample_idx % p
+        b = self.sample_idx // p
+        j = self.dim + jnp.uint32(j_extra)
+        c = (a + (j % p) * b) % p
+        k = jax.random.fold_in(jax.random.wrap_key_data(self.key), j)
+        m = jax.random.randint(jax.random.fold_in(k, 0), (), 1, self.p,
+                               jnp.uint32)
+        s = jax.random.randint(jax.random.fold_in(k, 1), (), 0, self.p,
+                               jnp.uint32)
+        c = (m * c + s) % p
+        jit = jax.random.uniform(jax.random.fold_in(k, 2),
+                                 self.sample_idx.shape)
+        return (c.astype(jnp.float32) + jit) / jnp.float32(self.p)
+
+    def next_1d(self):
+        u = self._column(0)
+        return u, dataclasses.replace(self, dim=self.dim + 1)
+
+    def next_2d(self):
+        u = jnp.stack([self._column(0), self._column(1)], axis=-1)
+        return u, dataclasses.replace(self, dim=self.dim + 2)
+
+
+def _prime_at_least(n: int) -> int:
+    """Smallest prime >= n (trial division; n is a host-side sample count)."""
+    c = max(int(n), 2)
+    while True:
+        if all(c % q for q in range(2, int(c ** 0.5) + 1)):
+            return c
+        c += 1
+
+
 def make_stream(kind: str, key, n_lanes: int, sample_idx, n_total_log2: int = 20):
     """Sampler factory (reference sampler plugin registry,
     `src/samplers/`): kind in {'independent', 'stratified', 'multijitter',
-    'halton', 'ldsampler'}."""
+    'halton', 'ldsampler', 'orthogonal'}."""
     if kind in ('stratified', 'multijitter'):
         return StratifiedStream.make(key, n_lanes, sample_idx, n_total_log2)
     if kind in ('halton', 'ldsampler'):
         return HaltonStream.make(key, n_lanes, sample_idx)
+    if kind == 'orthogonal':
+        p = _prime_at_least(int(round((1 << n_total_log2) ** 0.5)))
+        return OrthogonalStream.make(key, n_lanes, sample_idx, p)
     return SampleStream.make(key, n_lanes, sample_idx)
 
 

@@ -99,3 +99,37 @@ def test_halton_low_discrepancy():
         u, s = s.next_1d()
         err = abs(float(jnp.mean(u)) - 0.5)
         assert err < 0.01  # LDS converges ~1/N, MC ~1/sqrt(N)~0.008
+
+
+def test_orthogonal_strength2():
+    """Bose OA, strength 2 (reference src/samplers/orthogonal.cpp): drawing
+    all p^2 samples, every pair of dimensions covers each of the p x p
+    coarse cells exactly once, and each 1-D column is p-stratified."""
+    from beifong_tpu.core.rng import OrthogonalStream
+    p = 7
+    s = OrthogonalStream.make(jax.random.key(0), p * p, 0, p)
+    cols = []
+    for _ in range(4):
+        u, s = s.next_1d()
+        u = np.asarray(u)
+        c = (u * p).astype(int)
+        # 1-D: each coarse stratum hit exactly p times
+        np.testing.assert_array_equal(np.bincount(c, minlength=p),
+                                      np.full(p, p))
+        cols.append(c)
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            cells = cols[i] * p + cols[j]
+            assert len(np.unique(cells)) == p * p, (i, j)
+
+
+def test_orthogonal_make_stream():
+    s = make_stream('orthogonal', jax.random.key(1), 256, 0, n_total_log2=16)
+    u1, s = s.next_1d()
+    uv, s = s.next_2d()
+    assert u1.shape == (256,) and uv.shape == (256, 2)
+    assert 0.0 <= float(u1.min()) and float(uv.max()) < 1.0
+    # scramble differs per key
+    s2 = make_stream('orthogonal', jax.random.key(2), 256, 0, n_total_log2=16)
+    u1b, _ = s2.next_1d()
+    assert not np.allclose(np.asarray(u1), np.asarray(u1b))
