@@ -50,12 +50,13 @@ _INF = 3.4e38
 SMEM_TABLE_BUDGET = 900 * 1024
 
 
-def smem_bytes(n_tris: int) -> int:
+def smem_bytes(n_tris: int, payload: bool = False) -> int:
     """Approximate SMEM footprint of a packed BVH over n_tris (aligned
     leaves: ~n_tris/8 leaves, ~2x that many nodes)."""
     n_leaves = (n_tris + K_LEAF - 1) // K_LEAF
     n_nodes = 2 * n_leaves
-    return n_nodes * (6 + 3) * 4 + n_leaves * 80 * 4
+    stride = 88 if payload else 80
+    return n_nodes * (6 + 3) * 4 + n_leaves * stride * 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,14 +66,19 @@ class PackedBVH:
     # 128 lanes (a (N,6) f32 table allocates N*512 bytes), and SMEM is 1 MiB.
     bbox: jax.Array     # (N*6,) f32: [bbmin(3), bbmax(3)] per node
     links: jax.Array    # (N*3,) i32: [hit_link, miss_link, leaf_id] per node
-    leaves: jax.Array   # (L*80,) f32: v0x*8 v0y*8 v0z*8 e1*24 e2*24 idx*8
+    leaves: jax.Array   # (L*stride,) f32: v0x*8 v0y*8 v0z*8 e1*24 e2*24
+    #                     idx*8 [payload*8 when stride == 88]
     n_nodes: int
     n_leaves: int
+    stride: int = 80    # leaf row width: 80 plain, 88 with per-tri payload
 
 
-def pack(bvh: BVH) -> PackedBVH:
+def pack(bvh: BVH, payload=None) -> PackedBVH:
     """Flatten a threaded BVH into SMEM-friendly tables, padding every leaf
-    to exactly K_LEAF triangles (degenerate zero-edge pads never hit)."""
+    to exactly K_LEAF triangles (degenerate zero-edge pads never hit).
+
+    `payload`: optional (n_tris,) f32 per-ORIGINAL-triangle scalar (e.g.
+    reflectance) carried next to each leaf triangle; widens rows to 88."""
     bb_min = np.asarray(bvh.bb_min, np.float32)
     bb_max = np.asarray(bvh.bb_max, np.float32)
     hit_l = np.asarray(bvh.hit_link, np.int32)
@@ -88,12 +94,13 @@ def pack(bvh: BVH) -> PackedBVH:
     bbox = np.concatenate([bb_min, bb_max], axis=1).astype(np.float32)
     links = np.stack([hit_l, miss_l, np.full(n, -1, np.int32)], axis=1)
 
+    stride = 80 if payload is None else 88
     leaf_nodes = np.nonzero(leaf_off >= 0)[0]
     rows = []
     for li, ni in enumerate(leaf_nodes):
         links[ni, 2] = li
         off, cnt = int(leaf_off[ni]), int(leaf_cnt[ni])
-        row = np.zeros(80, np.float32)
+        row = np.zeros(stride, np.float32)
         idxs = np.full(K_LEAF, -1, np.float32)
         for k in range(min(cnt, K_LEAF)):
             row[0 + k] = v0[off + k, 0]
@@ -106,18 +113,20 @@ def pack(bvh: BVH) -> PackedBVH:
             row[56 + k] = e2[off + k, 1]
             row[64 + k] = e2[off + k, 2]
             idxs[k] = float(perm[off + k])
+            if payload is not None:
+                row[80 + k] = float(payload[perm[off + k]])
         row[72:80] = idxs
         rows.append(row)
     leaves = (np.stack(rows) if rows
-              else np.zeros((1, 80), np.float32))
+              else np.zeros((1, stride), np.float32))
     return PackedBVH(bbox=jnp.asarray(bbox.reshape(-1)),
                      links=jnp.asarray(links.reshape(-1)),
                      leaves=jnp.asarray(leaves.reshape(-1)), n_nodes=n,
-                     n_leaves=max(len(rows), 1))
+                     n_leaves=max(len(rows), 1), stride=stride)
 
 
 def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
-                   streams: int = STREAMS, sub: int = SUB):
+                   streams: int = STREAMS, sub: int = SUB, stride: int = 80):
     """Run the interleaved traversal loop over `streams` independent tiles.
 
     rays: (rox..rdz, ix, iy, iz) tuple of (streams*sub, LANE) arrays.
@@ -125,6 +134,8 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
     standalone wiring; the megakernel reuses this with its own state.
     Exposed as a library function so `integrators/pallas_receive.py` embeds
     the exact same walk inside the receive megakernel.
+    `stride`: leaf row width (88 rows carry a per-tri payload scalar that is
+    forwarded to leaf_hit; 80-wide rows forward 0.0).
     """
     rox, roy, roz, rdx, rdy, rdz, ix, iy, iz = rays
     S = streams
@@ -169,7 +180,7 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
             def _(s=s, leaf_id=leaf_id, ox_s=ox_s, oy_s=oy_s, oz_s=oz_s):
                 dx_s, dy_s, dz_s = (srows(rdx, s), srows(rdy, s),
                                     srows(rdz, s))
-                lb = leaf_id * 80
+                lb = leaf_id * stride
                 for k in range(K_LEAF):
                     v0x = leaf_ref[lb + 0 + k]
                     v0y = leaf_ref[lb + 8 + k]
@@ -199,8 +210,10 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
                     tt = (e2x * qx + e2y * qy + e2z * qz) * inv
                     hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                            & (tt > 1e-4) & (tri >= 0.0))
+                    pay = (leaf_ref[lb + 80 + k] if stride > 80
+                           else jnp.float32(0.0))
                     state['leaf_hit'](s, hit, tt, uu, vv, tri,
-                                      (e1x, e1y, e1z, e2x, e2y, e2z))
+                                      (e1x, e1y, e1z, e2x, e2y, e2z), pay)
 
             nxt = jnp.where(hit_any, links_ref[ni * 3],
                             links_ref[ni * 3 + 1])
@@ -220,7 +233,7 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
     jax.lax.while_loop(cond, body, init)
 
 
-def _traversal_kernel(mode: str, streams: int = STREAMS):
+def _traversal_kernel(mode: str, streams: int = STREAMS, stride: int = 80):
     """mode: 'closest' -> (t, idx, u, v); 'any' -> occluded flag (t<maxt)."""
     anyhit = mode == 'any'
     S = streams
@@ -259,7 +272,7 @@ def _traversal_kernel(mode: str, streams: int = STREAMS):
                 return jnp.where(occ_ref[sl(s), :] > 0.0, 0.0,
                                  limit[sl(s), :])
 
-            def leaf_hit(s, hit, tt, uu, vv, tri, edges):
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay):
                 blocked = hit & (tt < limit[sl(s), :])
                 occ_ref[sl(s), :] = jnp.where(blocked, 1.0, occ_ref[sl(s), :])
 
@@ -269,7 +282,7 @@ def _traversal_kernel(mode: str, streams: int = STREAMS):
             def tbest(s):
                 return t_ref[sl(s), :]
 
-            def leaf_hit(s, hit, tt, uu, vv, tri, edges):
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay):
                 better = hit & (tt < t_ref[sl(s), :])
                 t_ref[sl(s), :] = jnp.where(better, tt, t_ref[sl(s), :])
                 idx_ref[sl(s), :] = jnp.where(
@@ -283,7 +296,7 @@ def _traversal_kernel(mode: str, streams: int = STREAMS):
         traversal_body(bbox_ref, links_ref, leaf_ref,
                        (rox, roy, roz, rdx, rdy, rdz, ix, iy, iz),
                        dict(tbest=tbest, leaf_hit=leaf_hit, live=live),
-                       anyhit, streams=S, sub=SUB)
+                       anyhit, streams=S, sub=SUB, stride=stride)
 
     return kernel
 
@@ -295,9 +308,9 @@ def _tile_shape(x, n, block_rows):
 
 
 @functools.partial(jax.jit, static_argnames=('pb_shape', 'streams',
-                                             'interpret'))
+                                             'interpret', 'stride'))
 def _run_closest(ox, oy, oz, dx, dy, dz, bbox, links, leaves,
-                 pb_shape, streams=STREAMS, interpret=False):
+                 pb_shape, streams=STREAMS, interpret=False, stride=80):
     n_rows = ox.shape[0]
     block = streams * SUB
     grid = (n_rows // block,)
@@ -305,7 +318,7 @@ def _run_closest(ox, oy, oz, dx, dy, dz, bbox, links, leaves,
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     t, idx, u, v = pl.pallas_call(
-        _traversal_kernel('closest', streams),
+        _traversal_kernel('closest', streams, stride),
         grid=grid,
         in_specs=[smem, smem, smem] + [ray_spec] * 6,
         out_specs=[ray_spec] * 4,
@@ -330,7 +343,8 @@ def bvh_closest(pb: PackedBVH, o, d, streams: int = STREAMS,
         x, _ = _tile_shape(arr[:, c], n, streams * SUB)
         comps.append(x)
     t, idx, u, v = _run_closest(*comps, pb.bbox, pb.links, pb.leaves,
-                                (pb.n_nodes, pb.n_leaves), streams, interpret)
+                                (pb.n_nodes, pb.n_leaves), streams, interpret,
+                                pb.stride)
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
     u = u.reshape(-1)[:n]
@@ -340,9 +354,9 @@ def bvh_closest(pb: PackedBVH, o, d, streams: int = STREAMS,
 
 
 @functools.partial(jax.jit, static_argnames=('pb_shape', 'streams',
-                                             'interpret'))
+                                             'interpret', 'stride'))
 def _run_any(ox, oy, oz, dx, dy, dz, maxt, bbox, links, leaves,
-             pb_shape, streams=STREAMS, interpret=False):
+             pb_shape, streams=STREAMS, interpret=False, stride=80):
     n_rows = ox.shape[0]
     block = streams * SUB
     grid = (n_rows // block,)
@@ -350,7 +364,7 @@ def _run_any(ox, oy, oz, dx, dy, dz, maxt, bbox, links, leaves,
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     occ = pl.pallas_call(
-        _traversal_kernel('any', streams),
+        _traversal_kernel('any', streams, stride),
         grid=grid,
         in_specs=[smem, smem, smem] + [ray_spec] * 7,
         out_specs=[ray_spec],
@@ -370,5 +384,5 @@ def bvh_any(pb: PackedBVH, o, d, maxt, streams: int = STREAMS,
         comps.append(x)
     mt, _ = _tile_shape(maxt, n, streams * SUB)
     occ = _run_any(*comps, mt, pb.bbox, pb.links, pb.leaves,
-                   (pb.n_nodes, pb.n_leaves), streams, interpret)
+                   (pb.n_nodes, pb.n_leaves), streams, interpret, pb.stride)
     return occ.reshape(-1)[:n] > 0.0

@@ -69,12 +69,19 @@ def test_supported_gates():
     from beifong_tpu.geometry import shapes as sh
     s2.add(sh.rectangle(transmitter="tx"))
     assert supported(s2.compile(), rx)
+    # differing per-shape reflectance is IN scope (per-tri leaf payload)…
     s2.add(diffuse("d2", reflectance=0.9))
     v2, f2 = make_grid(2, 2)
     s2.add(MeshSpec(v2, f2, bsdf="d2"))
+    assert supported(s2.compile(), rx)
+    # …but differing mesh BSDF *types* still fall back (one shared lobe)
+    from beifong_tpu.bsdf import rough_conductor
+    s2.add(rough_conductor("rc", alpha=0.3))
+    v3, f3 = make_grid(2, 2)
+    s2.add(MeshSpec(v3, f3, bsdf="rc"))
     why2 = []
     assert not supported(s2.compile(), rx, why2)
-    assert any('reflectance' in w for w in why2)
+    assert any('BSDF types' in w for w in why2)
     # moving shapes fall back: the kernel models no Doppler
     s3, rx3 = g._build_scene(ground=False)
     s3.shapes[-1].velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
@@ -226,3 +233,183 @@ def test_megakernel_mesh_matches_jnp():
     tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
     assert tp.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+
+
+def _two_tx_scene(R=4.0):
+    """Two pulse transmitters at different ranges from the target: the
+    received profile has two returns (direct NEE per tx in the kernel)."""
+    import beifong_tpu as bt
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx1", wf, resample_freq=True))
+    s.add(wigner_transmitter("tx2", wf, resample_freq=True))
+    aim1 = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                  tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim1, transmitter="tx1"))
+    # tx2 sits 2 m behind tx1: its echo arrives ~2/c later
+    aim2 = np.asarray(tfm.compose(tfm.look_at([0.6, 2.0, 0], [0.6, -1, 0]),
+                                  tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim2, transmitter="tx2"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tfm.compose(tfm.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                    tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                 tfm.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+    return s, rx
+
+
+def test_megakernel_multi_transmitter():
+    """Per-tx NEE in the kernel: a 2-tx scene is in scope and its range
+    profile matches the jnp wavefront (which MC-samples one tx per lane)."""
+    from beifong_tpu.receive import develop_signal
+    s, rx = _two_tx_scene()
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
+    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 13, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+    # the farther tx contributes a later, resolvable return in BOTH paths
+    t_axis = (np.arange(64) + 0.5) / 64 * rx.adc.sampling_time
+    far = t_axis > t_axis[pk] + 4e-3
+    assert tp[far].sum() > 0.05 * tp.sum()
+    assert tj[far].sum() > 0.05 * tj.sum()
+
+
+def test_megakernel_rough_conductor():
+    """GGX rough-conductor target in the kernel: peak bin and peak-window
+    energy match the jnp wavefront (bsdf/eval.py lobe)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import rough_conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+    R = 4.0
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(rough_conductor("metal", alpha=0.5, eta=0.2, k=3.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                 tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tfm.compose(tfm.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                    tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                 tfm.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="metal"))
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
+    a, n2 = receive(s, sd, rx, seed=7, spp=1 << 14, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0 and tj.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+def test_megakernel_mesh_per_shape_reflectance():
+    """Two mesh targets with different reflectances: the per-tri leaf
+    payload scales each return — near/far peak ratio tracks refl ratio."""
+    import beifong_tpu as bt
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+
+    from beifong_tpu.radar import omni_receiver
+
+    def build(refl_near, refl_far):
+        band = Band.from_freq(340.0, 40e3, 10e3)
+        s = sc.Scene(band=band)
+        s.add(diffuse("a", reflectance=refl_near, twosided=True))
+        s.add(diffuse("b", reflectance=refl_far, twosided=True))
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=1.5e-3, f_ext=2e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        # small aperture (lambda/2w ~ 49 deg) so BOTH offset targets sit in
+        # the mainlobe; omni rx keeps the estimator weights positive
+        aim = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                     tfm.scale([0.005, 0.005, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+        rx = omni_receiver("rx", adc, position=(0.0, 0.0, 0.0),
+                           receive_type='raw')
+        s.add(rx)
+        v, f = make_grid(5, 5)
+        # near target offset left, far target offset right: both visible
+        m1 = np.asarray(tfm.compose(tfm.look_at([-0.6, -3.0, 0], [-0.6, 0, 0]),
+                                    tfm.scale(0.5)))
+        s.add(MeshSpec(np.asarray(v, np.float32), np.asarray(f), bsdf="a",
+                       to_world=m1))
+        m2 = np.asarray(tfm.compose(tfm.look_at([0.6, -6.0, 0], [0.6, 0, 0]),
+                                    tfm.scale(0.5)))
+        s.add(MeshSpec(np.asarray(v, np.float32), np.asarray(f), bsdf="b",
+                       to_world=m2))
+        return s, rx
+
+    t_axis = (np.arange(64) + 0.5) / 64 * 0.06
+
+    def profile(refl_near, refl_far, seed):
+        s, rx = build(refl_near, refl_far)
+        sd = s.compile(use_bvh=False)
+        why = []
+        assert supported(sd, rx, why), why
+        out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=seed,
+                                max_depth=1, time_sampling='gate',
+                                interpret=True)
+        return np.asarray(out)[:, 0] / n * 64
+
+    p_eq = profile(0.8, 0.8, 0)
+    p_dim = profile(0.8, 0.2, 0)
+    near_w = (t_axis > 0.015) & (t_axis < 0.025)   # ~2*3.06/340 + pulse
+    far_w = (t_axis > 0.031) & (t_axis < 0.043)    # ~2*6.05/340 + pulse
+    assert p_eq[near_w].sum() > 0 and p_eq[far_w].sum() > 0
+    # near return unchanged, far return scaled by 0.2/0.8
+    assert p_dim[near_w].sum() == pytest.approx(p_eq[near_w].sum(), rel=0.05)
+    ratio = p_dim[far_w].sum() / p_eq[far_w].sum()
+    assert ratio == pytest.approx(0.25, rel=0.2), ratio
