@@ -118,3 +118,132 @@ def to_world(frame, v):
 
 def cos_theta(v_local):
     return v_local[..., 2]
+
+
+# ---------------------------------------------------------------------------
+# AnimatedTransform: keyframed transform for endpoint/shape motion.
+# Replaces reference `include/mitsuba/core/transform.h` AnimatedTransform
+# (used for endpoint velocity, `render/endpoint.h:165`): keyframes are
+# decomposed into translation + rotation quaternion + symmetric stretch
+# (polar decomposition) and interpolated lerp/slerp/lerp.  Host-side numpy:
+# evaluation happens at scene-build time (the slow-time axis is quasistatic
+# per pulse/frame), with `velocity()` supplying the intra-pulse Doppler term
+# that the tracer consumes on-device.
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+import numpy as _np
+
+
+def _polar_rotation(m3):
+    """Orthogonal polar factor of a 3x3 matrix (Higham iteration)."""
+    r = _np.asarray(m3, _np.float64)
+    for _ in range(32):
+        r_next = 0.5 * (r + _np.linalg.inv(r).T)
+        if _np.abs(r_next - r).max() < 1e-12:
+            r = r_next
+            break
+        r = r_next
+    return r
+
+
+def _quat_from_mat(r):
+    """Unit quaternion (w, x, y, z) from a rotation matrix."""
+    t = _np.trace(r)
+    if t > 0:
+        s = _np.sqrt(t + 1.0) * 2
+        return _np.array([0.25 * s, (r[2, 1] - r[1, 2]) / s,
+                          (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s])
+    i = int(_np.argmax(_np.diag(r)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = _np.sqrt(max(1.0 + r[i, i] - r[j, j] - r[k, k], 1e-12)) * 2
+    q = _np.zeros(4)
+    q[0] = (r[k, j] - r[j, k]) / s
+    q[1 + i] = 0.25 * s
+    q[1 + j] = (r[j, i] + r[i, j]) / s
+    q[1 + k] = (r[k, i] + r[i, k]) / s
+    return q
+
+
+def _mat_from_quat(q):
+    w, x, y, z = q / _np.linalg.norm(q)
+    return _np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _slerp(q0, q1, u):
+    if _np.dot(q0, q1) < 0:
+        q1 = -q1
+    d = _np.clip(_np.dot(q0, q1), -1.0, 1.0)
+    if d > 1.0 - 1e-8:
+        q = (1 - u) * q0 + u * q1
+        return q / _np.linalg.norm(q)
+    th = _np.arccos(d)
+    return (_np.sin((1 - u) * th) * q0 + _np.sin(u * th) * q1) / _np.sin(th)
+
+
+@_dc.dataclass(frozen=True)
+class AnimatedTransform:
+    """Keyframed (time -> 4x4) transform; see module note above."""
+
+    times: _np.ndarray     # (K,) strictly increasing keyframe times [s]
+    trans: _np.ndarray     # (K, 3) translations
+    quats: _np.ndarray     # (K, 4) unit rotation quaternions (w, x, y, z)
+    stretch: _np.ndarray   # (K, 3, 3) symmetric stretch factors S (M3 = R S)
+
+    @staticmethod
+    def from_keyframes(pairs) -> "AnimatedTransform":
+        """pairs: iterable of (time, (4,4) matrix)."""
+        pairs = sorted(pairs, key=lambda p: float(p[0]))
+        times, trans, quats, stretch = [], [], [], []
+        prev_q = None
+        for t, m in pairs:
+            m = _np.asarray(m, _np.float64)
+            r = _polar_rotation(m[:3, :3])
+            s = r.T @ m[:3, :3]
+            q = _quat_from_mat(r)
+            if prev_q is not None and _np.dot(prev_q, q) < 0:
+                q = -q   # keep the short arc between neighbours
+            prev_q = q
+            times.append(float(t))
+            trans.append(m[:3, 3])
+            quats.append(q)
+            stretch.append(s)
+        return AnimatedTransform(_np.asarray(times), _np.asarray(trans),
+                                 _np.asarray(quats), _np.asarray(stretch))
+
+    def eval(self, t: float) -> _np.ndarray:
+        """Interpolated (4,4) float32 matrix at time t (clamped ends)."""
+        t = float(t)
+        k = int(_np.searchsorted(self.times, t, side='right')) - 1
+        k = max(0, min(k, len(self.times) - 2)) if len(self.times) > 1 else 0
+        if len(self.times) == 1:
+            tr, q, s = self.trans[0], self.quats[0], self.stretch[0]
+        else:
+            t0, t1 = self.times[k], self.times[k + 1]
+            u = _np.clip((t - t0) / max(t1 - t0, 1e-30), 0.0, 1.0)
+            tr = (1 - u) * self.trans[k] + u * self.trans[k + 1]
+            q = _slerp(self.quats[k], self.quats[k + 1], u)
+            s = (1 - u) * self.stretch[k] + u * self.stretch[k + 1]
+        m = _np.eye(4)
+        m[:3, :3] = _mat_from_quat(q) @ s
+        m[:3, 3] = tr
+        return m.astype(_np.float32)
+
+    def velocity(self, t: float, p_local=(0.0, 0.0, 0.0)) -> _np.ndarray:
+        """World-frame velocity [m/s] of local point p_local at time t
+        (central finite difference of the keyframe interpolation — the
+        Doppler source term the reference derives from AnimatedTransform,
+        `src/librender/shape.cpp:375-404`)."""
+        if len(self.times) == 1:
+            return _np.zeros(3, _np.float32)
+        span = float(self.times[-1] - self.times[0])
+        dt = max(span * 1e-5, 1e-9)
+        p = _np.asarray([*p_local, 1.0])
+        a = (self.eval(t + dt).astype(_np.float64) @ p)[:3]
+        b = (self.eval(t - dt).astype(_np.float64) @ p)[:3]
+        return ((a - b) / (2 * dt)).astype(_np.float32)

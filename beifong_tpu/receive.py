@@ -325,3 +325,41 @@ def render_binned(scene: Scene, scene_data: SceneData | None = None,
                             grid, lanes, n_bins, jnp.float32(bin_width),
                             quantity, max_depth)
     return grid, lanes * n_pass
+
+
+def receive_cpi(scene: Scene, receiver_id: str | None = None,
+                n_pulses: int = 16, prf: float = 1000.0, t0: float = 0.0,
+                seed: int = 0, coherent: bool = True,
+                common_random_numbers: bool = True, **receive_kw):
+    """Coherent processing interval over an animated scene.
+
+    Runs one `receive()` per pulse at t = t0 + p / prf, snapshotting any
+    `AnimatedTransform` motion via `Scene.at_time` (quasistatic slow time —
+    the framework version of the reference's per-frame reload loop,
+    `python_scripts/animated_trans_rad.py:307-373`), and stacks the
+    per-pulse ADC grids into a (n_pulses, n_time, n_freq, C) cube ready for
+    `dsp.rangedoppler.doppler_fft`.
+
+    Returns (cube, samples_per_pulse).  Intra-pulse Doppler comes from the
+    velocity fields the animation derivative fills in; inter-pulse phase
+    progression comes from the re-evaluated geometry.
+
+    `common_random_numbers` (default True) reuses the SAME sample stream
+    for every pulse: the per-pulse MC phase errors are then correlated and
+    cancel in slow-time differences, so the Doppler line needs far fewer
+    samples per pulse.  Unbiased per pulse either way; set False for
+    independent pulses (e.g. when averaging magnitude spectra).
+    """
+    cube = []
+    n = 0
+    for p in range(n_pulses):
+        snap = scene.at_time(t0 + p / prf)
+        rxs = snap.receivers
+        rx = rxs[0] if receiver_id is None else next(
+            r for r in rxs if r.id == receiver_id)
+        sd = snap.compile()
+        s_p = seed if common_random_numbers else seed + 7919 * p
+        adc, n = receive(snap, sd, rx, seed=s_p,
+                         coherent=coherent, **receive_kw)
+        cube.append(adc)
+    return jnp.stack(cube), n

@@ -185,6 +185,51 @@ class Scene:
     def sensor_shape_index(self, sensor_idx: int = 0) -> int:
         return self.shape_index_of_endpoint('sensor', self.sensors[sensor_idx].id)
 
+    def at_time(self, t: float) -> "Scene":
+        """Snapshot the scene at absolute time t: any `to_world` that is a
+        keyframed `core.transform.AnimatedTransform` (shapes, free-standing
+        endpoints) is evaluated at t, and the matching `velocity` field is
+        set from the keyframe derivative — so intra-pulse Doppler follows
+        automatically from the animation (reference AnimatedTransform +
+        `endpoint.h:165` m_velocity / `shape.cpp:375-404` doppler).  The
+        slow-time (pulse/frame) axis stays quasistatic: call once per pulse
+        (see `receive.receive_cpi`)."""
+        from .core.transform import AnimatedTransform
+        import copy as _copy
+
+        def snap(spec, vel_override=None):
+            anim = getattr(spec, 'to_world', None)
+            if not isinstance(anim, AnimatedTransform) and vel_override is None:
+                return spec, None
+            c = _copy.copy(spec)
+            vel = vel_override
+            if isinstance(anim, AnimatedTransform):
+                c.to_world = np.asarray(anim.eval(t), np.float32)
+                vel = anim.velocity(t)
+            if vel is not None and hasattr(c, 'velocity'):
+                c.velocity = np.asarray(vel, np.float32)
+            return c, vel
+
+        out = Scene(band=self.band, medium=self.medium,
+                    bsdfs=list(self.bsdfs), textures=list(self.textures),
+                    emitters=list(self.emitters), sensors=list(self.sensors),
+                    groups=dict(self.groups))
+        endpoint_vel = {}   # endpoint id -> carrying shape velocity
+        for s in self.shapes:
+            c, vel = snap(s)
+            out.shapes.append(c)
+            if vel is not None:
+                for kind in ('transmitter', 'receiver', 'emitter'):
+                    eid = getattr(s, kind, None)
+                    if eid is not None:
+                        endpoint_vel[eid] = vel
+        for lst, name in ((self.transmitters, 'transmitters'),
+                          (self.receivers, 'receivers')):
+            for e in lst:
+                c, _ = snap(e, vel_override=endpoint_vel.get(e.id))
+                getattr(out, name).append(c)
+        return out
+
     def compile(self, use_bvh: str | bool = 'auto',
                 bvh_threshold: int = 1024) -> SceneData:
         resolve = lambda kind, id_: {

@@ -70,3 +70,43 @@ def test_coherent_pulse_train_doppler():
     bin_w = prf / n_pulses       # 25 Hz bins
     assert fd_est == pytest.approx(fd_folded, abs=1.5 * bin_w), (
         f"Doppler {fd_est:.1f} Hz, expected folded {fd_folded:.1f} Hz")
+
+
+def test_receive_cpi_animated_doppler():
+    """receive_cpi + AnimatedTransform: the same Doppler line as the manual
+    per-pulse rebuild loop above, but driven by a keyframed target motion
+    (reference AnimatedTransform endpoint velocity, endpoint.h:165, made a
+    framework feature instead of a script pattern)."""
+    from beifong_tpu.core.transform import AnimatedTransform
+    from beifong_tpu.receive import receive_cpi
+
+    v = 1.0
+    prf = 400.0
+    n_pulses = 16
+    fd_true = 2 * v * FC / C
+    t_end = n_pulses / prf
+
+    s, rx = _scene(4.0)
+    # animate the target: R(t) = 4 - v t via two keyframes
+    tgt = s.shapes[-1]
+    m0 = np.asarray(tf.compose(tf.look_at([0, -4.0, 0], [0, 0, 0]),
+                               tf.scale(0.3)))
+    m1 = np.asarray(tf.compose(
+        tf.look_at([0, -(4.0 - v * t_end), 0], [0, 0, 0]), tf.scale(0.3)))
+    tgt.to_world = AnimatedTransform.from_keyframes([(0.0, m0),
+                                                     (t_end, m1)])
+    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=11,
+                          coherent=True, spp=1 << 13, max_depth=2,
+                          time_sampling='gate')
+    a = np.asarray(cube)
+    iq = (a[..., 0] + 1j * a[..., 1]).sum(axis=(1, 2))
+    assert np.abs(iq).min() > 0
+
+    spec = np.abs(np.asarray(rd.doppler_fft(
+        jnp.asarray(iq[:, None]), window=windows.hann(n_pulses))))[:, 0]
+    d_axis = np.asarray(rd.doppler_axis(n_pulses, prf))
+    fd_est = abs(d_axis[spec.argmax()])
+    fd_folded = abs(((fd_true + prf / 2) % prf) - prf / 2)
+    bin_w = prf / n_pulses
+    assert fd_est == pytest.approx(fd_folded, abs=1.5 * bin_w), (
+        f"Doppler {fd_est:.1f} Hz, expected folded {fd_folded:.1f} Hz")

@@ -105,3 +105,71 @@ def test_halton():
     # First Halton points base 2: 1/2, 1/4, 3/4, ...
     np.testing.assert_allclose(pts[:3, 0], [0.5, 0.25, 0.75], atol=1e-6)
     np.testing.assert_allclose(pts[:3, 1], [1 / 3, 2 / 3, 1 / 9], atol=1e-6)
+
+
+def test_animated_transform_keyframes():
+    """AnimatedTransform (reference core/transform.h AnimatedTransform):
+    exact at keyframes, slerp midpoint rotation, derivative velocity."""
+    import numpy as np
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.transform import AnimatedTransform
+    m0 = np.asarray(tf.compose(tf.look_at([0, -4, 0], [0, 0, 0]),
+                               tf.scale(0.3)))
+    m1 = np.asarray(tf.compose(tf.look_at([0, -3, 0], [0, 0, 0]),
+                               tf.scale(0.3)))
+    a = AnimatedTransform.from_keyframes([(0.0, m0), (1.0, m1)])
+    np.testing.assert_allclose(a.eval(0.0), m0, atol=1e-6)
+    np.testing.assert_allclose(a.eval(1.0), m1, atol=1e-6)
+    np.testing.assert_allclose(a.eval(0.5)[:3, 3], [0, -3.5, 0], atol=1e-6)
+    # clamped outside the keyframe span
+    np.testing.assert_allclose(a.eval(-1.0), m0, atol=1e-6)
+    # translational velocity: 1 m/s toward +y
+    np.testing.assert_allclose(a.velocity(0.5), [0, 1, 0], atol=2e-3)
+    # pure rotation: slerp midpoint is the half-angle rotation and the rim
+    # speed of a lever arm is omega * r
+    b = AnimatedTransform.from_keyframes([
+        (0.0, np.asarray(tf.rotate([0, 0, 1], 0.0))),
+        (1.0, np.asarray(tf.rotate([0, 0, 1], 90.0)))])
+    np.testing.assert_allclose(b.eval(0.5)[:3, :3],
+                               np.asarray(tf.rotate([0, 0, 1], 45.0))[:3, :3],
+                               atol=1e-6)
+    v = b.velocity(0.5, (1.0, 0.0, 0.0))
+    assert np.linalg.norm(v) == pytest.approx(np.pi / 2, rel=1e-3)
+
+
+def test_scene_at_time_snapshot():
+    """Scene.at_time evaluates animated shapes and fills velocities,
+    including the attached endpoint's velocity."""
+    import numpy as np
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.core.transform import AnimatedTransform
+    from beifong_tpu.radar import cw, wigner_transmitter
+
+    s = sc.Scene(band=Band.from_freq(340.0, 40e3, 10e3))
+    s.add(diffuse("m", reflectance=1.0))
+    s.add(wigner_transmitter("tx", cw(f_centre=40e3), resample_freq=True))
+    txs = sh.rectangle(transmitter="tx")
+    txs.to_world = AnimatedTransform.from_keyframes([
+        (0.0, np.asarray(tf.look_at([0, 0, 0], [0, -1, 0]))),
+        (1.0, np.asarray(tf.look_at([2, 0, 0], [2, -1, 0])))])
+    s.add(txs)
+    tgt = sh.rectangle(to_world=np.asarray(
+        tf.look_at([0, -4, 0], [0, 0, 0])), bsdf="m")
+    s.add(tgt)
+    snap = s.at_time(0.25)
+    np.testing.assert_allclose(snap.shapes[0].to_world[:3, 3],
+                               [0.5, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(snap.shapes[0].velocity, [2, 0, 0], atol=5e-3)
+    # the attached transmitter inherits the carrying shape's velocity
+    np.testing.assert_allclose(snap.transmitters[0].velocity, [2, 0, 0],
+                               atol=5e-3)
+    # static shapes untouched; original scene unmodified
+    np.testing.assert_allclose(snap.shapes[1].velocity, [0, 0, 0])
+    from beifong_tpu.core.transform import AnimatedTransform as AT
+    assert isinstance(s.shapes[0].to_world, AT)
+    sd = snap.compile()   # compiles cleanly
+    assert sd.shapes.kind.shape[0] == 2
