@@ -120,6 +120,8 @@ class EmitterTable:
     env_img: object = None      # (H,W,3) equirect radiance (one envmap)
     env_distr: object = None    # Marginal2D over sin-weighted luminance
     env_row: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    proj_img: object = None     # (H,W,3) projector image (one projector)
+    proj_row: int = dataclasses.field(metadata=dict(static=True), default=-1)
 
     @property
     def n(self) -> int:
@@ -138,6 +140,8 @@ class EmitterTable:
         env_img = None
         env_distr = None
         env_row = -1
+        proj_img = None
+        proj_row = -1
         for i, s in enumerate(specs):
             typ[i] = s.type
             val[i] = s.value
@@ -157,11 +161,18 @@ class EmitterTable:
                 env_img = jnp.asarray(img)
                 env_distr = Marginal2D.build(lum * sin_t[:, None])
                 env_row = i
+            if s.type == PROJECTOR and s.env_data is not None:
+                img = np.asarray(s.env_data, np.float32)
+                if img.ndim == 2:
+                    img = np.repeat(img[..., None], MAX_C, -1)
+                proj_img = jnp.asarray(img)
+                proj_row = i
         return EmitterTable(type=jnp.asarray(typ), value=jnp.asarray(val),
                             to_world=jnp.asarray(tw), cos_cutoff=jnp.asarray(cc),
                             cos_beam=jnp.asarray(cb), shape_idx=jnp.asarray(sidx),
                             texture_idx=jnp.asarray(tex), env_img=env_img,
-                            env_distr=env_distr, env_row=env_row)
+                            env_distr=env_distr, env_row=env_row,
+                            proj_img=proj_img, proj_row=proj_row)
 
 
 def eval_hit(em: EmitterTable, em_idx, cos_theta_surface):
@@ -253,6 +264,28 @@ def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
     w_pt = val * inv_d2[..., None]
     w_pt = jnp.where((typ == SPOT)[..., None], w_pt * spot_fall[..., None], w_pt)
     w_pt = jnp.where((typ == POINTBEAM)[..., None], w_pt * beam_fall[..., None], w_pt)
+    if em.proj_img is not None:
+        # projector: intensity modulated by the IMAGE pixel whose
+        # perspective frustum ray passes through the shading point
+        # (reference `src/emitters/projector.cpp` sample_direction — the
+        # image is projected along local +z with x-fov = cutoff_angle)
+        twp = em.to_world[em.proj_row]
+        # light -> ref direction in the projector frame
+        dl = jnp.einsum('ji,...j->...i', twp[:3, :3], -d_p)
+        lz = dl[..., 2]
+        c_f = em.cos_cutoff[em.proj_row]
+        tan_half = jnp.sqrt(jnp.maximum((1.0 - c_f) / (1.0 + c_f), 1e-12))
+        h_p, w_p = em.proj_img.shape[:2]
+        aspect = w_p / h_p
+        safe_lz = jnp.where(jnp.abs(lz) > 1e-8, lz, 1e-8)
+        u_im = 0.5 + 0.5 * (dl[..., 0] / safe_lz) / tan_half
+        v_im = 0.5 + 0.5 * (dl[..., 1] / safe_lz) / (tan_half / aspect)
+        inside = ((lz > 0.0) & (u_im >= 0.0) & (u_im < 1.0)
+                  & (v_im >= 0.0) & (v_im < 1.0))
+        px = jnp.clip((u_im * w_p).astype(jnp.int32), 0, w_p - 1)
+        py = jnp.clip((v_im * h_p).astype(jnp.int32), 0, h_p - 1)
+        img_v = em.proj_img[py, px] * jnp.where(inside, 1.0, 0.0)[..., None]
+        w_pt = jnp.where((typ == PROJECTOR)[..., None], w_pt * img_v, w_pt)
     # directional: constant irradiance from fixed direction
     dir_axis = tw[:, :3, 2]
     d = jnp.where((typ == DIRECTIONAL)[..., None], -dir_axis, d)

@@ -219,3 +219,52 @@ def make_grid(nx: int = 1, ny: int = 1) -> tuple[np.ndarray, np.ndarray]:
             d = c + 1
             ff += [[a, b, d], [a, d, c]]
     return vv, np.array(ff, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Blender mesh import (reference `src/shapes/blender.cpp`): the exporter
+# add-on hands over raw pointers to Blender's in-memory arrays; here the
+# same layouts are numpy structured dtypes, accepted either as raw bytes
+# (bit-identical to what the reference reinterpret_casts) or as arrays.
+# ---------------------------------------------------------------------------
+
+BL_MLOOP = np.dtype([('v', '<u4'), ('e', '<u4')])
+BL_MLOOPTRI = np.dtype([('tri', '<u4', (3,)), ('poly', '<u4')])
+BL_MLOOPUV = np.dtype([('uv', '<f4', (2,)), ('flag', '<i4')])
+BL_MPOLY = np.dtype([('loopstart', '<i4'), ('totloop', '<i4'),
+                     ('mat_nr', '<i2'), ('flag', 'i1'), ('_pad', 'i1')])
+BL_MVERT = np.dtype([('co', '<f4', (3,)), ('no', '<i2', (3,)),
+                     ('flag', 'i1'), ('bweight', 'i1')])
+
+
+def blender_mesh(verts, loops, loop_tris, polys, mat_nr: int = 0,
+                 to_world=None, **kw) -> MeshSpec:
+    """Build a MeshSpec from Blender mesh buffers (reference
+    `src/shapes/blender.cpp:86-200`): `loop_tris` index into `loops`, which
+    index into `verts`; faces are filtered to the polygons whose material
+    slot equals `mat_nr` (one shape per material, like the reference).
+
+    Buffers may be raw bytes in Blender's struct layouts (BL_MVERT etc.) or
+    anything convertible to the matching structured arrays.
+    """
+    def arr(buf, dt):
+        if isinstance(buf, (bytes, bytearray, memoryview)):
+            return np.frombuffer(buf, dt)
+        a = np.asarray(buf)
+        return a if a.dtype == dt else a.astype(dt)
+
+    mv = arr(verts, BL_MVERT)
+    ml = arr(loops, BL_MLOOP)
+    mt = arr(loop_tris, BL_MLOOPTRI)
+    mp = arr(polys, BL_MPOLY)
+    keep = mp['mat_nr'][mt['poly']] == np.int16(mat_nr)
+    tris = mt['tri'][keep]                      # (T,3) loop indices
+    faces = ml['v'][tris].astype(np.int32)      # (T,3) vertex indices
+    if faces.size == 0:
+        raise ValueError(f"no faces with mat_nr={mat_nr}")
+    # compact to the used vertex set (the reference dedups per-corner for
+    # shading attributes; positions alone need only the used subset)
+    used, inv = np.unique(faces.reshape(-1), return_inverse=True)
+    v = mv['co'][used].astype(np.float32)
+    return MeshSpec(v, inv.reshape(-1, 3).astype(np.int32),
+                    to_world=to_world, **kw)

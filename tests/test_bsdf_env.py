@@ -148,3 +148,42 @@ def test_measured_brdf_angular_variation():
     f, pdf = bsdf_eval_pdf(table, idx, wi, wo)
     f = np.asarray(f)[:, 0]
     assert f[0] / f[1] == pytest.approx(10.0, rel=0.05)
+
+
+def test_projector_nee_through_image():
+    """Projector NEE is modulated by the image pixel whose frustum ray hits
+    the shading point (reference src/emitters/projector.cpp) — not a plain
+    spot falloff."""
+    import numpy as np
+    import jax.numpy as jnp
+    from beifong_tpu import scene as sc
+    from beifong_tpu import emitters as em_mod
+    from beifong_tpu.emitters import projector
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.core import transform as tf
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[:, :4] = 1.0          # one half of the image lit, the other black
+    s = sc.Scene()
+    s.add(diffuse("d"))
+    s.add(projector("p", img, intensity=2.0, fov=60.0,
+                    to_world=np.asarray(tf.look_at([0, 0, 0], [0, -1, 0]))))
+    sd = s.compile()
+    e = sd.emitters
+    assert e.proj_img is not None
+
+    # probe both lateral sides inside the frustum + a point far outside it
+    refs = jnp.asarray([[0.8, -3.0, 0.0],
+                        [-0.8, -3.0, 0.0],
+                        [5.0, -3.0, 0.0]], jnp.float32)
+    u_sel = jnp.zeros(3)
+    u_pos = jnp.full((3, 2), 0.5)
+    out = em_mod.sample_direction(e, sd.shapes, refs, u_sel, u_pos)
+    w = np.asarray(out[1])[:, 0]
+    lit = [i for i in (0, 1) if w[i] > 0]
+    dark = [i for i in (0, 1) if w[i] == 0]
+    assert len(lit) == 1 and len(dark) == 1, w
+    # lit side: intensity / r^2 (r^2 = 9 + 0.64)
+    assert w[lit[0]] == pytest.approx(2.0 / (3.0 ** 2 + 0.8 ** 2), rel=1e-4)
+    # outside the frustum: zero
+    assert w[2] == 0.0

@@ -118,3 +118,33 @@ def test_receive_checkpoint_timeout_resume_bit_exact(tmp_path):
     res, n_res = receive(s, sd, rx, checkpoint_path=p, resume=True, **kw)
     assert n_res == n_full
     np.testing.assert_array_equal(np.asarray(res), np.asarray(full))
+
+
+def test_blender_mesh_from_raw_buffers():
+    """Blender shape (reference src/shapes/blender.cpp): raw struct buffers
+    -> MeshSpec, filtered by material slot."""
+    import numpy as np
+    from beifong_tpu.geometry.mesh import (blender_mesh, BL_MVERT, BL_MLOOP,
+                                           BL_MLOOPTRI, BL_MPOLY)
+    # a unit quad: 4 verts, 2 polys (one per material), 2 loop-tris
+    mv = np.zeros(4, BL_MVERT)
+    mv['co'] = [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]]
+    ml = np.zeros(6, BL_MLOOP)
+    ml['v'] = [0, 1, 2, 0, 2, 3]
+    mt = np.zeros(2, BL_MLOOPTRI)
+    mt['tri'] = [[0, 1, 2], [3, 4, 5]]
+    mt['poly'] = [0, 1]
+    mp = np.zeros(2, BL_MPOLY)
+    mp['mat_nr'] = [0, 1]
+    # pass as RAW BYTES — the wire format the reference casts pointers to
+    m0 = blender_mesh(mv.tobytes(), ml.tobytes(), mt.tobytes(), mp.tobytes(),
+                      mat_nr=0)
+    assert m0.faces.shape == (1, 3)
+    np.testing.assert_allclose(m0.surface_area_world(), 0.5)
+    m1 = blender_mesh(mv, ml, mt, mp, mat_nr=1)
+    assert m1.faces.shape == (1, 3)
+    # both materials together tile the quad
+    assert m0.surface_area_world() + m1.surface_area_world() == 1.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        blender_mesh(mv, ml, mt, mp, mat_nr=7)
