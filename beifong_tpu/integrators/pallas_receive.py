@@ -93,13 +93,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                  max_depth: int, rx_kind: str, n_tiles: int,
                  use_prng: bool = True, coherent: bool = False,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
-                 mesh_bsdf: int = DIFFUSE):
+                 mesh_bsdf: int = DIFFUSE, moving: bool = False):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
     prim_bsdf: per-prim BSDF type code (DIFFUSE / ROUGH_CONDUCTOR).
     mesh_bsdf: shared BSDF type of all mesh shapes (per-tri reflectance
     rides the BVH leaf payload; alpha/eta/k are scene-shared scalars).
+    moving: any nonzero shape/tx/rx velocity — emits the first-order
+    per-bounce Doppler chain (mirrors radar_path.py: cumulative factor D
+    with f_received = f_emitted * D); static scenes skip it entirely.
     """
 
     n_time = cfg.n_time
@@ -170,6 +173,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 text=tx_ref[t, 19], fc=tx_ref[t, 20], fext=tx_ref[t, 21],
                 fcpri=tx_ref[t, 22],   # frac(fc_ref * PRI_f32), f64 host
                 dfc=tx_ref[t, 23],     # wf_fc - fc_ref (exact f64 diff)
+                vel=(tx_ref[t, 24], tx_ref[t, 25], tx_ref[t, 26]),
             ))
 
         def inst_freq(tx, t):
@@ -329,6 +333,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
         throughput = w0
         active = jnp.zeros(shape) == 0.0
         plen = jnp.zeros(shape)
+        if moving:
+            # cumulative Doppler factor D: f_received = f_emitted * D
+            # (rx motion first — physical arrival direction at rx is -d)
+            dop = 1.0 + (dx * sp(23) + dy * sp(24) + dz * sp(25)) / sp(1)
+        else:
+            dop = 1.0
         acc = jnp.zeros((n_time, n_freq), jnp.float32)
         acc_q = jnp.zeros((n_time, n_freq), jnp.float32)
         n_events = jnp.zeros(shape)
@@ -346,6 +356,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             kkb = jnp.zeros(shape)          # conductor k
             kb = jnp.zeros(shape)           # BSDF type code
             txc = jnp.full(shape, -1.0)     # tx index hit (-1 none)
+            vbx = jnp.zeros(shape)          # hit-shape velocity (moving)
+            vby = jnp.zeros(shape)
+            vbz = jnp.zeros(shape)
             for p, kind in enumerate(prim_kinds):
                 if kind not in (RECTANGLE, SPHERE):
                     continue
@@ -404,6 +417,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     ab = jnp.where(closer, prim_ref[p, 15], ab)
                     eb = jnp.where(closer, prim_ref[p, 16], eb)
                     kkb = jnp.where(closer, prim_ref[p, 17], kkb)
+                if moving:
+                    vbx = jnp.where(closer, prim_ref[p, 19], vbx)
+                    vby = jnp.where(closer, prim_ref[p, 20], vby)
+                    vbz = jnp.where(closer, prim_ref[p, 21], vbz)
             if has_mesh:
                 # mesh closest hit: speculative BVH walk (pallas_bvh.py)
                 # with per-lane state in VMEM scratch, pruned by the
@@ -456,8 +473,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     eb = jnp.where(m_closer, sp(21), eb)
                     kkb = jnp.where(m_closer, sp(22), kkb)
                 txc = jnp.where(m_closer, -1.0, txc)
+                if moving:
+                    # moving meshes are gated out by supported(); hits reset
+                    # the lane's vertex velocity to zero
+                    vbx = jnp.where(m_closer, 0.0, vbx)
+                    vby = jnp.where(m_closer, 0.0, vby)
+                    vbz = jnp.where(m_closer, 0.0, vbz)
             hit = tb < 3.4e37
-            return tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc, hit
+            return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
+                    (vbx, vby, vbz), hit)
 
         def occluded(ox, oy, oz, dx, dy, dz, maxt, skip_prim):
             occ = jnp.zeros(shape) != 0.0
@@ -598,7 +622,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
 
         for depth in range(max_depth):
             (tb, nx, ny, nz, refl, alph, etac, kc, kb, txc,
-             hit) = intersect(cx, cyv, cz, ddx, ddy, ddz)
+             (vhx, vhy, vhz), hit) = intersect(cx, cyv, cz, ddx, ddy, ddz)
             active = active & hit
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
@@ -657,7 +681,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     w_dh = sig_h * tx['gain'] * ap_h * TWO_PI
                     ok_h = active & (txc == float(t)) & (cos_dh > 0.0)
                     val_h = jnp.where(ok_h, throughput * w_dh * wg_h, 0.0)
-                    fr_h = fe_h
+                    fr_h = fe_h * dop if moving else fe_h
                     if mix:
                         fb_h = jnp.abs(fr_h - inst_freq(tx, tr_h))
                     else:
@@ -744,7 +768,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 val = jnp.where(ok, throughput * f_cos * w_tx * w_gate
                                 / jnp.maximum(pdf_sa, 1e-30), 0.0)
 
-                f_recv = f_emit
+                if moving:
+                    # connection Doppler: vertex bounce + tx motion
+                    # (radar_path.py:301-305)
+                    dop_vtx = 1.0 + ((wx_ - ddx) * vhx + (wy_ - ddy) * vhy
+                                     + (wz_ - ddz) * vhz) / cvel
+                    dop_tx = 1.0 - (wx_ * tx['vel'][0] + wy_ * tx['vel'][1]
+                                    + wz_ * tx['vel'][2]) / cvel
+                    f_recv = f_emit * dop * dop_vtx * dop_tx
+                else:
+                    f_recv = f_emit
                 if mix:
                     f_bin = jnp.abs(f_recv - inst_freq(tx, t_recv))
                 else:
@@ -807,10 +840,33 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                                 totq = totq + jnp.sum(vyq * wx_m)
                             cells.append(tot)
                             cells_q.append(totq)
-                acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
-                if coherent:
-                    acc_q = acc_q + jnp.stack(cells_q).reshape(n_time,
-                                                               n_freq)
+                if n_freq == 1:
+                    # (n_time,) -> (n_time, 1): a supported minor-dim cast
+                    acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
+                    if coherent:
+                        acc_q = acc_q + jnp.stack(cells_q).reshape(n_time,
+                                                                   n_freq)
+                else:
+                    # Mosaic rejects reshape (n_time*n_freq,)->(n_time,
+                    # n_freq) ("unsupported shape cast") and pallas_call
+                    # rejects captured constant arrays; assemble with
+                    # iota-mask selects (one per cell — cheap (2,64)-sized
+                    # vector ops)
+                    rows_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_time, n_freq), 0)
+                    cols_i = jax.lax.broadcasted_iota(
+                        jnp.int32, (n_time, n_freq), 1)
+
+                    def assemble(vals):
+                        upd = jnp.zeros((n_time, n_freq), jnp.float32)
+                        for ci, cval in enumerate(vals):
+                            m_c = ((rows_i == ci // n_freq)
+                                   & (cols_i == ci % n_freq))
+                            upd = upd + jnp.where(m_c, cval, 0.0)
+                        return upd
+                    acc = acc + assemble(cells)
+                    if coherent:
+                        acc_q = acc_q + assemble(cells_q)
 
             if depth == max_depth - 1:
                 break
@@ -863,13 +919,18 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     / jnp.maximum(ci_b * cth, 1e-8)
                 w_g = jnp.where((co_g > 0.0) & (idoth > 0.0), w_g, 0.0)
                 is_ggx = kb == float(ROUGH_CONDUCTOR)
-                ddx = jnp.where(is_ggx, wgx, wdx)
-                ddy = jnp.where(is_ggx, wgy, wdy)
-                ddz = jnp.where(is_ggx, wgz, wdz)
+                ndx = jnp.where(is_ggx, wgx, wdx)
+                ndy = jnp.where(is_ggx, wgy, wdy)
+                ndz = jnp.where(is_ggx, wgz, wdz)
                 w_b = jnp.where(is_ggx, w_g, w_d)
             else:
-                ddx, ddy, ddz = wdx, wdy, wdz
+                ndx, ndy, ndz = wdx, wdy, wdz
                 w_b = w_d
+            if moving:
+                # bounce Doppler for the continued path (radar_path.py:361)
+                dop = dop * (1.0 + ((ndx - ddx) * vhx + (ndy - ddy) * vhy
+                                    + (ndz - ddz) * vhz) / cvel)
+            ddx, ddy, ddz = ndx, ndy, ndz
             throughput = throughput * w_b
             active = active & (w_b > 0.0) & (txc < 0.0)
             cx = hx + 1e-4 * fx
@@ -907,6 +968,7 @@ def _pack_scene(scene, rx, shape_idx):
     tx_shapes = np.asarray(tx.shape_idx)
     shape_tx = {int(s): t for t, s in enumerate(tx_shapes)}
 
+    shape_vel = np.asarray(shapes.velocity)
     for i in range(n):
         prim[i, 0] = kind_np[i]
         prim[i, 1:13] = to_obj[i, :3, :].reshape(-1)
@@ -918,12 +980,14 @@ def _pack_scene(scene, rx, shape_idx):
         prim[i, 16] = b_eta[b, 0] if b >= 0 else 0.0
         prim[i, 17] = b_k[b, 0] if b >= 0 else 0.0
         prim[i, 18] = float(b_type[b]) if b >= 0 else 0.0
+        prim[i, 19:22] = shape_vel[i]
 
     # per-tx table (MMW phase constants computed host-side in float64:
     # frac(fc_ref*PRI_f32) and the exact carrier offset wf_fc - fc_ref)
     fc_ref = 0.5 * (sd.band.freq_min + sd.band.freq_max)
     n_tx = tx.n
-    txp = np.zeros((n_tx, 24), np.float32)
+    txp = np.zeros((n_tx, 28), np.float32)
+    tx_vel = np.asarray(tx.velocity)
     wf = tx.wf
     for t in range(n_tx):
         ts = int(tx_shapes[t])
@@ -944,6 +1008,7 @@ def _pack_scene(scene, rx, shape_idx):
         txp[t, 22] = np.float32(np.float64(fc_ref) * np.float64(pri_f32)
                                 % 1.0)
         txp[t, 23] = np.float32(np.float64(txp[t, 20]) - np.float64(fc_ref))
+        txp[t, 24:27] = tx_vel[t]
 
     if shape_idx >= 0:
         rxm = np.asarray(shapes.to_world[shape_idx])[:3, :].reshape(-1)
@@ -954,7 +1019,7 @@ def _pack_scene(scene, rx, shape_idx):
         rxm = m.reshape(-1)
         rx_wx = rx_wy = 0.0
 
-    params = np.zeros(24, np.float32)
+    params = np.zeros(28, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -964,6 +1029,7 @@ def _pack_scene(scene, rx, shape_idx):
     fcc = np.float64(fc_ref) / np.float64(sd.band.c)
     params[17] = np.float32(fcc)
     params[18] = np.float32(fcc - np.float64(np.float32(fcc)))
+    params[23:26] = np.asarray(rx.velocity, np.float32).reshape(3)
 
     mesh_pack = None
     params[19] = -1.0   # mesh BSDF kind (no mesh)
@@ -1054,11 +1120,13 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
     if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
-    # the kernel models no Doppler: moving scenes go to the jnp wavefront
-    if float(np.abs(np.asarray(scene_data.shapes.velocity)).max()) > 0.0:
-        return no('moving shapes (kernel has no Doppler; jnp path has)')
-    if float(np.abs(np.asarray(tx.velocity)).max()) > 0.0:
-        return no('moving transmitter (kernel has no Doppler)')
+    # moving analytic shapes / tx / rx ride the in-kernel first-order
+    # Doppler chain; only moving MESH shapes fall back (no per-tri velocity
+    # slot in the leaf payload)
+    if scene_data.tris is not None:
+        msidx = np.asarray(scene_data.tris.shape_idx)
+        if float(np.abs(np.asarray(scene_data.shapes.velocity)[msidx]).max()) > 0.0:
+            return no('moving mesh shapes (leaf payload carries no velocity)')
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, ROUGH_CONDUCTOR}:
         return no('BSDF types beyond diffuse/rough-conductor')
     if (np.asarray(scene_data.bsdfs.texture_idx) >= 0).any():
@@ -1088,12 +1156,12 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
-    'coherent', 'has_mesh', 'mesh_bsdf'))
+    'coherent', 'has_mesh', 'mesh_bsdf', 'moving'))
 def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, cfg, receive_type: str, time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
          coherent: bool = False, has_mesh: bool = False,
-         mesh_bsdf: int = DIFFUSE,
+         mesh_bsdf: int = DIFFUSE, moving: bool = False,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1117,7 +1185,7 @@ def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
                           time_sampling, max_depth, rx_kind, n_tiles,
                           use_prng=use_prng, coherent=coherent,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
-                          mesh_bsdf=mesh_bsdf)
+                          mesh_bsdf=mesh_bsdf, moving=moving)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
@@ -1176,6 +1244,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
         params, prim, txp, mesh_pack = _pack_scene(scene_data, rx, shape_idx)
+        moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
+                      or np.abs(txp[:, 24:27]).max() > 0.0
+                      or np.abs(params[23:26]).max() > 0.0)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),
@@ -1183,9 +1254,10 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
             int(params[19]),
+            moving,
             mesh_pack)
     (_, shape_idx, params, prim_dev, txp_dev, prim_kinds, prim_tx,
-     prim_bsdf, mesh_bsdf, mesh_pack) = cache[ck]
+     prim_bsdf, mesh_bsdf, moving, mesh_pack) = cache[ck]
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
@@ -1200,7 +1272,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                            jax.random.key(seed), prim_kinds, prim_tx,
                            prim_bsdf, rx.adc, rx.receive_type, time_sampling,
                            max_depth, rx_kind, n_lanes, interpret, coherent,
-                           has_mesh=has_mesh, mesh_bsdf=mesh_bsdf, **mesh_kw)
+                           has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
+                           moving=moving, **mesh_kw)
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

@@ -74,6 +74,10 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     prim_tx = tuple(int(f) for f in prim[:, 14])
     prim_bsdf = tuple(int(f) for f in prim[:, 18])
     mesh_bsdf = int(params[19])
+    import numpy as _np
+    moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
+                  or _np.abs(txp[:, 24:27]).max() > 0.0
+                  or _np.abs(params[23:26]).max() > 0.0)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
     tile = (MESH_SUB * LANE) if has_mesh else TILE
@@ -101,7 +105,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         out = _run(p2, prim_r, txp_r, k, prim_kinds, prim_tx, prim_bsdf,
                    rx.adc, rx.receive_type, time_sampling, max_depth,
                    rx_kind, n_lanes, interpret, coherent, has_mesh=has_mesh,
-                   mesh_bsdf=mesh_bsdf, **mesh_kw)
+                   mesh_bsdf=mesh_bsdf, moving=moving, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)

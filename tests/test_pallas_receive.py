@@ -82,12 +82,18 @@ def test_supported_gates():
     why2 = []
     assert not supported(s2.compile(), rx, why2)
     assert any('BSDF types' in w for w in why2)
-    # moving shapes fall back: the kernel models no Doppler
+    # moving ANALYTIC shapes are in scope (in-kernel Doppler chain)…
     s3, rx3 = g._build_scene(ground=False)
     s3.shapes[-1].velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
+    assert supported(s3.compile(), rx3)
+    # …but moving meshes fall back (no per-tri velocity in the payload)
+    s3b, rx3b = _mesh_scene()
+    for sp_ in s3b.shapes:
+        if hasattr(sp_, 'faces') and sp_.faces is not None:
+            sp_.velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
     why3 = []
-    assert not supported(s3.compile(), rx3, why3)
-    assert any('Doppler' in w for w in why3)
+    assert not supported(s3b.compile(use_bvh=False), rx3b, why3)
+    assert any('moving mesh' in w for w in why3)
     # oversized ADC grids must be rejected with a reason (the in-kernel
     # splat is unrolled over cells: a 256x128 grid would compile-bomb)
     import dataclasses as dc
@@ -413,3 +419,60 @@ def test_megakernel_mesh_per_shape_reflectance():
     assert p_dim[near_w].sum() == pytest.approx(p_eq[near_w].sum(), rel=0.05)
     ratio = p_dim[far_w].sum() / p_eq[far_w].sum()
     assert ratio == pytest.approx(0.25, rel=0.2), ratio
+
+
+def test_megakernel_doppler_shift():
+    """In-kernel first-order Doppler: a radially closing CW target shifts
+    the received frequency bin by ~2v/c * fc, matching both the analytic
+    value and the jnp wavefront (radar_path.py Doppler chain)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import cw, wigner_transmitter, omni_receiver, ADCConfig
+    from beifong_tpu.receive import develop_signal
+    C, fc, v = 340.0, 40e3, 5.0
+
+    def build(vel):
+        band = Band.from_freq(C, fc, 10e3)
+        s = sc.Scene(band=band)
+        s.add(diffuse("mat", reflectance=1.0, twosided=True))
+        s.add(wigner_transmitter("tx", cw(f_centre=fc), resample_freq=True))
+        aim = np.asarray(tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                     tfm.scale([0.05, 0.05, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adcc = ADCConfig(n_time=2, n_freq=64, sampling_start=0.0,
+                         sampling_time=0.04, freq_lo=39e3, freq_hi=43e3)
+        rx = omni_receiver("rx", adcc, position=(0.0, 0.0, 0.0),
+                           receive_type='raw')
+        s.add(rx)
+        tgt = sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0, -4.0, 0], [0, 0, 0]),
+                        tfm.scale(0.3))), bsdf="mat")
+        tgt.velocity = np.asarray(vel, np.float32)
+        s.add(tgt)
+        return s, rx
+
+    def fpeaks(vel):
+        s, rx = build(vel)
+        sd = s.compile()
+        assert supported(sd, rx)
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=2, max_depth=2,
+                                time_sampling='gate', interpret=True)
+        fp = np.asarray(out).sum(0)[:, None] if np.asarray(out).ndim == 2 \
+            else np.asarray(out)
+        fk = int(np.asarray(out).sum(axis=0).argmax())
+        a, n2 = receive(s, sd, rx, seed=3, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        fj = int(np.asarray(develop_signal(a, n2, rx.adc))[:, :, 0]
+                 .sum(axis=0).argmax())
+        return fk, fj
+
+    fk0, fj0 = fpeaks([0.0, 0.0, 0.0])
+    fk1, fj1 = fpeaks([0.0, 3.0, 0.0])   # +y = toward the radar: closing
+    bin_w = 4e3 / 64
+    shift_bins = 2 * v / C * fc / bin_w * (3.0 / v)   # v=3 -> ~11.3 bins
+    assert fk0 == fj0
+    assert fk1 == fj1
+    assert (fk1 - fk0) == pytest.approx(2 * 3.0 / C * fc / bin_w, abs=1.5)
