@@ -474,11 +474,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     kkb = jnp.where(m_closer, sp(22), kkb)
                 txc = jnp.where(m_closer, -1.0, txc)
                 if moving:
-                    # moving meshes are gated out by supported(); hits reset
-                    # the lane's vertex velocity to zero
-                    vbx = jnp.where(m_closer, 0.0, vbx)
-                    vby = jnp.where(m_closer, 0.0, vby)
-                    vbz = jnp.where(m_closer, 0.0, vbz)
+                    # scene-shared rigid mesh velocity (sp 26..28)
+                    vbx = jnp.where(m_closer, sp(26), vbx)
+                    vby = jnp.where(m_closer, sp(27), vby)
+                    vbz = jnp.where(m_closer, sp(28), vbz)
             hit = tb < 3.4e37
             return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
                     (vbx, vby, vbz), hit)
@@ -1019,7 +1018,7 @@ def _pack_scene(scene, rx, shape_idx):
         rxm = m.reshape(-1)
         rx_wx = rx_wy = 0.0
 
-    params = np.zeros(28, np.float32)
+    params = np.zeros(32, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -1050,6 +1049,9 @@ def _pack_scene(scene, rx, shape_idx):
         params[20] = b_alpha[b0] if b0 >= 0 else 0.1
         params[21] = b_eta[b0, 0] if b0 >= 0 else 0.0
         params[22] = b_k[b0, 0] if b0 >= 0 else 0.0
+        # scene-shared mesh velocity (rigid meshes; supported() gates all
+        # mesh shapes to one value)
+        params[26:29] = shape_vel[int(sidx[0])]
     return params, prim, txp, mesh_pack
 
 
@@ -1121,12 +1123,14 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
     # moving analytic shapes / tx / rx ride the in-kernel first-order
-    # Doppler chain; only moving MESH shapes fall back (no per-tri velocity
-    # slot in the leaf payload)
+    # Doppler chain; meshes move rigidly with ONE shared velocity (the
+    # leaf payload carries no per-tri velocity)
     if scene_data.tris is not None:
         msidx = np.asarray(scene_data.tris.shape_idx)
-        if float(np.abs(np.asarray(scene_data.shapes.velocity)[msidx]).max()) > 0.0:
-            return no('moving mesh shapes (leaf payload carries no velocity)')
+        mv = np.asarray(scene_data.shapes.velocity)[msidx]
+        if not np.allclose(mv, mv[0]):
+            return no('mesh shapes with differing velocities (the kernel '
+                      'packs one shared mesh velocity)')
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, ROUGH_CONDUCTOR}:
         return no('BSDF types beyond diffuse/rough-conductor')
     if (np.asarray(scene_data.bsdfs.texture_idx) >= 0).any():
@@ -1246,7 +1250,7 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         params, prim, txp, mesh_pack = _pack_scene(scene_data, rx, shape_idx)
         moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
                       or np.abs(txp[:, 24:27]).max() > 0.0
-                      or np.abs(params[23:26]).max() > 0.0)
+                      or np.abs(params[23:29]).max() > 0.0)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),

@@ -77,7 +77,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     import numpy as _np
     moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
                   or _np.abs(txp[:, 24:27]).max() > 0.0
-                  or _np.abs(params[23:26]).max() > 0.0)
+                  or _np.abs(params[23:29]).max() > 0.0)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
     tile = (MESH_SUB * LANE) if has_mesh else TILE

@@ -86,14 +86,23 @@ def test_supported_gates():
     s3, rx3 = g._build_scene(ground=False)
     s3.shapes[-1].velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
     assert supported(s3.compile(), rx3)
-    # …but moving meshes fall back (no per-tri velocity in the payload)
+    # …and so are rigidly-moving meshes (one shared velocity)…
     s3b, rx3b = _mesh_scene()
-    for sp_ in s3b.shapes:
-        if hasattr(sp_, 'faces') and sp_.faces is not None:
-            sp_.velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
+    mesh_specs = [sp_ for sp_ in s3b.shapes
+                  if hasattr(sp_, 'faces') and sp_.faces is not None]
+    for sp_ in mesh_specs:
+        sp_.velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
+    assert supported(s3b.compile(use_bvh=False), rx3b)
+    # …but meshes with DIFFERING velocities fall back
+    import copy as _copy
+    v2_, f2_ = mesh_specs[0].vertices, mesh_specs[0].faces
+    from beifong_tpu.geometry.mesh import MeshSpec as _MS
+    extra = _MS(v2_, f2_, bsdf="mat")
+    extra.velocity = np.asarray([0.0, 2.0, 0.0], np.float32)
+    s3b.add(extra)
     why3 = []
     assert not supported(s3b.compile(use_bvh=False), rx3b, why3)
-    assert any('moving mesh' in w for w in why3)
+    assert any('velocit' in w for w in why3)
     # oversized ADC grids must be rejected with a reason (the in-kernel
     # splat is unrolled over cells: a 256x128 grid would compile-bomb)
     import dataclasses as dc
@@ -476,3 +485,42 @@ def test_megakernel_doppler_shift():
     assert fk0 == fj0
     assert fk1 == fj1
     assert (fk1 - fk0) == pytest.approx(2 * 3.0 / C * fc / bin_w, abs=1.5)
+
+
+def test_megakernel_mesh_doppler_shift():
+    """Rigid mesh velocity (scene-shared slot): a closing mesh target
+    Doppler-shifts the received frequency like the jnp path."""
+    from beifong_tpu.receive import develop_signal
+    import dataclasses as dc
+
+    def build(vy):
+        s, rx = _mesh_scene()
+        for sp_ in s.shapes:
+            if hasattr(sp_, 'faces') and sp_.faces is not None:
+                sp_.velocity = np.asarray([0.0, vy, 0.0], np.float32)
+        rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=2, n_freq=64,
+                                           sampling_time=0.04,
+                                           freq_lo=39e3, freq_hi=43e3))
+        # swap the receiver spec in the scene for the freq-binned ADC
+        s.receivers[0] = rx
+        return s, rx
+
+    def fpeak(vy):
+        s, rx = build(vy)
+        sd = s.compile(use_bvh=False)
+        assert supported(sd, rx)
+        out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=1, max_depth=1,
+                                time_sampling='gate', interpret=True)
+        fk = int(np.asarray(out).sum(axis=0).argmax())
+        a, n2 = receive(s, sd, rx, seed=4, spp=1 << 13, max_depth=1,
+                        time_sampling='gate')
+        fj = int(np.asarray(develop_signal(a, n2, rx.adc))[:, :, 0]
+                 .sum(axis=0).argmax())
+        return fk, fj
+
+    fk0, fj0 = fpeak(0.0)
+    fk1, fj1 = fpeak(3.0)
+    assert abs(fk0 - fj0) <= 1 and abs(fk1 - fj1) <= 1
+    bin_w = 4e3 / 64
+    assert (fk1 - fk0) == pytest.approx(2 * 3.0 / 340.0 * 40e3 / bin_w,
+                                        abs=1.5)
