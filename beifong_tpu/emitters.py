@@ -29,6 +29,7 @@ CONSTANT = 4
 POINTBEAM = 5
 PROJECTOR = 6
 ENVMAP = 7
+WIGNER_AREA = 8   # area emitter x shape-aperture WDF gain (coherent.cpp)
 
 MAX_C = 3
 
@@ -56,6 +57,29 @@ def _m4(m):
 
 def area(id, radiance=1.0, texture=None) -> EmitterSpec:
     return EmitterSpec(id=id, type=AREA, value=_c(radiance), texture=texture)
+
+
+def coherent(id, power=1.0, gain=1.0, texture=None) -> EmitterSpec:
+    """Coherent antenna emitter (reference `src/emitters/coherent.cpp`):
+    radiance = power * gain * antenna_texture * shape WDF directional gain
+    (`coherent.cpp:71-97` — the aperture Wigner function evaluated at the
+    band-centre wavelength on the optical render path)."""
+    return EmitterSpec(id=id, type=WIGNER_AREA, value=_c(power * gain),
+                       texture=texture)
+
+
+# `wigner` area emitter (reference src/emitters/wigner.cpp) shares the
+# coherent semantics: area radiance gated by the aperture WDF
+wigner_area = coherent
+
+
+def incoherent(id, power=1.0, gain=1.0, texture=None) -> EmitterSpec:
+    """Incoherent antenna emitter (reference `src/emitters/incoherent.cpp`):
+    radiance = power * gain * antenna_texture / (6 pi)
+    (`incoherent.cpp:85` geom_gain = rcp(6) * InvPi — no WDF term)."""
+    return EmitterSpec(id=id, type=AREA,
+                       value=_c(power * gain / (6.0 * np.pi)),
+                       texture=texture)
 
 
 def point(id, intensity=1.0, position=(0, 0, 0)) -> EmitterSpec:
@@ -122,13 +146,17 @@ class EmitterTable:
     env_row: int = dataclasses.field(metadata=dict(static=True), default=-1)
     proj_img: object = None     # (H,W,3) projector image (one projector)
     proj_row: int = dataclasses.field(metadata=dict(static=True), default=-1)
+    # band-centre wavelength [m] for WIGNER_AREA directional gain
+    wl_centre: float = dataclasses.field(metadata=dict(static=True),
+                                         default=550e-9)
 
     @property
     def n(self) -> int:
         return self.type.shape[0]
 
     @staticmethod
-    def build(specs, shape_of, resolve_texture) -> "EmitterTable":
+    def build(specs, shape_of, resolve_texture,
+              wl_centre: float = 550e-9) -> "EmitterTable":
         n = max(len(specs), 1)
         typ = np.zeros(n, np.int32)
         val = np.zeros((n, MAX_C), np.float32)
@@ -172,15 +200,54 @@ class EmitterTable:
                             cos_beam=jnp.asarray(cb), shape_idx=jnp.asarray(sidx),
                             texture_idx=jnp.asarray(tex), env_img=env_img,
                             env_distr=env_distr, env_row=env_row,
-                            proj_img=proj_img, proj_row=proj_row)
+                            proj_img=proj_img, proj_row=proj_row,
+                            wl_centre=float(wl_centre))
 
 
-def eval_hit(em: EmitterTable, em_idx, cos_theta_surface):
+
+
+def _wdf_gain(shapes: ShapeTable, sidx, uv, d_out, wl):
+    """Rect-aperture WDF directional gain (reference
+    `src/shapes/rectangle.cpp:132-220` sample_wigner, consumed by the
+    coherent emitter `coherent.cpp:90`): 4 tri(rx)tri(ry) sinc(2 pi nu_x
+    w_x tri) sinc(2 pi nu_y w_y tri), with the local position from the
+    shape uv and the wavevector nu = d/wl in the aperture frame.  Signed —
+    WDF sidelobes are negative, like the radar path."""
+    from .core.math import sinc as _sinc, tri as _tri
+    i = jnp.maximum(sidx, 0)
+    tw = shapes.to_world[i]
+    c0 = tw[..., :3, 0]
+    c1 = tw[..., :3, 1]
+    wx = jnp.sqrt(jnp.maximum(jnp.sum(c0 * c0, -1), 1e-20))
+    wy = jnp.sqrt(jnp.maximum(jnp.sum(c1 * c1, -1), 1e-20))
+    lx = 2.0 * uv[..., 0] - 1.0
+    ly = 2.0 * uv[..., 1] - 1.0
+    nu_x = jnp.sum(c0 * d_out, -1) / wx / wl
+    nu_y = jnp.sum(c1 * d_out, -1) / wy / wl
+    trx = _tri(0.5 * lx)
+    try_ = _tri(0.5 * ly)
+    return (4.0 * trx * try_
+            * _sinc(2.0 * jnp.pi * nu_x * wx * trx)
+            * _sinc(2.0 * jnp.pi * nu_y * wy * try_))
+
+def eval_hit(em: EmitterTable, em_idx, cos_theta_surface,
+             shapes: ShapeTable = None, uv=None, d_in=None):
     """Radiance of an area emitter seen from direction with local cosine
-    cos_theta_surface (>0 = front).  em_idx (n,), -1 = none."""
+    cos_theta_surface (>0 = front).  em_idx (n,), -1 = none.
+
+    `shapes`/`uv`/`d_in` (incoming ray direction at the hit) enable the
+    WIGNER_AREA directional gain; without them wigner emitters evaluate as
+    plain area (callers on paths that never carry uv)."""
     i = jnp.maximum(em_idx, 0)
-    live = (em_idx >= 0) & (em.type[i] == AREA) & (cos_theta_surface > 0.0)
-    return jnp.where(live[..., None], em.value[i], 0.0)
+    typ = em.type[i]
+    live = (em_idx >= 0) & ((typ == AREA) | (typ == WIGNER_AREA)) \
+        & (cos_theta_surface > 0.0)
+    out = jnp.where(live[..., None], em.value[i], 0.0)
+    if shapes is not None and uv is not None and d_in is not None:
+        g = _wdf_gain(shapes, em.shape_idx[i], uv, -d_in, em.wl_centre)
+        out = jnp.where((typ == WIGNER_AREA)[..., None],
+                        out * g[..., None], out)
+    return out
 
 
 def _env_uv(em: EmitterTable, d_world):
@@ -252,7 +319,8 @@ def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
     beam_fall = jnp.exp(-jnp.maximum(1.0 - cos_dir, 0.0) /
                         jnp.maximum(1.0 - em.cos_beam[e], 1e-6))
 
-    is_area = typ == AREA
+    is_wig = typ == WIGNER_AREA
+    is_area = (typ == AREA) | is_wig
     is_delta = ~is_area
     d = jnp.where(is_area[..., None], d_a, d_p)
     dist = jnp.where(is_area, dist_a, dist_p)
@@ -331,6 +399,9 @@ def sample_direction(em: EmitterTable, shapes: ShapeTable, ref_p, u_sel, u_pos):
     pdf = jnp.where(is_area, pdf_sa * pdf_sel,
                     jnp.where(is_env, pdf_env * pdf_sel, pdf_sel))
     w_area = val / jnp.maximum(pdf_sa, 1e-20)[..., None]
+    # coherent/wigner emitters: aperture WDF gain toward the shading point
+    g_wig = _wdf_gain(shapes, em.shape_idx[e], uv, -d_a, em.wl_centre)
+    w_area = jnp.where(is_wig[..., None], w_area * g_wig[..., None], w_area)
     weight = jnp.where(is_area[..., None],
                        jnp.where((pdf_sa > 0.0)[..., None], w_area, 0.0),
                        w_pt / pdf_sel)

@@ -41,7 +41,8 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
     em_idx = scene.emitter_of(si.shape_idx)
     cos_at = jnp.sum(-d * si.n, axis=-1)
     result += jnp.where(si.valid[:, None],
-                        em_mod.eval_hit(em, em_idx, cos_at), 0.0)
+                        em_mod.eval_hit(em, em_idx, cos_at, scene.shapes,
+                                        si.uv, d), 0.0)
     result += jnp.where((~si.valid)[:, None], em_mod.eval_env(em, d), 0.0)
     active &= si.valid
 
@@ -86,7 +87,9 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
         w_mis = jnp.where(is_delta, 1.0, mis_weight(pdf_b, pdf_em))
         result += jnp.where((alive & si2.valid)[:, None],
                             throughput * w_mis[:, None]
-                            * em_mod.eval_hit(em, em_idx2, cos2), 0.0)
+                            * em_mod.eval_hit(em, em_idx2, cos2,
+                                              scene.shapes, si2.uv, d_new),
+                            0.0)
         # Environment on escape, MIS against env NEE pdf
         pdf_env = em_mod.pdf_direction_env(em, d_new)
         w_mis_env = jnp.where(is_delta, 1.0, mis_weight(pdf_b, pdf_env))

@@ -322,8 +322,15 @@ def _load_emitter(scene: Scene, val, attached=False):
     t = val["type"]
     eid = val.get("id", _gen_id("em"))
     tw = _to_world_of(val)
-    if t in ("area", "wigner", "coherent", "incoherent"):
+    if t == "area":
         spec = em.area(eid, radiance=_refl_of(val, "radiance", 1.0, band=scene.band))
+    elif t in ("wigner", "coherent"):
+        # aperture-WDF-gated area emitter (reference coherent.cpp / wigner.cpp)
+        spec = em.coherent(eid, power=val.get("power", 1.0),
+                           gain=val.get("gain", 1.0))
+    elif t == "incoherent":
+        spec = em.incoherent(eid, power=val.get("power", 1.0),
+                             gain=val.get("gain", 1.0))
     elif t == "point":
         spec = em.point(eid, intensity=_refl_of(val, "intensity", 1.0, band=scene.band),
                         position=val.get("position", tw[:3, 3]))

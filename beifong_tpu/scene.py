@@ -276,7 +276,8 @@ class Scene:
         em_table = EmitterTable.build(
             self.emitters,
             shape_of=lambda eid: self.shape_index_of_endpoint('emitter', eid),
-            resolve_texture=resolve_tex)
+            resolve_texture=resolve_tex,
+            wl_centre=self.band.wavelength_centre)
 
         tx_table = rx_table = None
         if self.transmitters or self.receivers:
