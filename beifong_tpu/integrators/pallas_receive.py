@@ -802,70 +802,54 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             if _ABLATE == 'nosplat':
                 for main, q_, yb, xb in contribs:
                     acc = acc + jnp.sum(main)
-            else:
+            elif n_freq == 1:
+                # fast-time-only grids: per-cell tent reductions, assembled
+                # by the supported (n_time,) -> (n_time, 1) minor-dim cast
                 cells = []
                 cells_q = []
                 for bt in range(n_time):
-                    if n_freq == 1:
-                        tot = jnp.float32(0.0)
-                        totq = jnp.float32(0.0)
-                        for main, q_, yb, xb in contribs:
-                            wy_m = jnp.maximum(
-                                1.0 - jnp.abs(yb - float(bt)), 0.0)
-                            tot = tot + jnp.sum(main * wy_m)
-                            if coherent:
-                                totq = totq + jnp.sum(q_ * wy_m)
-                        cells.append(tot)
-                        cells_q.append(totq)
-                    else:
-                        rows = []
-                        rows_q = []
-                        for main, q_, yb, xb in contribs:
-                            wy_m = jnp.maximum(
-                                1.0 - jnp.abs(yb - float(bt)), 0.0)
-                            rows.append((main * wy_m, xb))
-                            if coherent:
-                                rows_q.append((q_ * wy_m, xb))
-                        for bf in range(n_freq):
-                            tot = jnp.float32(0.0)
-                            totq = jnp.float32(0.0)
-                            for (vy, xb) in rows:
-                                wx_m = jnp.maximum(
-                                    1.0 - jnp.abs(xb - float(bf)), 0.0)
-                                tot = tot + jnp.sum(vy * wx_m)
-                            for (vyq, xb) in rows_q:
-                                wx_m = jnp.maximum(
-                                    1.0 - jnp.abs(xb - float(bf)), 0.0)
-                                totq = totq + jnp.sum(vyq * wx_m)
-                            cells.append(tot)
-                            cells_q.append(totq)
-                if n_freq == 1:
-                    # (n_time,) -> (n_time, 1): a supported minor-dim cast
-                    acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
-                    if coherent:
-                        acc_q = acc_q + jnp.stack(cells_q).reshape(n_time,
-                                                                   n_freq)
-                else:
-                    # Mosaic rejects reshape (n_time*n_freq,)->(n_time,
-                    # n_freq) ("unsupported shape cast") and pallas_call
-                    # rejects captured constant arrays; assemble with
-                    # iota-mask selects (one per cell — cheap (2,64)-sized
-                    # vector ops)
-                    rows_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_time, n_freq), 0)
-                    cols_i = jax.lax.broadcasted_iota(
-                        jnp.int32, (n_time, n_freq), 1)
-
-                    def assemble(vals):
-                        upd = jnp.zeros((n_time, n_freq), jnp.float32)
-                        for ci, cval in enumerate(vals):
-                            m_c = ((rows_i == ci // n_freq)
-                                   & (cols_i == ci % n_freq))
-                            upd = upd + jnp.where(m_c, cval, 0.0)
-                        return upd
-                    acc = acc + assemble(cells)
-                    if coherent:
-                        acc_q = acc_q + assemble(cells_q)
+                    tot = jnp.float32(0.0)
+                    totq = jnp.float32(0.0)
+                    for main, q_, yb, xb in contribs:
+                        wy_m = jnp.maximum(
+                            1.0 - jnp.abs(yb - float(bt)), 0.0)
+                        tot = tot + jnp.sum(main * wy_m)
+                        if coherent:
+                            totq = totq + jnp.sum(q_ * wy_m)
+                    cells.append(tot)
+                    cells_q.append(totq)
+                acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
+                if coherent:
+                    acc_q = acc_q + jnp.stack(cells_q).reshape(n_time,
+                                                               n_freq)
+            else:
+                # 2-D (fast-time x frequency) grids splat on the MXU:
+                #   C[bt, bf] = sum_lane v * tent(yb - bt) * tent(xb - bf)
+                # factors into one dot_general per ray row,
+                #   (A * v) @ B^T  with  A = tent(yb_row - iota_t)
+                #                        B = tent(xb_row - iota_f),
+                # contracting over the 128-lane axis — grid size no longer
+                # inflates the Mosaic program (the old per-cell unroll was
+                # both a compile-bomb and an unsupported reshape on TPU)
+                # Mosaic's tpu.iota is integer-only: build i32, then cast
+                iota_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_time, LANE), 0).astype(jnp.float32)
+                iota_f = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_freq, LANE), 0).astype(jnp.float32)
+                dnum = (((1,), (1,)), ((), ()))
+                for main, q_, yb, xb in contribs:
+                    for s_r in range(SUB):
+                        A = jnp.maximum(
+                            1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
+                        B = jnp.maximum(
+                            1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f), 0.0)
+                        acc = acc + jax.lax.dot_general(
+                            A * main[s_r:s_r + 1, :], B, dnum,
+                            preferred_element_type=jnp.float32)
+                        if coherent:
+                            acc_q = acc_q + jax.lax.dot_general(
+                                A * q_[s_r:s_r + 1, :], B, dnum,
+                                preferred_element_type=jnp.float32)
 
             if depth == max_depth - 1:
                 break
@@ -1060,10 +1044,11 @@ def _pack_scene(scene, rx, shape_idx):
 # intersector unrolls over prims, so both directly scale compile time /
 # Mosaic program size.  Oversized scenes fall back to the jnp wavefront with
 # a logged reason instead of compile-bombing.
-MAX_ADC_CELLS = 512
+MAX_ADC_CELLS = 512       # n_freq == 1: per-cell unrolled tent reductions
+MAX_ADC_CELLS_MXU = 32768  # n_freq > 1: dot_general splat (VMEM acc bound)
 MAX_PRIMS = 24
 MAX_TX = 4
-MAX_SPLAT_TERMS = 1024   # cells * n_tx budget
+MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 
 
 def supported(scene_data, rx, reason: list | None = None) -> bool:
@@ -1141,12 +1126,19 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if scene_data.medium is not None:
         return no('participating medium')
     cells = rx.adc.n_time * rx.adc.n_freq
-    if cells > MAX_ADC_CELLS:
-        return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} cells '
-                  f'> {MAX_ADC_CELLS} (unrolled splat would compile-bomb)')
-    if cells * tx.n > MAX_SPLAT_TERMS:
-        return no(f'ADC cells x transmitters = {cells * tx.n} > '
-                  f'{MAX_SPLAT_TERMS} (unrolled splat terms)')
+    if rx.adc.n_freq == 1:
+        # fast-time-only grids use the unrolled per-cell reduce splat
+        if cells > MAX_ADC_CELLS:
+            return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
+                      f'cells > {MAX_ADC_CELLS} (unrolled splat would '
+                      f'compile-bomb)')
+        if cells * tx.n > MAX_SPLAT_TERMS:
+            return no(f'ADC cells x transmitters = {cells * tx.n} > '
+                      f'{MAX_SPLAT_TERMS} (unrolled splat terms)')
+    elif cells > MAX_ADC_CELLS_MXU:
+        # 2-D grids splat via dot_general: bound is the VMEM accumulator
+        return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
+                  f'cells > {MAX_ADC_CELLS_MXU} (MXU splat VMEM bound)')
     n_prims = int(scene_data.shapes.kind.shape[0])
     if n_prims > MAX_PRIMS:
         return no(f'{n_prims} prims > {MAX_PRIMS} (unrolled intersector)')

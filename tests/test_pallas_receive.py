@@ -103,13 +103,20 @@ def test_supported_gates():
     why3 = []
     assert not supported(s3b.compile(use_bvh=False), rx3b, why3)
     assert any('velocit' in w for w in why3)
-    # oversized ADC grids must be rejected with a reason (the in-kernel
-    # splat is unrolled over cells: a 256x128 grid would compile-bomb)
+    # oversized ADC grids must be rejected with a reason; 2-D grids go
+    # through the MXU dot_general splat (cap 32k cells), fast-time-only
+    # grids through the unrolled reduce splat (cap 512)
     import dataclasses as dc
-    big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=256, n_freq=128))
+    big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024, n_freq=1))
     why = []
     assert not supported(sd, big, why)
     assert any('cells' in w for w in why)
+    big2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
+    why = []
+    assert not supported(sd, big2, why)
+    assert any('cells' in w for w in why)
+    ok2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=64, n_freq=128))
+    assert supported(sd, ok2)
 
 
 def test_receive_use_pallas_auto():
