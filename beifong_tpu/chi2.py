@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .core.quad import gauss_legendre01
+
 
 @dataclasses.dataclass
 class ChiSquareTest:
@@ -73,17 +75,22 @@ class ChiSquareTest:
         return h / d.shape[0]
 
     def _expected_sphere(self):
+        # tensor-product Gauss-Legendre per histogram cell (reference
+        # integrates expected masses with quad.h rules; sub_res = GL order,
+        # exact for per-cell polynomials of degree 2*sub_res-1)
         nt, np_ = self.res
         s = self.sub_res
-        t = (np.arange(nt * s) + 0.5) * (np.pi / (nt * s))
-        p = (np.arange(np_ * s) + 0.5) * (2 * np.pi / (np_ * s))
+        xg, wg = gauss_legendre01(s)
+        t = (np.add.outer(np.arange(nt), xg)).reshape(-1) * (np.pi / nt)
+        p = (np.add.outer(np.arange(np_), xg)).reshape(-1) * (2 * np.pi / np_)
         tt, pp = np.meshgrid(t, p, indexing='ij')
         d = np.stack([np.sin(tt) * np.cos(pp), np.sin(tt) * np.sin(pp),
                       np.cos(tt)], -1)
         pdf = np.asarray(self.pdf_fn(jnp.asarray(d)))
         vals = pdf * np.sin(tt)
-        cell = (np.pi / (nt * s)) * (2 * np.pi / (np_ * s))
-        mass = vals.reshape(nt, s, np_, s).sum(axis=(1, 3)) * cell
+        w2 = np.multiply.outer(wg, wg) * (np.pi / nt) * (2 * np.pi / np_)
+        mass = (vals.reshape(nt, s, np_, s)
+                * w2[None, :, None, :]).sum(axis=(1, 3))
         sup = pdf.reshape(nt, s, np_, s) > 0
         frac = sup.mean(axis=(1, 3))
         return mass, (frac > 0) & (frac < 1)
@@ -96,12 +103,14 @@ class ChiSquareTest:
     def _expected_square(self):
         nx, ny = self.res
         s = self.sub_res
-        x = (np.arange(nx * s) + 0.5) / (nx * s)
-        y = (np.arange(ny * s) + 0.5) / (ny * s)
+        xg, wg = gauss_legendre01(s)
+        x = (np.add.outer(np.arange(nx), xg)).reshape(-1) / nx
+        y = (np.add.outer(np.arange(ny), xg)).reshape(-1) / ny
         xx, yy = np.meshgrid(x, y, indexing='ij')
         pdf = np.asarray(self.pdf_fn(jnp.asarray(np.stack([xx, yy], -1))))
-        cell = 1.0 / (nx * s) / (ny * s)
-        mass = pdf.reshape(nx, s, ny, s).sum(axis=(1, 3)) * cell
+        w2 = np.multiply.outer(wg, wg) / (nx * ny)
+        mass = (pdf.reshape(nx, s, ny, s)
+                * w2[None, :, None, :]).sum(axis=(1, 3))
         sup = pdf.reshape(nx, s, ny, s) > 0
         frac = sup.mean(axis=(1, 3))
         return mass, (frac > 0) & (frac < 1)
