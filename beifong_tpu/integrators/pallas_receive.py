@@ -343,9 +343,14 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
         acc_q = jnp.zeros((n_time, n_freq), jnp.float32)
         n_events = jnp.zeros(shape)
 
-        def intersect(ox, oy, oz, dx, dy, dz):
+        def intersect(ox, oy, oz, dx, dy, dz, live=None):
             """Closest hit over prims: returns t, n(xyz), per-lane BSDF
-            params (refl, alpha, eta, k, type code), tx code, hit."""
+            params (refl, alpha, eta, k, type code), tx code, hit.
+
+            `live`: lane mask — dead lanes are pruned out of the BVH walk
+            (tbest = 0 means no AABB can pass `tn < tbest`), which is the
+            difference between a narrow-beam walk and a whole-tree sweep
+            once bounced tiles carry mostly-missed lanes."""
             tb = jnp.full(shape, 3.4e38)
             nx = jnp.zeros(shape)
             ny = jnp.zeros(shape)
@@ -437,7 +442,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
 
                 def tbest(s):
-                    return jnp.minimum(ms_t_ref[:], tb_a)
+                    best = jnp.minimum(ms_t_ref[:], tb_a)
+                    if live is None:
+                        return best
+                    return jnp.where(live, best, 0.0)
 
                 def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay):
                     e1x, e1y, e1z, e2x, e2y, e2z = edges
@@ -482,7 +490,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
                     (vbx, vby, vbz), hit)
 
-        def occluded(ox, oy, oz, dx, dy, dz, maxt, skip_prim):
+        def occluded(ox, oy, oz, dx, dy, dz, maxt, skip_prim, live=None):
             occ = jnp.zeros(shape) != 0.0
             for p, kind in enumerate(prim_kinds):
                 # the target transmitter never occludes its own NEE (other
@@ -523,6 +531,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 occ_a = occ
                 ms_t_ref[:] = jnp.zeros(shape)
                 limit = maxt * 0.999
+                if live is not None:
+                    # dead lanes never block: zero limit prunes their walk
+                    limit = jnp.where(live, limit, 0.0)
 
                 def minv(v):
                     tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
@@ -621,7 +632,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
 
         for depth in range(max_depth):
             (tb, nx, ny, nz, refl, alph, etac, kc, kb, txc,
-             (vhx, vhy, vhz), hit) = intersect(cx, cyv, cz, ddx, ddy, ddz)
+             (vhx, vhy, vhz), hit) = intersect(
+                 cx, cyv, cz, ddx, ddy, ddz,
+                 live=None if depth == 0 else active)
             active = active & hit
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
@@ -761,7 +774,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                                    hy + 1e-4 * jnp.sign(cos_s) * ny,
                                    hz + 1e-4 * jnp.sign(cos_s) * nz,
                                    wx_, wy_, wz_, dist,
-                                   skip_prim=tx_prim[t])
+                                   skip_prim=tx_prim[t],
+                                   live=active & (txc < 0.0)
+                                   & (cos_tx > 1e-6))
                 ok = (active & ~occ & (pdf_sa > 0.0) & (cos_tx > 1e-6)
                       & (txc < 0.0))
                 val = jnp.where(ok, throughput * f_cos * w_tx * w_gate

@@ -1,4 +1,8 @@
 """Mesh megakernel throughput on the real TPU: 10k-tri target."""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 import time
 import numpy as np
 import jax
