@@ -33,7 +33,7 @@ import os
 
 from ..geometry.shapes import RECTANGLE, SPHERE
 from ..geometry import pallas_bvh as pbvh
-from ..bsdf.tables import DIFFUSE, ROUGH_CONDUCTOR
+from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
 from ..radar.waveform import CW, PULSE, LINFMCW
 
 _ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
@@ -114,9 +114,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
     gate = time_sampling == 'gate'
     mix = receive_type == 'mix_resample'
     SUB = sub   # shadow the module constant: tile height is per-scene
-    # static lobe set: diffuse-only scenes skip all GGX math
+    # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
            or (has_mesh and mesh_bsdf == ROUGH_CONDUCTOR))
+    # smooth conductors: delta mirror bounce; NEE can't sample the lobe, so
+    # delta-continued lanes count DIRECT tx hits at every depth instead
+    # (the kernel analogue of radar_path.py:369 emission_weight = 1 on
+    # is_delta — specular flash / corner-reflector chains)
+    mirror = (CONDUCTOR in set(prim_bsdf)
+              or (has_mesh and mesh_bsdf == CONDUCTOR))
 
     def kernel(sp_ref,      # SMEM scalar params vector
                prim_ref,    # (n_prims, 24) prim table rows (SMEM)
@@ -599,6 +605,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             co = wox * fx + woy * fy + woz * fz
             f_d = rb * (1.0 / np.pi) * jnp.maximum(co, 0.0)
             if not ggx:
+                if mirror:
+                    # delta lobe: NEE density is zero on a mirror
+                    return jnp.where(kb == float(CONDUCTOR), 0.0, f_d)
                 return f_d
             hx = wix + wox
             hy = wiy + woy
@@ -617,10 +626,14 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             F = _fres_cond(jnp.abs(idoth), eb, kkb)
             f_rc = rb * F * D * G / jnp.maximum(4.0 * ci, 1e-8)
             f_rc = jnp.where((co > 0.0) & (ci > 0.0), f_rc, 0.0)
-            return jnp.where(kb == float(ROUGH_CONDUCTOR), f_rc, f_d)
+            out = jnp.where(kb == float(ROUGH_CONDUCTOR), f_rc, f_d)
+            if mirror:
+                out = jnp.where(kb == float(CONDUCTOR), 0.0, out)
+            return out
 
         cx, cyv, cz = ox, oy, oz
         ddx, ddy, ddz = dx, dy, dz
+        wdel = jnp.zeros(shape) != 0.0   # last bounce was a delta mirror
 
         if _ABLATE == 'trivial':
             # dev: skip all physics — measures launch + RNG + accumulation
@@ -650,7 +663,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             # ---- direct transmitter hits (depth 0 only: NEE covers the
             #      rest of the paths; adding deeper hits would double count)
             u_dh = draw()
-            if depth == 0:
+            if depth == 0 or mirror:
                 for t, tx in enumerate(txs):
                     txm = tx['m']
                     cos_dh = -(ddx * tx['nx'] + ddy * tx['ny']
@@ -692,6 +705,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                             * _sinc(TWO_PI * nu_yh * tx['wy'] * th_y))
                     w_dh = sig_h * tx['gain'] * ap_h * TWO_PI
                     ok_h = active & (txc == float(t)) & (cos_dh > 0.0)
+                    if depth > 0:
+                        # depth > 0: only delta-continued lanes (NEE covers
+                        # every non-delta connection already)
+                        ok_h = ok_h & wdel
                     val_h = jnp.where(ok_h, throughput * w_dh * wg_h, 0.0)
                     fr_h = fe_h * dop if moving else fe_h
                     if mix:
@@ -770,13 +787,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 if _ABLATE == 'nooccl':
                     occ = jnp.zeros(shape) != 0.0
                 else:
+                    nee_live = active & (txc < 0.0) & (cos_tx > 1e-6)
+                    if mirror:
+                        nee_live = nee_live & (kb != float(CONDUCTOR))
                     occ = occluded(hx + 1e-4 * jnp.sign(cos_s) * nx,
                                    hy + 1e-4 * jnp.sign(cos_s) * ny,
                                    hz + 1e-4 * jnp.sign(cos_s) * nz,
                                    wx_, wy_, wz_, dist,
                                    skip_prim=tx_prim[t],
-                                   live=active & (txc < 0.0)
-                                   & (cos_tx > 1e-6))
+                                   live=nee_live)
                 ok = (active & ~occ & (pdf_sa > 0.0) & (cos_tx > 1e-6)
                       & (txc < 0.0))
                 val = jnp.where(ok, throughput * f_cos * w_tx * w_gate
@@ -924,6 +943,20 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
             else:
                 ndx, ndy, ndz = wdx, wdy, wdz
                 w_b = w_d
+            if mirror:
+                # smooth conductor: specular reflect about the flipped
+                # normal, weight = refl * conductor Fresnel (delta lobe)
+                dn_ = ddx * fx + ddy * fy + ddz * fz
+                mx_ = ddx - 2.0 * dn_ * fx
+                my_ = ddy - 2.0 * dn_ * fy
+                mz_ = ddz - 2.0 * dn_ * fz
+                F_m = _fres_cond(jnp.abs(dn_), etac, kc)
+                is_m = kb == float(CONDUCTOR)
+                ndx = jnp.where(is_m, mx_, ndx)
+                ndy = jnp.where(is_m, my_, ndy)
+                ndz = jnp.where(is_m, mz_, ndz)
+                w_b = jnp.where(is_m, refl * F_m, w_b)
+                wdel = is_m
             if moving:
                 # bounce Doppler for the continued path (radar_path.py:361)
                 dop = dop * (1.0 + ((ndx - ddx) * vhx + (ndy - ddy) * vhy
@@ -1093,7 +1126,7 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         return no('mix_resample with multiple transmitters (the LO is the '
                   'tx chirp: ambiguous)')
     from ..geometry.shapes import TRIANGLE
-    from ..bsdf.tables import DIFFUSE, ROUGH_CONDUCTOR
+    from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
     if scene_data.tris is not None:
         n_tris = scene_data.tris.n_faces
         if pbvh.smem_bytes(n_tris, payload=True) > pbvh.SMEM_TABLE_BUDGET:
@@ -1131,8 +1164,9 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         if not np.allclose(mv, mv[0]):
             return no('mesh shapes with differing velocities (the kernel '
                       'packs one shared mesh velocity)')
-    if not set(scene_data.bsdfs.present) <= {DIFFUSE, ROUGH_CONDUCTOR}:
-        return no('BSDF types beyond diffuse/rough-conductor')
+    if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
+                                             ROUGH_CONDUCTOR}:
+        return no('BSDF types beyond diffuse/conductor/rough-conductor')
     if (np.asarray(scene_data.bsdfs.texture_idx) >= 0).any():
         return no('textured BSDFs (kernel packs scalar reflectance)')
     if rx.receive_type not in ('raw', 'mix_resample') and not (

@@ -531,3 +531,60 @@ def test_megakernel_mesh_doppler_shift():
     bin_w = 4e3 / 64
     assert (fk1 - fk0) == pytest.approx(2 * 3.0 / 340.0 * 40e3 / bin_w,
                                         abs=1.5)
+
+
+def test_megakernel_specular_flash():
+    """Smooth-conductor plate facing the radar: the echo comes ONLY from
+    the delta chain (mirror bounce -> direct tx hit at depth 1 — NEE has
+    zero density on a mirror).  Peak at (path length)/c + pulse centre in
+    both the kernel and the jnp wavefront (radar_path.py is_delta
+    emission_weight)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+    C, R, plen_ = 340.0, 4.0, 2e-3
+    band = Band.from_freq(C, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(conductor("mirror", eta=0.2, k=3.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=plen_, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    # tx rect at the origin plane: mirror-returned rays land on it
+    aim = np.asarray(tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                 tfm.scale([0.5, 0.5, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    # rx aperture in front of the tx plane, looking at the plate: every
+    # lane shoots toward the mirror, reflects back to the tx plane
+    aim_rx = np.asarray(tfm.compose(tfm.look_at([0.0, -0.3, 0],
+                                                [0.0, -4, 0]),
+                                    tfm.scale([0.02, 0.02, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                 tfm.scale(1.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mirror"))
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0]
+    assert tp.sum() != 0, "no specular flash in the kernel"
+    t_axis = (np.arange(64) + 0.5) / 64 * 0.06
+    # path: rx(0,-0.3) -> plate(-4) -> tx plane(0): 3.7 + 4 = 7.7 m
+    t_expect = 7.7 / C + plen_ / 2
+    bin_w = 0.06 / 64
+    assert abs(t_axis[np.abs(tp).argmax()] - t_expect) < 2.5 * bin_w
+    a, n2 = receive(s, sd, rx, seed=3, spp=1 << 14, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tj.sum() != 0
+    assert abs(int(np.abs(tp).argmax()) - int(np.abs(tj).argmax())) <= 1
