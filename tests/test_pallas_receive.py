@@ -588,3 +588,61 @@ def test_megakernel_specular_flash():
     tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
     assert tj.sum() != 0
     assert abs(int(np.abs(tp).argmax()) - int(np.abs(tj).argmax())) <= 1
+
+
+def test_megakernel_corner_reflector():
+    """Trihedral corner reflector (three mutually-perpendicular conductor
+    plates): three mirror bounces act as a point reflection through the
+    apex, so the echo arrives at 2|radar - apex|/c regardless of where the
+    beam enters — the classic radar calibration target, running entirely on
+    the kernel's delta chain (mirror bounces -> direct tx hit at depth 3)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    C, R, plen_ = 340.0, 4.0, 2e-3
+    band = Band.from_freq(C, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(conductor("m", eta=0.2, k=3.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=plen_, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                 tfm.scale([0.8, 0.8, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    apex = np.asarray([-0.5, -R, -0.5])
+    aim_rx = np.asarray(tfm.compose(
+        tfm.look_at([0.0, -0.1, 0.0], apex + [0.5, 0.5, 0.5]),
+        tfm.scale([0.02, 0.02, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    # three faces of the corner octant at the apex
+    f1 = tfm.compose(tfm.look_at([0.0, -R, 0.0], [0.0, -R + 1, 0.0]),
+                     tfm.scale(0.5))
+    f2 = tfm.compose(tfm.look_at([-0.5, -R + 0.5, 0.0],
+                                 [0.5, -R + 0.5, 0.0]), tfm.scale(0.5))
+    f3 = tfm.compose(tfm.look_at([0.0, -R + 0.5, -0.5],
+                                 [0.0, -R + 0.5, 0.5], up=(0.0, 1.0, 0.0)),
+                     tfm.scale(0.5))
+    for f in (f1, f2, f3):
+        s.add(sh.rectangle(to_world=np.asarray(f), bsdf="m"))
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 15, seed=0, max_depth=4,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0]
+    assert np.abs(tp).sum() > 0, "no corner-reflector return"
+    t_axis = (np.arange(64) + 0.5) / 64 * 0.06
+    t_expect = 2 * np.linalg.norm(apex) / C + plen_ / 2
+    bin_w = 0.06 / 64
+    pk = int(np.abs(tp).argmax())
+    assert abs(t_axis[pk] - t_expect) < 2.5 * bin_w, (
+        f"retro peak at {t_axis[pk]*1e3:.1f} ms, "
+        f"expected {t_expect*1e3:.1f} ms")
