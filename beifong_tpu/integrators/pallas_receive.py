@@ -35,6 +35,7 @@ from ..geometry.shapes import RECTANGLE, SPHERE
 from ..geometry import pallas_bvh as pbvh
 from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
 from ..radar.waveform import CW, PULSE, LINFMCW
+from ..radar.endpoints import WIGNER as TX_WIGNER, AREA as TX_AREA
 
 _ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
 
@@ -180,6 +181,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 fcpri=tx_ref[t, 22],   # frac(fc_ref * PRI_f32), f64 host
                 dfc=tx_ref[t, 23],     # wf_fc - fc_ref (exact f64 diff)
                 vel=(tx_ref[t, 24], tx_ref[t, 25], tx_ref[t, 26]),
+                ek=tx_ref[t, 27],      # endpoint kind: wigner / area
             ))
 
         def inst_freq(tx, t):
@@ -703,6 +705,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     ap_h = (4.0 * th_x * th_y
                             * _sinc(TWO_PI * nu_xh * tx['wx'] * th_x)
                             * _sinc(TWO_PI * nu_yh * tx['wy'] * th_y))
+                    # plain area transmitters carry no WDF directivity
+                    ap_h = jnp.where(tx['ek'] == float(TX_AREA), 1.0, ap_h)
                     w_dh = sig_h * tx['gain'] * ap_h * TWO_PI
                     ok_h = active & (txc == float(t)) & (cos_dh > 0.0)
                     if depth > 0:
@@ -782,6 +786,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 ap = (4.0 * ttx * tty
                       * _sinc(TWO_PI * nu_x * tx['wx'] * ttx)
                       * _sinc(TWO_PI * nu_y * tx['wy'] * tty))
+                ap = jnp.where(tx['ek'] == float(TX_AREA), 1.0, ap)
                 w_tx = sig * tx['gain'] * ap * TWO_PI
 
                 if _ABLATE == 'nooccl':
@@ -1040,6 +1045,7 @@ def _pack_scene(scene, rx, shape_idx):
                                 % 1.0)
         txp[t, 23] = np.float32(np.float64(txp[t, 20]) - np.float64(fc_ref))
         txp[t, 24:27] = tx_vel[t]
+        txp[t, 27] = float(np.asarray(tx.kind).reshape(-1)[t])
 
     if shape_idx >= 0:
         rxm = np.asarray(shapes.to_world[shape_idx])[:3, :].reshape(-1)
@@ -1116,10 +1122,10 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         return no(f'{tx.n} transmitters > {MAX_TX} (unrolled NEE)')
     if not bool(np.asarray(tx.resample).all()):
         return no('non-delta-resampled transmitter')
-    from ..radar.endpoints import WIGNER
-    if set(np.asarray(tx.kind).tolist()) != {WIGNER}:
-        return no('non-wigner transmitter kinds (kernel models rect-WDF '
-                  'apertures)')
+    from ..radar.endpoints import WIGNER, AREA
+    if not set(np.asarray(tx.kind).tolist()) <= {WIGNER, AREA}:
+        return no('phased transmitters (kernel models rect-WDF / plain '
+                  'area apertures)')
     if (np.asarray(tx.shape_idx) < 0).any():
         return no('free-standing transmitter (kernel needs a rect shape)')
     if tx.n > 1 and rx.receive_type == 'mix_resample':

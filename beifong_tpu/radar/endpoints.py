@@ -112,9 +112,11 @@ def phased_transmitter(id, waveform, n_elems, elem_spacing, elem_wid,
                            steer_deg=float(steer_deg))
 
 
-def area_transmitter(id, waveform, gain=1.0) -> TransmitterSpec:
+def area_transmitter(id, waveform, gain=1.0,
+                     resample_freq: bool = False) -> TransmitterSpec:
     """Plain diffuse area transmitter (reference `areatransmitter.cpp`)."""
-    return TransmitterSpec(id=id, kind=AREA, waveform=waveform, gain=gain)
+    return TransmitterSpec(id=id, kind=AREA, waveform=waveform, gain=gain,
+                           resample_freq=resample_freq)
 
 
 @dataclasses.dataclass

@@ -646,3 +646,50 @@ def test_megakernel_corner_reflector():
     assert abs(t_axis[pk] - t_expect) < 2.5 * bin_w, (
         f"retro peak at {t_axis[pk]*1e3:.1f} ms, "
         f"expected {t_expect*1e3:.1f} ms")
+
+
+def test_megakernel_area_transmitter():
+    """AREA-kind transmitter (no WDF directivity) in the kernel: parity
+    with the jnp path (tx_aperture_gain -> 1 for kind == AREA)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, area_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+    C, R = 340.0, 4.0
+    band = Band.from_freq(C, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(area_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                 tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tfm.compose(tfm.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                    tfm.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                 tfm.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * 64
+    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 13, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
