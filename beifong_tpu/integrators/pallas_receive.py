@@ -89,7 +89,8 @@ def _tri(x):
     return jnp.where(jnp.abs(x) < 0.5, 1.0 - 2.0 * jnp.abs(x), 0.0)
 
 
-def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
+def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
+                 prim_tex: tuple, cfg,
                  receive_type: str, time_sampling: str,
                  max_depth: int, rx_kind: str, n_tiles: int,
                  use_prng: bool = True, coherent: bool = False,
@@ -99,6 +100,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
     prim_bsdf: per-prim BSDF type code (DIFFUSE / ROUGH_CONDUCTOR).
+    prim_tex: per-prim bool — checkerboard-textured reflectance (rects
+    only; prim cols 22..25 carry c0, c1, scale_u, scale_v).
     mesh_bsdf: shared BSDF type of all mesh shapes (per-tri reflectance
     rides the BVH leaf payload; alpha/eta/k are scene-shared scalars).
     moving: any nonzero shape/tx/rx velocity — emits the first-order
@@ -382,6 +385,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 odx = m[0] * dx + m[1] * dy + m[2] * dz
                 ody = m[4] * dx + m[5] * dy + m[6] * dz
                 odz = m[8] * dx + m[9] * dy + m[10] * dz
+                tex_f = None
                 if kind == RECTANGLE:
                     denz = jnp.where(jnp.abs(odz) > 1e-12, odz, 1e-12)
                     t_p = -ooz / denz
@@ -394,6 +398,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                     nxp = m[8] * rnorm
                     nyp = m[9] * rnorm
                     nzp = m[10] * rnorm
+                    if prim_tex[p]:
+                        # checkerboard reflectance from the rect's local
+                        # uv = (p_local + 1)/2 (mirrors textures.py eval)
+                        uu = (px + 1.0) * 0.5 * prim_ref[p, 24]
+                        vv = (py + 1.0) * 0.5 * prim_ref[p, 25]
+                        cs = jnp.floor(uu) + jnp.floor(vv)
+                        par = cs - 2.0 * jnp.floor(cs * 0.5)
+                        tex_f = jnp.where(par < 0.5, prim_ref[p, 22],
+                                          prim_ref[p, 23])
                 else:
                     a_s = odx * odx + ody * ody + odz * odz
                     b_s = 2.0 * (oox * odx + ooy * ody + ooz * odz)
@@ -423,7 +436,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple, cfg,
                 nx = jnp.where(closer, nxp, nx)
                 ny = jnp.where(closer, nyp, ny)
                 nz = jnp.where(closer, nzp, nz)
-                rb = jnp.where(closer, prim_ref[p, 13], rb)  # reflectance
+                rb_p = prim_ref[p, 13]
+                if tex_f is not None:
+                    rb_p = rb_p * tex_f
+                rb = jnp.where(closer, rb_p, rb)  # reflectance
                 txc = jnp.where(closer, float(prim_tx[p]), txc)
                 kb = jnp.where(closer, float(prim_bsdf[p]), kb)
                 if ggx:
@@ -990,7 +1006,7 @@ def _pack_scene(scene, rx, shape_idx):
     sd = scene
     shapes = sd.shapes
     n = int(shapes.kind.shape[0])
-    prim = np.zeros((n, 24), np.float32)
+    prim = np.zeros((n, 28), np.float32)
     kind_np = np.asarray(shapes.kind)
     to_obj = np.asarray(shapes.to_object)
     bsdf_idx = np.asarray(shapes.bsdf_idx)
@@ -1017,6 +1033,17 @@ def _pack_scene(scene, rx, shape_idx):
         prim[i, 17] = b_k[b, 0] if b >= 0 else 0.0
         prim[i, 18] = float(b_type[b]) if b >= 0 else 0.0
         prim[i, 19:22] = shape_vel[i]
+        # checkerboard texture payload (rects; supported() gates the rest)
+        t_i = int(np.asarray(sd.bsdfs.texture_idx)[b]) if b >= 0 else -1
+        if t_i >= 0:
+            from ..textures import CHECKERBOARD as _CHK
+            tt = sd.textures
+            if int(np.asarray(tt.type)[t_i]) == _CHK:
+                prim[i, 22] = float(np.asarray(tt.color0)[t_i, 0])
+                prim[i, 23] = float(np.asarray(tt.color1)[t_i, 0])
+                prim[i, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
+                prim[i, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
+                prim[i, 26] = 1.0
 
     # per-tx table (MMW phase constants computed host-side in float64:
     # frac(fc_ref*PRI_f32) and the exact carrier offset wf_fc - fc_ref)
@@ -1173,8 +1200,25 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
                                              ROUGH_CONDUCTOR}:
         return no('BSDF types beyond diffuse/conductor/rough-conductor')
-    if (np.asarray(scene_data.bsdfs.texture_idx) >= 0).any():
-        return no('textured BSDFs (kernel packs scalar reflectance)')
+    tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
+    if (tex_idx >= 0).any():
+        # checkerboard on analytic rectangles is in scope (procedural,
+        # evaluated from the rect's local uv in-kernel); everything else
+        # still falls back
+        from ..textures import CHECKERBOARD
+        t_types = np.asarray(scene_data.textures.type)
+        b_of = np.asarray(scene_data.shapes.bsdf_idx)
+        k_of = np.asarray(scene_data.shapes.kind)
+        for si_ in range(len(b_of)):
+            b = b_of[si_]
+            if b < 0 or tex_idx[b] < 0:
+                continue
+            if t_types[tex_idx[b]] != CHECKERBOARD:
+                return no('non-checkerboard textured BSDF (kernel evaluates '
+                          'procedural checkers only)')
+            if k_of[si_] != RECTANGLE:
+                return no('checkerboard texture on a non-rectangle shape '
+                          '(kernel derives uv from rect local coords)')
     if rx.receive_type not in ('raw', 'mix_resample') and not (
             rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')
@@ -1205,11 +1249,12 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'prim_kinds', 'prim_tx', 'prim_bsdf', 'cfg', 'receive_type',
+    'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_bsdf', 'moving'))
 def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
-         prim_bsdf: tuple, cfg, receive_type: str, time_sampling: str,
+         prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
+         time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
          coherent: bool = False, has_mesh: bool = False,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
@@ -1232,7 +1277,8 @@ def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
         bvh_bbox = jnp.zeros((6,), jnp.float32)
         bvh_links = jnp.full((3,), -1, jnp.int32)
         bvh_leaves = jnp.zeros((88,), jnp.float32)
-    kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, cfg, receive_type,
+    kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
+                          receive_type,
                           time_sampling, max_depth, rx_kind, n_tiles,
                           use_prng=use_prng, coherent=coherent,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
@@ -1304,11 +1350,12 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             tuple(int(k) for k in prim[:, 0]),
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
+            tuple(bool(f > 0.5) for f in prim[:, 26]),
             int(params[19]),
             moving,
             mesh_pack)
     (_, shape_idx, params, prim_dev, txp_dev, prim_kinds, prim_tx,
-     prim_bsdf, mesh_bsdf, moving, mesh_pack) = cache[ck]
+     prim_bsdf, prim_tex, mesh_bsdf, moving, mesh_pack) = cache[ck]
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
@@ -1321,8 +1368,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                        bvh_leaves=mesh_pack.leaves)
     out, out_q, cnt = _run(jnp.asarray(params), prim_dev, txp_dev,
                            jax.random.key(seed), prim_kinds, prim_tx,
-                           prim_bsdf, rx.adc, rx.receive_type, time_sampling,
-                           max_depth, rx_kind, n_lanes, interpret, coherent,
+                           prim_bsdf, prim_tex, rx.adc, rx.receive_type,
+                           time_sampling, max_depth, rx_kind, n_lanes,
+                           interpret, coherent,
                            has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
                            moving=moving, **mesh_kw)
     if coherent:

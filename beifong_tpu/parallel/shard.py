@@ -73,6 +73,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     prim_kinds = tuple(int(k) for k in prim[:, 0])
     prim_tx = tuple(int(f) for f in prim[:, 14])
     prim_bsdf = tuple(int(f) for f in prim[:, 18])
+    prim_tex = tuple(bool(f > 0.5) for f in prim[:, 26])
     mesh_bsdf = int(params[19])
     import numpy as _np
     moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
@@ -103,9 +104,10 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         p2 = params_r.at[0].add(dev.astype(jnp.float32) * 7919.0)
         k = jax.random.fold_in(jax.random.wrap_key_data(key_data), dev)
         out = _run(p2, prim_r, txp_r, k, prim_kinds, prim_tx, prim_bsdf,
-                   rx.adc, rx.receive_type, time_sampling, max_depth,
-                   rx_kind, n_lanes, interpret, coherent, has_mesh=has_mesh,
-                   mesh_bsdf=mesh_bsdf, moving=moving, **mesh_kw)
+                   prim_tex, rx.adc, rx.receive_type, time_sampling,
+                   max_depth, rx_kind, n_lanes, interpret, coherent,
+                   has_mesh=has_mesh, mesh_bsdf=mesh_bsdf, moving=moving,
+                   **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)

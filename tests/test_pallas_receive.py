@@ -693,3 +693,57 @@ def test_megakernel_area_transmitter():
     pk = int(tj.argmax())
     lo, hi = max(pk - 3, 0), pk + 4
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+def test_megakernel_checkerboard_texture():
+    """Checkerboard-textured rect target in the kernel: profile matches the
+    jnp wavefront (texture_eval parity from the rect's local uv), and a
+    uniform checker (c0 == c1) equals the untextured scene exactly."""
+    from beifong_tpu.textures import checkerboard
+    from beifong_tpu.receive import develop_signal
+    import test_radar as TR
+
+    def build(c0, c1):
+        s, rx = TR._point_target_scene()
+        s.add(checkerboard("chk", color0=c0, color1=c1, scale_uv=(4, 4)))
+        for b in s.bsdfs:
+            if b.id == "mat":
+                b.texture = "chk"
+        return s, rx
+
+    s, rx = build(1.0, 0.25)
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * 64
+    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 14, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+    # uniform checker == untextured (deterministic, same seed)
+    s1, rx1 = build(1.0, 1.0)
+    sd1 = s1.compile()
+    out1, _ = receive_pallas(s1, sd1, rx1, spp=1 << 13, seed=3, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    s0, rx0 = TR._point_target_scene()
+    sd0 = s0.compile()
+    out0, _ = receive_pallas(s0, sd0, rx0, spp=1 << 13, seed=3, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-6)
+    # bitmap textures still fall back with a reason
+    import beifong_tpu.textures as tex_mod
+    s2, rx2 = TR._point_target_scene()
+    img = np.ones((4, 4, 3), np.float32)
+    s2.add(tex_mod.bitmap("bmp", img))
+    for b in s2.bsdfs:
+        if b.id == "mat":
+            b.texture = "bmp"
+    why2 = []
+    assert not supported(s2.compile(), rx2, why2)
+    assert any('checker' in w for w in why2)
