@@ -95,7 +95,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  max_depth: int, rx_kind: str, n_tiles: int,
                  use_prng: bool = True, coherent: bool = False,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
-                 mesh_bsdf: int = DIFFUSE, moving: bool = False):
+                 mesh_bsdf: int = DIFFUSE, moving: bool = False,
+                 absorbing: bool = False):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -107,6 +108,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     moving: any nonzero shape/tx/rx velocity — emits the first-order
     per-bounce Doppler chain (mirrors radar_path.py: cumulative factor D
     with f_received = f_emitted * D); static scenes skip it entirely.
+    absorbing: homogeneous ambient medium — per-segment exp(-sigma_t d)
+    absorption (radar_path.py:233-236; sigma_t rides sp 29).
     """
 
     n_time = cfg.n_time
@@ -670,6 +673,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
             plen = plen + jnp.where(active, tb, 0.0)
+            if absorbing:
+                # ambient absorption along the segment (dead lanes: exp(0))
+                throughput = throughput * jnp.exp(
+                    -sp(29) * jnp.where(active, tb, 0.0))
             hx = cx + tb * ddx
             hy = cyv + tb * ddy
             hz = cz + tb * ddz
@@ -821,6 +828,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                       & (txc < 0.0))
                 val = jnp.where(ok, throughput * f_cos * w_tx * w_gate
                                 / jnp.maximum(pdf_sa, 1e-30), 0.0)
+                if absorbing:
+                    val = val * jnp.exp(-sp(29) * dist)
 
                 if moving:
                     # connection Doppler: vertex bounce + tx motion
@@ -1095,6 +1104,11 @@ def _pack_scene(scene, rx, shape_idx):
     params[18] = np.float32(fcc - np.float64(np.float32(fcc)))
     params[23:26] = np.asarray(rx.velocity, np.float32).reshape(3)
 
+    if sd.medium is not None:
+        from ..media import HomogeneousMedium
+        if isinstance(sd.medium, HomogeneousMedium):
+            params[29] = float(np.asarray(sd.medium.sigma_t).reshape(-1)[0])
+
     mesh_pack = None
     params[19] = -1.0   # mesh BSDF kind (no mesh)
     if sd.tris is not None:
@@ -1223,7 +1237,10 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
             rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')
     if scene_data.medium is not None:
-        return no('participating medium')
+        from ..media import HomogeneousMedium
+        if not isinstance(scene_data.medium, HomogeneousMedium):
+            return no('heterogeneous medium (kernel models homogeneous '
+                      'ambient absorption only)')
     cells = rx.adc.n_time * rx.adc.n_freq
     if rx.adc.n_freq == 1:
         # fast-time-only grids use the unrolled per-cell reduce splat
@@ -1251,13 +1268,14 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
-    'coherent', 'has_mesh', 'mesh_bsdf', 'moving'))
+    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing'))
 def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
          coherent: bool = False, has_mesh: bool = False,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
+         absorbing: bool = False,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1282,7 +1300,8 @@ def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
                           time_sampling, max_depth, rx_kind, n_tiles,
                           use_prng=use_prng, coherent=coherent,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
-                          mesh_bsdf=mesh_bsdf, moving=moving)
+                          mesh_bsdf=mesh_bsdf, moving=moving,
+                          absorbing=absorbing)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
@@ -1353,9 +1372,10 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             tuple(bool(f > 0.5) for f in prim[:, 26]),
             int(params[19]),
             moving,
+            bool(params[29] > 0.0),
             mesh_pack)
     (_, shape_idx, params, prim_dev, txp_dev, prim_kinds, prim_tx,
-     prim_bsdf, prim_tex, mesh_bsdf, moving, mesh_pack) = cache[ck]
+     prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing, mesh_pack) = cache[ck]
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
@@ -1372,7 +1392,7 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                            time_sampling, max_depth, rx_kind, n_lanes,
                            interpret, coherent,
                            has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
-                           moving=moving, **mesh_kw)
+                           moving=moving, absorbing=absorbing, **mesh_kw)
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

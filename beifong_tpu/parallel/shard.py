@@ -79,6 +79,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
                   or _np.abs(txp[:, 24:27]).max() > 0.0
                   or _np.abs(params[23:29]).max() > 0.0)
+    absorbing = bool(params[29] > 0.0)
     rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
     tile = (MESH_SUB * LANE) if has_mesh else TILE
@@ -107,7 +108,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                    prim_tex, rx.adc, rx.receive_type, time_sampling,
                    max_depth, rx_kind, n_lanes, interpret, coherent,
                    has_mesh=has_mesh, mesh_bsdf=mesh_bsdf, moving=moving,
-                   **mesh_kw)
+                   absorbing=absorbing, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)

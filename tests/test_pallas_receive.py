@@ -747,3 +747,43 @@ def test_megakernel_checkerboard_texture():
     why2 = []
     assert not supported(s2.compile(), rx2, why2)
     assert any('checker' in w for w in why2)
+
+
+def test_megakernel_ambient_absorption():
+    """Homogeneous ambient medium in the kernel: the echo is attenuated by
+    exp(-sigma_t * total path) and matches the jnp wavefront
+    (radar_path.py:233-236)."""
+    from beifong_tpu.media import HomogeneousMedium
+    from beifong_tpu.receive import develop_signal
+    import test_radar as TR
+
+    sigma = 0.15
+    s0, rx = TR._point_target_scene()
+    sd0 = s0.compile()
+    out0, n = receive_pallas(s0, sd0, rx, spp=1 << 13, seed=2, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    s1, rx1 = TR._point_target_scene()
+    s1.medium = HomogeneousMedium.make(sigma_t=sigma)
+    sd1 = s1.compile()
+    why = []
+    assert supported(sd1, rx1, why), why
+    out1, _ = receive_pallas(s1, sd1, rx1, spp=1 << 13, seed=2, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    p0 = np.asarray(out0)[:, 0]
+    p1 = np.asarray(out1)[:, 0]
+    pk = int(p0.argmax())
+    # same seed: the per-bin attenuation is exactly exp(-sigma * path);
+    # the peak bin's echo travels ~ c * t_bin
+    t_axis = (np.arange(64) + 0.5) / 64 * rx.adc.sampling_time
+    path = 340.0 * (t_axis[pk] - 1e-3)    # subtract pulse centre
+    ratio = p1[pk] / p0[pk]
+    assert ratio == pytest.approx(np.exp(-sigma * path), rel=0.1), (
+        ratio, np.exp(-sigma * path))
+    # jnp parity
+    a, n2 = receive(s1, sd1, rx1, seed=7, spp=1 << 13, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx1.adc))[:, 0, 0]
+    tp = p1 / n * 64
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
