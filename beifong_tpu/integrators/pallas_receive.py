@@ -35,7 +35,8 @@ from ..geometry.shapes import RECTANGLE, SPHERE
 from ..geometry import pallas_bvh as pbvh
 from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
 from ..radar.waveform import CW, PULSE, LINFMCW
-from ..radar.endpoints import WIGNER as TX_WIGNER, AREA as TX_AREA
+from ..radar.endpoints import (WIGNER as TX_WIGNER, PHASED as TX_PHASED,
+                               AREA as TX_AREA)
 
 _ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
 
@@ -96,7 +97,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  use_prng: bool = True, coherent: bool = False,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
                  mesh_bsdf: int = DIFFUSE, moving: bool = False,
-                 absorbing: bool = False):
+                 absorbing: bool = False, tx_kinds: tuple = (0,),
+                 n_pairs: int = 1):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -110,6 +112,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     with f_received = f_emitted * D); static scenes skip it entirely.
     absorbing: homogeneous ambient medium — per-segment exp(-sigma_t d)
     absorption (radar_path.py:233-236; sigma_t rides sp 29).
+    tx_kinds: static per-tx endpoint kind (wigner / phased / area) — picks
+    the aperture-gain branch at trace time; phased arrays unroll the
+    cross-WDF pair sum (radar/wigner.py::phased_aperture_gain,
+    reference phased.cpp:127-155) over `n_pairs` SMEM rows.
     """
 
     n_time = cfg.n_time
@@ -132,8 +138,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
               or (has_mesh and mesh_bsdf == CONDUCTOR))
 
     def kernel(sp_ref,      # SMEM scalar params vector
-               prim_ref,    # (n_prims, 24) prim table rows (SMEM)
-               tx_ref,      # (n_tx, 24) transmitter table rows (SMEM)
+               prim_ref,    # (n_prims, 28) prim table rows (SMEM)
+               tx_ref,      # (n_tx, 28) transmitter table rows (SMEM)
+               ph_ref,      # (n_tx, 2 + 6*K) phased-array pair rows (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
                bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
                bvh_links_ref,
@@ -589,7 +596,49 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             tnn = jax.lax.rsqrt(jnp.maximum(
                 tnx * tnx + tny * tny + tnz * tnz, 1e-20))
             tx['nx'], tx['ny'], tx['nz'] = tnx * tnn, tny * tnn, tnz * tnn
+            iwx = 1.0 / jnp.maximum(tx['wx'], 1e-20)
+            iwy = 1.0 / jnp.maximum(tx['wy'], 1e-20)
+            tx['sn'] = (tx['m'][0] * iwx, tx['m'][4] * iwx, tx['m'][8] * iwx)
+            tx['tn'] = (tx['m'][1] * iwy, tx['m'][5] * iwy, tx['m'][9] * iwy)
         tx_prim = [prim_tx.index(t) for t in range(n_tx)]
+
+        def phased_gain(tx, t_row, px_, py_, pz_, dex, dey, dez, lam):
+            """Cross-WDF phased-array gain at surface point p for emission
+            direction d (mirrors radar/wigner.py::phased_aperture_gain —
+            per virtual pair: element rect-WDF x cos interference)."""
+            snx, sny, snz = tx['sn']
+            tnx_, tny_, tnz_ = tx['tn']
+            oxp, oyp, ozp = tx['m'][3], tx['m'][7], tx['m'][11]
+            nu_x = (dex * snx + dey * sny + dez * snz) / lam
+            nu_y = (dex * tnx_ + dey * tny_ + dez * tnz_) / lam
+            widS = ph_ref[t_row, 0]
+            widT = ph_ref[t_row, 1]
+            total = jnp.zeros(shape)
+            for k in range(n_pairs):
+                b = 2 + 6 * k
+                mid_s = ph_ref[t_row, b]
+                mid_t = ph_ref[t_row, b + 1]
+                base_s = ph_ref[t_row, b + 2]
+                base_t = ph_ref[t_row, b + 3]
+                psi_k = ph_ref[t_row, b + 4]
+                val_k = ph_ref[t_row, b + 5]
+                mx_ = oxp + mid_s * snx + mid_t * tnx_
+                my_ = oyp + mid_s * sny + mid_t * tny_
+                mz_ = ozp + mid_s * snz + mid_t * tnz_
+                rlx, rly, rlz = px_ - mx_, py_ - my_, pz_ - mz_
+                iws = 1.0 / jnp.maximum(2.0 * widS, 1e-20)
+                iwt = 1.0 / jnp.maximum(2.0 * widT, 1e-20)
+                rx_ = (rlx * snx + rly * sny + rlz * snz) * iws
+                ry_ = (rlx * tnx_ + rly * tny_ + rlz * tnz_) * iwt
+                inside = (jnp.abs(rx_) <= 0.5) & (jnp.abs(ry_) <= 0.5)
+                txr, tyr = _tri(rx_), _tri(ry_)
+                w_rect = (4.0 * widS * widT * txr * tyr
+                          * _sinc(TWO_PI * nu_x * widS * txr)
+                          * _sinc(TWO_PI * nu_y * widT * tyr))
+                ph_k = TWO_PI * (nu_x * base_s + nu_y * base_t) + psi_k
+                total = total + jnp.where(
+                    inside, w_rect * _fast_cos(ph_k), 0.0) * val_k
+            return total
 
         # ---- BSDF lobes (world space, two-sided: n flipped toward wi) ----
         def _fres_cond(ci, eta, k):
@@ -724,12 +773,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                         / jnp.maximum(tx['wx'], 1e-9) / lam_h
                     nu_yh = -(txm[1] * ddx + txm[5] * ddy + txm[9] * ddz) \
                         / jnp.maximum(tx['wy'], 1e-9) / lam_h
-                    th_x, th_y = _tri(lxh * 0.5), _tri(lyh * 0.5)
-                    ap_h = (4.0 * th_x * th_y
-                            * _sinc(TWO_PI * nu_xh * tx['wx'] * th_x)
-                            * _sinc(TWO_PI * nu_yh * tx['wy'] * th_y))
-                    # plain area transmitters carry no WDF directivity
-                    ap_h = jnp.where(tx['ek'] == float(TX_AREA), 1.0, ap_h)
+                    if tx_kinds[t] == TX_PHASED:
+                        ap_h = phased_gain(tx, t, hx, hy, hz,
+                                           -ddx, -ddy, -ddz, lam_h)
+                    elif tx_kinds[t] == TX_AREA:
+                        # plain area transmitters carry no WDF directivity
+                        ap_h = jnp.ones(shape)
+                    else:
+                        th_x, th_y = _tri(lxh * 0.5), _tri(lyh * 0.5)
+                        ap_h = (4.0 * th_x * th_y
+                                * _sinc(TWO_PI * nu_xh * tx['wx'] * th_x)
+                                * _sinc(TWO_PI * nu_yh * tx['wy'] * th_y))
                     w_dh = sig_h * tx['gain'] * ap_h * TWO_PI
                     ok_h = active & (txc == float(t)) & (cos_dh > 0.0)
                     if depth > 0:
@@ -805,11 +859,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     / jnp.maximum(tx['wx'], 1e-9) / lam_e
                 nu_y = -(txm[1] * wx_ + txm[5] * wy_ + txm[9] * wz_) \
                     / jnp.maximum(tx['wy'], 1e-9) / lam_e
-                ttx, tty = _tri(glx * 0.5), _tri(gly * 0.5)
-                ap = (4.0 * ttx * tty
-                      * _sinc(TWO_PI * nu_x * tx['wx'] * ttx)
-                      * _sinc(TWO_PI * nu_y * tx['wy'] * tty))
-                ap = jnp.where(tx['ek'] == float(TX_AREA), 1.0, ap)
+                if tx_kinds[t] == TX_PHASED:
+                    ap = phased_gain(tx, t, qx, qy, qz,
+                                     -wx_, -wy_, -wz_, lam_e)
+                elif tx_kinds[t] == TX_AREA:
+                    ap = jnp.ones(shape)
+                else:
+                    ttx, tty = _tri(glx * 0.5), _tri(gly * 0.5)
+                    ap = (4.0 * ttx * tty
+                          * _sinc(TWO_PI * nu_x * tx['wx'] * ttx)
+                          * _sinc(TWO_PI * nu_y * tx['wy'] * tty))
                 w_tx = sig * tx['gain'] * ap * TWO_PI
 
                 if _ABLATE == 'nooccl':
@@ -1083,6 +1142,26 @@ def _pack_scene(scene, rx, shape_idx):
         txp[t, 24:27] = tx_vel[t]
         txp[t, 27] = float(np.asarray(tx.kind).reshape(-1)[t])
 
+    # phased-array pair table: (n_tx, 2 + 6*K) — element half-widths, then
+    # per virtual pair (mid_s, mid_t, base_s, base_t, psi, valid)
+    K = int(np.asarray(tx.pair_mask).shape[1])
+    php = np.zeros((n_tx, 2 + 6 * K), np.float32)
+    e_mid = np.asarray(tx.elem_mid)
+    e_base = np.asarray(tx.elem_baseline)
+    e_psi = np.asarray(tx.psi)
+    e_msk = np.asarray(tx.pair_mask)
+    e_wid = np.asarray(tx.elem_wid)
+    for t in range(n_tx):
+        php[t, 0], php[t, 1] = e_wid[t, 0], e_wid[t, 1]
+        for k in range(K):
+            b = 2 + 6 * k
+            php[t, b] = e_mid[t, k, 0]
+            php[t, b + 1] = e_mid[t, k, 1]
+            php[t, b + 2] = e_base[t, k, 0]
+            php[t, b + 3] = e_base[t, k, 1]
+            php[t, b + 4] = e_psi[t, k]
+            php[t, b + 5] = 1.0 if e_msk[t, k] else 0.0
+
     if shape_idx >= 0:
         rxm = np.asarray(shapes.to_world[shape_idx])[:3, :].reshape(-1)
         rx_wx = float(np.linalg.norm(np.asarray(shapes.to_world[shape_idx])[:3, 0]))
@@ -1131,7 +1210,7 @@ def _pack_scene(scene, rx, shape_idx):
         # scene-shared mesh velocity (rigid meshes; supported() gates all
         # mesh shapes to one value)
         params[26:29] = shape_vel[int(sidx[0])]
-    return params, prim, txp, mesh_pack
+    return params, prim, txp, php, mesh_pack
 
 
 # Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
@@ -1163,10 +1242,14 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         return no(f'{tx.n} transmitters > {MAX_TX} (unrolled NEE)')
     if not bool(np.asarray(tx.resample).all()):
         return no('non-delta-resampled transmitter')
-    from ..radar.endpoints import WIGNER, AREA
-    if not set(np.asarray(tx.kind).tolist()) <= {WIGNER, AREA}:
-        return no('phased transmitters (kernel models rect-WDF / plain '
-                  'area apertures)')
+    from ..radar.endpoints import WIGNER, PHASED, AREA
+    if not set(np.asarray(tx.kind).tolist()) <= {WIGNER, PHASED, AREA}:
+        return no('unknown transmitter kind')
+    n_pairs_k = int(np.asarray(tx.pair_mask).shape[1])
+    if PHASED in set(np.asarray(tx.kind).tolist()) \
+            and tx.n * n_pairs_k > 128:
+        return no(f'phased pair unroll {tx.n}x{n_pairs_k} > 128 '
+                  f'(in-kernel cross-WDF sum)')
     if (np.asarray(tx.shape_idx) < 0).any():
         return no('free-standing transmitter (kernel needs a rect shape)')
     if tx.n > 1 and rx.receive_type == 'mix_resample':
@@ -1236,6 +1319,10 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if rx.receive_type not in ('raw', 'mix_resample') and not (
             rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')
+    from ..radar.endpoints import WIGNER as RX_WIGNER, OMNI as RX_OMNI
+    if rx.kind not in (RX_WIGNER, RX_OMNI):
+        return no('phased receiver (kernel models rect/omni apertures; the '
+                  'jnp path does cross-WDF + array-extent sampling)')
     if scene_data.medium is not None:
         from ..media import HomogeneousMedium
         if not isinstance(scene_data.medium, HomogeneousMedium):
@@ -1268,14 +1355,14 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
-    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing'))
-def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
+    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds'))
+def _run(params, prim, txp, php, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
          coherent: bool = False, has_mesh: bool = False,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
-         absorbing: bool = False,
+         absorbing: bool = False, tx_kinds: tuple = (0,),
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1295,18 +1382,21 @@ def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
         bvh_bbox = jnp.zeros((6,), jnp.float32)
         bvh_links = jnp.full((3,), -1, jnp.int32)
         bvh_leaves = jnp.zeros((88,), jnp.float32)
+    n_pairs = (int(php.shape[1]) - 2) // 6
     kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
                           receive_type,
                           time_sampling, max_depth, rx_kind, n_tiles,
                           use_prng=use_prng, coherent=coherent,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
                           mesh_bsdf=mesh_bsdf, moving=moving,
-                          absorbing=absorbing)
+                          absorbing=absorbing, tx_kinds=tx_kinds,
+                          n_pairs=n_pairs)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            smem,
             smem,
             smem,
             smem,
@@ -1335,7 +1425,7 @@ def _run(params, prim, txp, key, prim_kinds: tuple, prim_tx: tuple,
             pltpu.VMEM((sub, LANE), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, txp, uniforms, bvh_bbox, bvh_links, bvh_leaves)
+    )(params, prim, txp, php, uniforms, bvh_bbox, bvh_links, bvh_leaves)
     return out, out_q, cnt
 
 
@@ -1359,13 +1449,15 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     hit = cache.get(ck)
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        params, prim, txp, mesh_pack = _pack_scene(scene_data, rx, shape_idx)
+        params, prim, txp, php, mesh_pack = _pack_scene(scene_data, rx,
+                                                        shape_idx)
         moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
                       or np.abs(txp[:, 24:27]).max() > 0.0
                       or np.abs(params[23:29]).max() > 0.0)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),
+            jnp.asarray(php),
             tuple(int(k) for k in prim[:, 0]),
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
@@ -1374,8 +1466,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             moving,
             bool(params[29] > 0.0),
             mesh_pack)
-    (_, shape_idx, params, prim_dev, txp_dev, prim_kinds, prim_tx,
+    (_, shape_idx, params, prim_dev, txp_dev, php_dev, prim_kinds, prim_tx,
      prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing, mesh_pack) = cache[ck]
+    tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
@@ -1386,13 +1479,14 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if has_mesh:
         mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
                        bvh_leaves=mesh_pack.leaves)
-    out, out_q, cnt = _run(jnp.asarray(params), prim_dev, txp_dev,
+    out, out_q, cnt = _run(jnp.asarray(params), prim_dev, txp_dev, php_dev,
                            jax.random.key(seed), prim_kinds, prim_tx,
                            prim_bsdf, prim_tex, rx.adc, rx.receive_type,
                            time_sampling, max_depth, rx_kind, n_lanes,
                            interpret, coherent,
                            has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
-                           moving=moving, absorbing=absorbing, **mesh_kw)
+                           moving=moving, absorbing=absorbing,
+                           tx_kinds=tx_kinds, **mesh_kw)
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes
