@@ -98,7 +98,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
                  mesh_bsdf: int = DIFFUSE, moving: bool = False,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
-                 n_pairs: int = 1):
+                 n_pairs: int = 1, n_rx_pairs: int = 1):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -141,6 +141,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                prim_ref,    # (n_prims, 28) prim table rows (SMEM)
                tx_ref,      # (n_tx, 28) transmitter table rows (SMEM)
                ph_ref,      # (n_tx, 2 + 6*K) phased-array pair rows (SMEM)
+               rph_ref,     # (1, 2 + 6*K_rx) phased-receiver pair row (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
                bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
                bvh_links_ref,
@@ -296,7 +297,44 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
             ph = TWO_PI * u2
             dx, dy, dz = r * _fast_cos(ph), r * _fast_sin(ph), z
-            w0 = jnp.full(shape, 4.0 * np.pi)
+            w0 = jnp.full(shape, 4.0 * np.pi) * sp(32)
+        elif rx_kind == 'phased':
+            # position uniform over the ARRAY's bounding rect (sp 30/31 =
+            # in-plane half-extents; mirrors rx_sample_ray's phased branch,
+            # reference phasedreceiver.cpp:314-341), cosine hemisphere
+            # about the aperture normal; the cross-WDF weight multiplies
+            # throughput below (after _pair_sum is defined)
+            u1, u2 = draw(), draw()
+            lxr = (2.0 * u1 - 1.0) * sp(30)
+            lyr = (2.0 * u2 - 1.0) * sp(31)
+            iwxr = 1.0 / jnp.maximum(rx_wx, 1e-20)
+            iwyr = 1.0 / jnp.maximum(rx_wy, 1e-20)
+            snrx, snry, snrz = rxm[0] * iwxr, rxm[4] * iwxr, rxm[8] * iwxr
+            tnrx, tnry, tnrz = rxm[1] * iwyr, rxm[5] * iwyr, rxm[9] * iwyr
+            ox = rxm[3] + lxr * snrx + lyr * tnrx
+            oy = rxm[7] + lxr * snry + lyr * tnry
+            oz = rxm[11] + lxr * snrz + lyr * tnrz
+            nzx, nzy, nzz = rxm[2], rxm[6], rxm[10]
+            nn = jax.lax.rsqrt(nzx * nzx + nzy * nzy + nzz * nzz)
+            nzx, nzy, nzz = nzx * nn, nzy * nn, nzz * nn
+            u3, u4 = draw(), draw()
+            rr = jnp.sqrt(u3)
+            ph = TWO_PI * u4
+            tx_, ty_ = rr * _fast_cos(ph), rr * _fast_sin(ph)
+            tz_ = jnp.sqrt(jnp.maximum(1.0 - u3, 0.0))
+            sign = jnp.where(nzz >= 0.0, 1.0, -1.0)
+            a = -1.0 / (sign + nzz)
+            b = nzx * nzy * a
+            s1x, s1y, s1z = 1.0 + sign * nzx * nzx * a, sign * b, -sign * nzx
+            s2x, s2y, s2z = b, sign + nzy * nzy * a, -nzy
+            dx = s1x * tx_ + s2x * ty_ + nzx * tz_
+            dy = s1y * tx_ + s2y * ty_ + nzy * tz_
+            dz = s1z * tx_ + s2z * ty_ + nzz * tz_
+            w0 = jnp.full(shape, np.pi * 4.0) * sp(30) * sp(31) * sp(32)
+            lam_rx = sp(1) / jnp.maximum(f_rx, 1e-6)
+            ox = ox + 1e-4 * nzx
+            oy = oy + 1e-4 * nzy
+            oz = oz + 1e-4 * nzz
         else:
             # position on the rx rectangle: p = M (2u-1, 2v-1, 0)
             u1, u2 = draw(), draw()
@@ -336,7 +374,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             dy = s1y * tx_ + s2y * ty_ + nzy * tz_
             dz = s1z * tx_ + s2z * ty_ + nzz * tz_
             area = 4.0 * rx_wx * rx_wy
-            w0 = jnp.full(shape, np.pi * area)
+            w0 = jnp.full(shape, np.pi * area) * sp(32)
             # aperture WDF directivity (rect): local pos r_hat = (lx, ly)/2
             lam = sp(1) / jnp.maximum(f_rx, 1e-6)
             nu_x = (rxm[0] * dx + rxm[4] * dy + rxm[8] * dz) \
@@ -602,26 +640,28 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             tx['tn'] = (tx['m'][1] * iwy, tx['m'][5] * iwy, tx['m'][9] * iwy)
         tx_prim = [prim_tx.index(t) for t in range(n_tx)]
 
-        def phased_gain(tx, t_row, px_, py_, pz_, dex, dey, dez, lam):
-            """Cross-WDF phased-array gain at surface point p for emission
-            direction d (mirrors radar/wigner.py::phased_aperture_gain —
-            per virtual pair: element rect-WDF x cos interference)."""
-            snx, sny, snz = tx['sn']
-            tnx_, tny_, tnz_ = tx['tn']
-            oxp, oyp, ozp = tx['m'][3], tx['m'][7], tx['m'][11]
+        def _pair_sum(ref, t_row, nK, sn_v, tn_v, orig_v,
+                      px_, py_, pz_, dex, dey, dez, lam):
+            """Cross-WDF phased-array gain at point p for direction d
+            (mirrors radar/wigner.py::phased_aperture_gain — per virtual
+            pair: element rect-WDF x cos interference).  Shared by the
+            transmitter aperture gain and the receiver weight."""
+            snx, sny, snz = sn_v
+            tnx_, tny_, tnz_ = tn_v
+            oxp, oyp, ozp = orig_v
             nu_x = (dex * snx + dey * sny + dez * snz) / lam
             nu_y = (dex * tnx_ + dey * tny_ + dez * tnz_) / lam
-            widS = ph_ref[t_row, 0]
-            widT = ph_ref[t_row, 1]
+            widS = ref[t_row, 0]
+            widT = ref[t_row, 1]
             total = jnp.zeros(shape)
-            for k in range(n_pairs):
+            for k in range(nK):
                 b = 2 + 6 * k
-                mid_s = ph_ref[t_row, b]
-                mid_t = ph_ref[t_row, b + 1]
-                base_s = ph_ref[t_row, b + 2]
-                base_t = ph_ref[t_row, b + 3]
-                psi_k = ph_ref[t_row, b + 4]
-                val_k = ph_ref[t_row, b + 5]
+                mid_s = ref[t_row, b]
+                mid_t = ref[t_row, b + 1]
+                base_s = ref[t_row, b + 2]
+                base_t = ref[t_row, b + 3]
+                psi_k = ref[t_row, b + 4]
+                val_k = ref[t_row, b + 5]
                 mx_ = oxp + mid_s * snx + mid_t * tnx_
                 my_ = oyp + mid_s * sny + mid_t * tny_
                 mz_ = ozp + mid_s * snz + mid_t * tnz_
@@ -639,6 +679,20 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 total = total + jnp.where(
                     inside, w_rect * _fast_cos(ph_k), 0.0) * val_k
             return total
+
+        def phased_gain(tx, t_row, px_, py_, pz_, dex, dey, dez, lam):
+            return _pair_sum(ph_ref, t_row, n_pairs, tx['sn'], tx['tn'],
+                             (tx['m'][3], tx['m'][7], tx['m'][11]),
+                             px_, py_, pz_, dex, dey, dez, lam)
+
+        if rx_kind == 'phased':
+            # receiver cross-WDF weight at (o, d) — signed, unbiased
+            # (mirrors rx_aperture_weight's phased branch)
+            rxw = _pair_sum(rph_ref, 0, n_rx_pairs,
+                            (snrx, snry, snrz), (tnrx, tnry, tnrz),
+                            (rxm[3], rxm[7], rxm[11]),
+                            ox, oy, oz, dx, dy, dz, lam_rx)
+            throughput = throughput * rxw
 
         # ---- BSDF lobes (world space, two-sided: n flipped toward wi) ----
         def _fres_cond(ci, eta, k):
@@ -1171,7 +1225,34 @@ def _pack_scene(scene, rx, shape_idx):
         rxm = m.reshape(-1)
         rx_wx = rx_wy = 0.0
 
-    params = np.zeros(32, np.float32)
+    # phased-receiver pair table (cross-WDF weight + array extents)
+    from ..radar.endpoints import PHASED as _RX_PHASED
+    rxph = np.zeros((1, 8), np.float32)
+    rx_hx = rx_hy = 0.0
+    if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
+        from ..radar.endpoints import _phased_pairs, _elem_locs
+        mids, bases, psis = _phased_pairs(
+            rx, 0.5 * (sd.band.wavelength_min + sd.band.wavelength_max))
+        mids = np.asarray(mids)
+        bases = np.asarray(bases)
+        psis = np.asarray(psis)
+        Kr = mids.shape[0]
+        rxph = np.zeros((1, 2 + 6 * Kr), np.float32)
+        rxph[0, 0] = float(np.asarray(rx.elem_wid)[0])
+        rxph[0, 1] = float(np.asarray(rx.elem_wid)[1])
+        for k in range(Kr):
+            b = 2 + 6 * k
+            rxph[0, b] = mids[k, 0]
+            rxph[0, b + 1] = mids[k, 1]
+            rxph[0, b + 2] = bases[k, 0]
+            rxph[0, b + 3] = bases[k, 1]
+            rxph[0, b + 4] = psis[k]
+            rxph[0, b + 5] = 1.0
+        locs = np.asarray(_elem_locs(rx))
+        rx_hx = float(np.abs(locs[:, 0]).max()) + float(np.asarray(rx.elem_wid)[0])
+        rx_hy = float(np.abs(locs[:, 1]).max()) + float(np.asarray(rx.elem_wid)[1])
+
+    params = np.zeros(36, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -1182,6 +1263,8 @@ def _pack_scene(scene, rx, shape_idx):
     params[17] = np.float32(fcc)
     params[18] = np.float32(fcc - np.float64(np.float32(fcc)))
     params[23:26] = np.asarray(rx.velocity, np.float32).reshape(3)
+    params[30], params[31] = rx_hx, rx_hy
+    params[32] = float(getattr(rx, 'gain', 1.0))
 
     if sd.medium is not None:
         from ..media import HomogeneousMedium
@@ -1210,7 +1293,7 @@ def _pack_scene(scene, rx, shape_idx):
         # scene-shared mesh velocity (rigid meshes; supported() gates all
         # mesh shapes to one value)
         params[26:29] = shape_vel[int(sidx[0])]
-    return params, prim, txp, php, mesh_pack
+    return params, prim, txp, php, rxph, mesh_pack
 
 
 # Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
@@ -1319,10 +1402,13 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if rx.receive_type not in ('raw', 'mix_resample') and not (
             rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
         return no(f'receive_type {rx.receive_type!r}')
-    from ..radar.endpoints import WIGNER as RX_WIGNER, OMNI as RX_OMNI
-    if rx.kind not in (RX_WIGNER, RX_OMNI):
-        return no('phased receiver (kernel models rect/omni apertures; the '
-                  'jnp path does cross-WDF + array-extent sampling)')
+    from ..radar.endpoints import (WIGNER as RX_WIGNER, OMNI as RX_OMNI,
+                                   PHASED as RX_PHASED)
+    if rx.kind == RX_PHASED:
+        if rx.n_elems ** 2 > 64:
+            return no(f'phased rx pair unroll {rx.n_elems ** 2} > 64')
+    elif rx.kind not in (RX_WIGNER, RX_OMNI):
+        return no(f'unknown receiver kind {rx.kind}')
     if scene_data.medium is not None:
         from ..media import HomogeneousMedium
         if not isinstance(scene_data.medium, HomogeneousMedium):
@@ -1356,7 +1442,7 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds'))
-def _run(params, prim, txp, php, key, prim_kinds: tuple, prim_tx: tuple,
+def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
@@ -1383,6 +1469,7 @@ def _run(params, prim, txp, php, key, prim_kinds: tuple, prim_tx: tuple,
         bvh_links = jnp.full((3,), -1, jnp.int32)
         bvh_leaves = jnp.zeros((88,), jnp.float32)
     n_pairs = (int(php.shape[1]) - 2) // 6
+    n_rx_pairs = (int(rph.shape[1]) - 2) // 6
     kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
                           receive_type,
                           time_sampling, max_depth, rx_kind, n_tiles,
@@ -1390,12 +1477,13 @@ def _run(params, prim, txp, php, key, prim_kinds: tuple, prim_tx: tuple,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
                           mesh_bsdf=mesh_bsdf, moving=moving,
                           absorbing=absorbing, tx_kinds=tx_kinds,
-                          n_pairs=n_pairs)
+                          n_pairs=n_pairs, n_rx_pairs=n_rx_pairs)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            smem,
             smem,
             smem,
             smem,
@@ -1425,7 +1513,8 @@ def _run(params, prim, txp, php, key, prim_kinds: tuple, prim_tx: tuple,
             pltpu.VMEM((sub, LANE), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, txp, php, uniforms, bvh_bbox, bvh_links, bvh_leaves)
+    )(params, prim, txp, php, rph, uniforms, bvh_bbox, bvh_links,
+      bvh_leaves)
     return out, out_q, cnt
 
 
@@ -1449,15 +1538,15 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     hit = cache.get(ck)
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        params, prim, txp, php, mesh_pack = _pack_scene(scene_data, rx,
-                                                        shape_idx)
+        params, prim, txp, php, rxph, mesh_pack = _pack_scene(
+            scene_data, rx, shape_idx)
         moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
                       or np.abs(txp[:, 24:27]).max() > 0.0
                       or np.abs(params[23:29]).max() > 0.0)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),
-            jnp.asarray(php),
+            jnp.asarray(php), jnp.asarray(rxph),
             tuple(int(k) for k in prim[:, 0]),
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
@@ -1466,20 +1555,26 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             moving,
             bool(params[29] > 0.0),
             mesh_pack)
-    (_, shape_idx, params, prim_dev, txp_dev, php_dev, prim_kinds, prim_tx,
-     prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing, mesh_pack) = cache[ck]
+    (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, prim_kinds,
+     prim_tx, prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing,
+     mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
     tile = (MESH_SUB if has_mesh else SUB) * LANE
     n_lanes = max(tile, (spp // tile) * tile)
-    rx_kind = 'omni' if shape_idx < 0 else 'wigner'
+    from ..radar.endpoints import PHASED as _RX_PHASED
+    if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
+        rx_kind = 'phased'
+    else:
+        rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     mesh_kw = {}
     if has_mesh:
         mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
                        bvh_leaves=mesh_pack.leaves)
     out, out_q, cnt = _run(jnp.asarray(params), prim_dev, txp_dev, php_dev,
+                           rxph_dev,
                            jax.random.key(seed), prim_kinds, prim_tx,
                            prim_bsdf, prim_tex, rx.adc, rx.receive_type,
                            time_sampling, max_depth, rx_kind, n_lanes,

@@ -69,7 +69,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         shape_idx0 = scene_host.shape_index_of_endpoint('receiver', rx.id)
         cache[ck] = (scene_data, shape_idx0,
                      *_pack_scene(scene_data, rx, shape_idx0))
-    _, shape_idx, params, prim, txp, php, mesh_pack = cache[ck]
+    _, shape_idx, params, prim, txp, php, rxph, mesh_pack = cache[ck]
     prim_kinds = tuple(int(k) for k in prim[:, 0])
     prim_tx = tuple(int(f) for f in prim[:, 14])
     prim_bsdf = tuple(int(f) for f in prim[:, 18])
@@ -81,7 +81,11 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                   or _np.abs(params[23:29]).max() > 0.0)
     absorbing = bool(params[29] > 0.0)
     tx_kinds = tuple(int(f) for f in _np.asarray(txp)[:, 27])
-    rx_kind = 'omni' if shape_idx < 0 else 'wigner'
+    from ..radar.endpoints import PHASED as _RX_PHASED
+    if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
+        rx_kind = 'phased'
+    else:
+        rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
     tile = (MESH_SUB * LANE) if has_mesh else TILE
     n_lanes = max(tile, (spp_per_device // tile) * tile)
@@ -96,17 +100,18 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
 
     txp_dev = jnp.asarray(txp)
     php_dev = jnp.asarray(php)
+    rxph_dev = jnp.asarray(rxph)
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P(), P(), P(), P(), P()),
+                       in_specs=(P(), P(), P(), P(), P(), P()),
                        out_specs=P(), check_rep=False)
-    def run(params_r, prim_r, txp_r, php_r, key_data):
+    def run(params_r, prim_r, txp_r, php_r, rxph_r, key_data):
         dev = jax.lax.axis_index(axes[0])
         if len(axes) > 1:
             dev = dev * jax.lax.axis_size(axes[1]) + jax.lax.axis_index(axes[1])
         p2 = params_r.at[0].add(dev.astype(jnp.float32) * 7919.0)
         k = jax.random.fold_in(jax.random.wrap_key_data(key_data), dev)
-        out = _run(p2, prim_r, txp_r, php_r, k, prim_kinds, prim_tx,
+        out = _run(p2, prim_r, txp_r, php_r, rxph_r, k, prim_kinds, prim_tx,
                    prim_bsdf, prim_tex, rx.adc, rx.receive_type,
                    time_sampling, max_depth, rx_kind, n_lanes, interpret,
                    coherent, has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
@@ -117,7 +122,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
             sig = jax.lax.psum(sig, ax)
         return sig
 
-    sig = run(params_dev, prim_dev, txp_dev, php_dev,
+    sig = run(params_dev, prim_dev, txp_dev, php_dev, rxph_dev,
               jax.random.key_data(jax.random.key(seed)))
     return sig, n_lanes * n_dev
 

@@ -871,3 +871,73 @@ def test_megakernel_phased_transmitter():
     tp_off, tj_off = profiles(-steer_at)
     assert np.abs(tp_off[lo:hi]).sum() < 0.5 * e_p
     assert np.abs(tj_off[lo:hi]).sum() < 0.5 * e_j
+
+
+def test_megakernel_phased_receiver():
+    """Phased receiver in the kernel: array-extent position sampling +
+    in-kernel cross-WDF weight.  A steered rx array looking at one of two
+    equidistant targets picks out that target's return; profile matches
+    the jnp wavefront."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, phased_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+    C, R = 340.0, 4.0
+    band = Band.from_freq(C, 40e3, 1e3)
+    wl = band.wavelength_centre
+    E = 4
+    off = 1.2
+    steer = np.degrees(np.arcsin(off / np.hypot(off, R)))
+
+    def build(steer_deg):
+        s = sc.Scene(band=band)
+        s.add(diffuse("mat", reflectance=1.0, twosided=True))
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=1e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        # small (wide-beam) tx lights both targets
+        aim = np.asarray(tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                     tfm.scale([0.004, 0.004, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=39.5e3, freq_hi=40.5e3)
+        rx = phased_receiver("rx", adc, n_elems=E, elem_spacing=wl / 2,
+                             elem_wid=(wl / 4, wl / 4), steer_deg=steer_deg,
+                             receive_type='raw')
+        s.add(rx)
+        aim_rx = np.asarray(tfm.compose(
+            tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+            tfm.scale([1e-4, 1e-4, 1.0])))
+        s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+        for sx in (-off, off):
+            tgt = np.asarray(tfm.compose(
+                tfm.look_at([sx, -R, 0], [0.0, 0, 0]), tfm.scale(0.4)))
+            s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+        return s, rx
+
+    s, rx = build(steer)
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    tp = 0.0
+    tj = 0.0
+    for seed in range(2):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * 64 / 2
+        a, n2 = receive(s, sd, rx, seed=9 + seed, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / 2
+    assert np.abs(tp).sum() > 0
+    pk_p = int(np.abs(tp).argmax())
+    pk_j = int(np.abs(tj).argmax())
+    assert abs(pk_p - pk_j) <= 2, (pk_p, pk_j)
+    lo, hi = max(pk_j - 3, 0), pk_j + 4
+    e_p = np.abs(tp[lo:hi]).sum()
+    e_j = np.abs(tj[lo:hi]).sum()
+    assert 0.2 < e_p / e_j < 5.0, (e_p, e_j)
