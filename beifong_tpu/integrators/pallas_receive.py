@@ -126,6 +126,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     f_hi = cfg.freq_hi
     gate = time_sampling == 'gate'
     mix = receive_type == 'mix_resample'
+    mixer = receive_type == 'mixer'
     SUB = sub   # shadow the module constant: tile height is per-scene
     # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
@@ -183,6 +184,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         # receiver params
         rxm = [sp(2 + i) for i in range(12)]       # rx to_world 3x4 rows
         rx_wx, rx_wy = sp(14), sp(15)              # |cols| (aperture)
+        # mixer LO waveform (sp 33..38; only read in mixer mode)
+        lo = dict(wf=sp(33), amp=sp(34), prf=sp(35), text=sp(36),
+                  fc=sp(37), fext=sp(38))
         # transmitter tables: per-tx scalars (statically unrolled over t)
         txs = []
         for t in range(n_tx):
@@ -282,6 +286,14 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             # mix mode is gated to n_tx == 1 (the LO is the tx chirp)
             f_rx = inst_freq(txs[0],
                              t_rx0 + (0.5 * t_window if gate else 0.0))
+            f_rx = jnp.broadcast_to(f_rx, shape)
+        elif mixer:
+            # importance-sample the BEAT axis (rx_sample_frequency 'mixer':
+            # beat ~ U[ADC freq window], f_rx = f_LO(t) - beat)
+            u_b = draw()
+            beat0 = f_lo + u_b * (f_hi - f_lo)
+            f_rx = inst_freq(lo, t_rx0 + (0.5 * t_window if gate else 0.0)) \
+                - beat0
             f_rx = jnp.broadcast_to(f_rx, shape)
         else:
             f_rx = (f_lo + draw() * (f_hi - f_lo)) if n_freq > 1 \
@@ -848,6 +860,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     fr_h = fe_h * dop if moving else fe_h
                     if mix:
                         fb_h = jnp.abs(fr_h - inst_freq(tx, tr_h))
+                    elif mixer:
+                        # signed beat against the LO (radar_path.py:198)
+                        fb_h = inst_freq(lo, tr_h) - fr_h
                     else:
                         fb_h = fr_h
                     yb_h = (tr_h - t_start) / t_window * n_time - 0.5
@@ -956,6 +971,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     f_recv = f_emit
                 if mix:
                     f_bin = jnp.abs(f_recv - inst_freq(tx, t_recv))
+                elif mixer:
+                    f_bin = inst_freq(lo, t_recv) - f_recv
                 else:
                     f_bin = f_recv
 
@@ -1252,7 +1269,7 @@ def _pack_scene(scene, rx, shape_idx):
         rx_hx = float(np.abs(locs[:, 0]).max()) + float(np.asarray(rx.elem_wid)[0])
         rx_hy = float(np.abs(locs[:, 1]).max()) + float(np.asarray(rx.elem_wid)[1])
 
-    params = np.zeros(36, np.float32)
+    params = np.zeros(40, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -1265,6 +1282,14 @@ def _pack_scene(scene, rx, shape_idx):
     params[23:26] = np.asarray(rx.velocity, np.float32).reshape(3)
     params[30], params[31] = rx_hx, rx_hy
     params[32] = float(getattr(rx, 'gain', 1.0))
+    lo_wf = getattr(rx, 'lo_waveform', None)
+    if lo_wf is not None:
+        params[33] = float(np.asarray(lo_wf.kind).reshape(-1)[0])
+        params[34] = float(np.asarray(lo_wf.amplitude).reshape(-1)[0])
+        params[35] = float(np.asarray(lo_wf.rep_freq).reshape(-1)[0])
+        params[36] = float(np.asarray(lo_wf.t_ext).reshape(-1)[0])
+        params[37] = float(np.asarray(lo_wf.f_centre).reshape(-1)[0])
+        params[38] = float(np.asarray(lo_wf.f_ext).reshape(-1)[0])
 
     if sd.medium is not None:
         from ..media import HomogeneousMedium
@@ -1400,7 +1425,9 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
                 return no('checkerboard texture on a non-rectangle shape '
                           '(kernel derives uv from rect local coords)')
     if rx.receive_type not in ('raw', 'mix_resample') and not (
-            rx.receive_type == 'raw_resample' and rx.lo_waveform is None):
+            rx.receive_type == 'raw_resample' and rx.lo_waveform is None) \
+            and not (rx.receive_type == 'mixer'
+                     and rx.lo_waveform is not None):
         return no(f'receive_type {rx.receive_type!r}')
     from ..radar.endpoints import (WIGNER as RX_WIGNER, OMNI as RX_OMNI,
                                    PHASED as RX_PHASED)
@@ -1559,6 +1586,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
      prim_tx, prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing,
      mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
+    if coherent and rx.receive_type == 'mixer':
+        raise ValueError("coherent mixer receive is outside the "
+                         "megakernel's scope (jnp wavefront only)")
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None

@@ -152,7 +152,13 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     if use_pallas:
         from .integrators.pallas_receive import receive_pallas, supported
         why: list = []
-        if supported(scene_data, receiver or scene.receivers[0], why):
+        rx_chk = receiver or scene.receivers[0]
+        if coherent and rx_chk.receive_type == 'mixer':
+            why.append('coherent mixer (no in-kernel dechirp phase)')
+            ok_k = False
+        else:
+            ok_k = supported(scene_data, rx_chk, why)
+        if ok_k:
             rx0 = receiver or scene.receivers[0]
             out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
                                     seed=seed, max_depth=max_depth,

@@ -941,3 +941,28 @@ def test_megakernel_phased_receiver():
     e_p = np.abs(tp[lo:hi]).sum()
     e_j = np.abs(tj[lo:hi]).sum()
     assert 0.2 < e_p / e_j < 5.0, (e_p, e_j)
+
+
+def test_megakernel_mixer_beat():
+    """`mixer` receive type in the kernel (the 4th receiver.cpp:21 mode):
+    signed beat against the packed LO waveform, importance-sampled beat
+    axis — the spectrum peaks at slope * 2R/c like the jnp path."""
+    import test_radar as TR
+    s, rx, f_beat_expect = TR._fmcw_scene('mixer')
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=3, max_depth=2,
+                            time_sampling='fixed', interpret=True)
+    spectrum = np.asarray(out).sum(axis=0)
+    f_axis = (np.arange(128) + 0.5) / 128 * (4 * f_beat_expect)
+    f_peak = f_axis[np.argmax(spectrum)]
+    bin_w = 4 * f_beat_expect / 128
+    assert spectrum.sum() > 0
+    assert abs(f_peak - f_beat_expect) < 3 * bin_w, (
+        f"kernel mixer beat at {f_peak:.1f} Hz, "
+        f"expected {f_beat_expect:.1f} Hz")
+    # coherent mixer is refused (no in-kernel dechirp phase)
+    with pytest.raises(ValueError):
+        receive_pallas(s, sd, rx, spp=1 << 10, seed=0, max_depth=2,
+                       time_sampling='fixed', interpret=True, coherent=True)
