@@ -98,7 +98,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
                  mesh_bsdf: int = DIFFUSE, moving: bool = False,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
-                 n_pairs: int = 1, n_rx_pairs: int = 1):
+                 n_pairs: int = 1, n_rx_pairs: int = 1,
+                 has_lo: bool = False):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -127,6 +128,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     gate = time_sampling == 'gate'
     mix = receive_type == 'mix_resample'
     mixer = receive_type == 'mixer'
+    # raw_resample WITH an LO: rx frequency snaps to the LO's instantaneous
+    # frequency (wignerreceiver.cpp::sample_delta_frequency:152-167);
+    # without one it degrades to raw, like the reference
+    rres_lo = receive_type == 'raw_resample' and has_lo
     SUB = sub   # shadow the module constant: tile height is per-scene
     # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
@@ -294,6 +299,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             beat0 = f_lo + u_b * (f_hi - f_lo)
             f_rx = inst_freq(lo, t_rx0 + (0.5 * t_window if gate else 0.0)) \
                 - beat0
+            f_rx = jnp.broadcast_to(f_rx, shape)
+        elif rres_lo:
+            f_rx = inst_freq(lo, t_rx0 + (0.5 * t_window if gate else 0.0))
             f_rx = jnp.broadcast_to(f_rx, shape)
         else:
             f_rx = (f_lo + draw() * (f_hi - f_lo)) if n_freq > 1 \
@@ -1424,8 +1432,7 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
             if k_of[si_] != RECTANGLE:
                 return no('checkerboard texture on a non-rectangle shape '
                           '(kernel derives uv from rect local coords)')
-    if rx.receive_type not in ('raw', 'mix_resample') and not (
-            rx.receive_type == 'raw_resample' and rx.lo_waveform is None) \
+    if rx.receive_type not in ('raw', 'raw_resample', 'mix_resample') \
             and not (rx.receive_type == 'mixer'
                      and rx.lo_waveform is not None):
         return no(f'receive_type {rx.receive_type!r}')
@@ -1468,7 +1475,8 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
-    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds'))
+    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds',
+    'has_lo'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -1476,6 +1484,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          coherent: bool = False, has_mesh: bool = False,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
          absorbing: bool = False, tx_kinds: tuple = (0,),
+         has_lo: bool = False,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1504,7 +1513,8 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
                           mesh_bsdf=mesh_bsdf, moving=moving,
                           absorbing=absorbing, tx_kinds=tx_kinds,
-                          n_pairs=n_pairs, n_rx_pairs=n_rx_pairs)
+                          n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
+                          has_lo=has_lo)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, cnt = pl.pallas_call(
         kernel,
@@ -1611,7 +1621,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                            interpret, coherent,
                            has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
                            moving=moving, absorbing=absorbing,
-                           tx_kinds=tx_kinds, **mesh_kw)
+                           tx_kinds=tx_kinds,
+                           has_lo=rx.lo_waveform is not None, **mesh_kw)
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

@@ -966,3 +966,26 @@ def test_megakernel_mixer_beat():
     with pytest.raises(ValueError):
         receive_pallas(s, sd, rx, spp=1 << 10, seed=0, max_depth=2,
                        time_sampling='fixed', interpret=True, coherent=True)
+
+
+def test_megakernel_raw_resample_lo():
+    """raw_resample WITH an LO: the rx frequency snaps to the LO delta in
+    the kernel too (parity with the jnp rx_sample_frequency branch)."""
+    import test_radar as TR
+    from beifong_tpu.receive import develop_signal
+    s, rx, _ = TR._fmcw_scene('raw_resample')
+    import dataclasses as dc
+    # bin the RECEIVED frequency over the band (raw semantics)
+    rx = dc.replace(rx, adc=dc.replace(rx.adc, freq_lo=38e3, freq_hi=42e3))
+    s.receivers[0] = rx
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=1, max_depth=2,
+                            time_sampling='fixed', interpret=True)
+    tp = np.asarray(out).sum(axis=0)
+    a, n2 = receive(s, sd, rx, seed=6, spp=1 << 13, max_depth=2,
+                    time_sampling='fixed')
+    tj = np.asarray(develop_signal(a, n2, rx.adc)).sum(axis=0)[:, 0]
+    assert tp.sum() > 0 and tj.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 2
