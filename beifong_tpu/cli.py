@@ -35,6 +35,9 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=8, help="max path depth")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--pallas", choices=("auto", "on", "off"), default="auto",
+                   help="route receive() through the Pallas TPU megakernel "
+                        "(auto: when the scene is in the kernel's scope)")
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -63,8 +66,9 @@ def main(argv=None):
         import numpy as np
         rx = scene.receivers[args.receiver]
         t0 = time.time()
+        use_pallas = {"auto": "auto", "on": True, "off": False}[args.pallas]
         adc, n = receive(scene, receiver=rx, spp=spp, max_depth=args.depth,
-                         seed=args.seed)
+                         seed=args.seed, use_pallas=use_pallas)
         sig = develop_signal(adc, n, rx.adc)
         print(f"[beifong_tpu] receive: {n} samples in {time.time() - t0:.2f}s")
         write_exr(out, np.asarray(sig)[..., 0])

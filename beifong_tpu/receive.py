@@ -153,8 +153,16 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
         from .integrators.pallas_receive import receive_pallas, supported
         why: list = []
         rx_chk = receiver or scene.receivers[0]
+        on_cpu = jax.default_backend() == 'cpu'
         if coherent and rx_chk.receive_type == 'mixer':
             why.append('coherent mixer (no in-kernel dechirp phase)')
+            ok_k = False
+        elif on_cpu and use_pallas == 'auto':
+            # Mosaic compiles for TPU only; interpret mode is a debugging
+            # path, not a fast one — 'auto' on CPU stays on the jnp
+            # wavefront (use_pallas=True forces interpret mode instead)
+            why.append('CPU backend (megakernel is TPU-only; auto falls '
+                       'back, use_pallas=True forces interpret mode)')
             ok_k = False
         else:
             ok_k = supported(scene_data, rx_chk, why)
@@ -163,7 +171,8 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
                                     seed=seed, max_depth=max_depth,
                                     time_sampling=time_sampling,
-                                    coherent=coherent)
+                                    coherent=coherent,
+                                    interpret=on_cpu)
             n_ch0 = 2 if coherent else 1
             adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, n_ch0 + 2),
                             jnp.float32)
