@@ -1336,7 +1336,10 @@ def _pack_scene(scene, rx, shape_idx):
 # a logged reason instead of compile-bombing.
 MAX_ADC_CELLS = 512       # n_freq == 1: per-cell unrolled tent reductions
 MAX_ADC_CELLS_MXU = 32768  # n_freq > 1: dot_general splat (VMEM acc bound)
-MAX_PRIMS = 24
+# measured on v5e (depth 2, 1M lanes): 24 prims -> 9.6s compile / 98M
+# samples/s, 40 -> 13.6s / 84M, 64 -> 21s / 75M — linear compile growth,
+# still ~30x the jnp fallback at the cap
+MAX_PRIMS = 64
 MAX_TX = 4
 MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 
