@@ -13,6 +13,13 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor JAX_PLATFORM_NAME=cpu even though the ambient axon
+# sitecustomize pre-imports jax (the env var alone is consumed
+# too early to switch backends)
+if os.environ.get("JAX_PLATFORM_NAME") == "cpu":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 import beifong_tpu as bt
