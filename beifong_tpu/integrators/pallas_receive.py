@@ -142,6 +142,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     # is_delta — specular flash / corner-reflector chains)
     mirror = (CONDUCTOR in set(prim_bsdf)
               or (has_mesh and mesh_bsdf == CONDUCTOR))
+    # lanes need per-prim eta/k (conductor Fresnel) for either lobe family
+    need_fres = ggx or mirror
 
     def kernel(sp_ref,      # SMEM scalar params vector
                prim_ref,    # (n_prims, 28) prim table rows (SMEM)
@@ -510,7 +512,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 rb = jnp.where(closer, rb_p, rb)  # reflectance
                 txc = jnp.where(closer, float(prim_tx[p]), txc)
                 kb = jnp.where(closer, float(prim_bsdf[p]), kb)
-                if ggx:
+                if need_fres:
                     ab = jnp.where(closer, prim_ref[p, 15], ab)
                     eb = jnp.where(closer, prim_ref[p, 16], eb)
                     kkb = jnp.where(closer, prim_ref[p, 17], kkb)
@@ -568,7 +570,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 # per-triangle reflectance rides the BVH leaf payload
                 rb = jnp.where(m_closer, ms_rf_ref[:], rb)
                 kb = jnp.where(m_closer, float(mesh_bsdf), kb)
-                if ggx:
+                if need_fres:
                     ab = jnp.where(m_closer, sp(20), ab)
                     eb = jnp.where(m_closer, sp(21), eb)
                     kkb = jnp.where(m_closer, sp(22), kkb)

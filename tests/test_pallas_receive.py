@@ -989,3 +989,70 @@ def test_megakernel_raw_resample_lo():
     tj = np.asarray(develop_signal(a, n2, rx.adc)).sum(axis=0)[:, 0]
     assert tp.sum() > 0 and tj.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 2
+
+
+def test_megakernel_mirror_fresnel_amplitude():
+    """Regression: a conductor-ONLY scene (no rough conductor present) must
+    apply the real conductor Fresnel to the mirror bounce — the eta/k lane
+    tracking used to be gated on the GGX flag, silently giving F = 1."""
+    import inspect
+    import test_pallas_receive as _self
+    # reuse the specular-flash scene with a low-reflectivity conductor
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import develop_signal
+    C, R, plen_ = 340.0, 4.0, 2e-3
+    band = Band.from_freq(C, 40e3, 10e3)
+
+    def build(eta, kk):
+        s = sc.Scene(band=band)
+        s.add(conductor("mirror", eta=eta, k=kk, twosided=True))
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=plen_, f_ext=2e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        aim = np.asarray(tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                     tfm.scale([0.5, 0.5, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+        rx = wigner_receiver("rx", adc, receive_type='raw')
+        s.add(rx)
+        aim_rx = np.asarray(tfm.compose(tfm.look_at([0.0, -0.3, 0],
+                                                    [0.0, -4, 0]),
+                                        tfm.scale([0.02, 0.02, 1.0])))
+        s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+        tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                     tfm.scale(1.5)))
+        s.add(sh.rectangle(to_world=tgt, bsdf="mirror"))
+        return s, rx
+
+    def flash_energy(eta, kk, seed=0):
+        s, rx = build(eta, kk)
+        sd = s.compile()
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = np.asarray(out)[:, 0]
+        pk = int(np.abs(tp).argmax())
+        return np.abs(tp[max(pk - 3, 0):pk + 4]).sum()
+
+    # near-normal incidence Fresnel: eta=0.2,k=3 -> F ~ 0.95+;
+    # eta=2,k=0.5 -> noticeably lossier.  Same stream, same geometry: the
+    # energy ratio must track the Fresnel ratio, NOT be 1.0
+    from beifong_tpu.bsdf.eval import fresnel_conductor
+    import jax.numpy as jnp
+    F_hi = float(fresnel_conductor(jnp.asarray([1.0]), jnp.asarray([[0.2]]),
+                                   jnp.asarray([[3.0]]))[0, 0])
+    F_lo = float(fresnel_conductor(jnp.asarray([1.0]), jnp.asarray([[2.0]]),
+                                   jnp.asarray([[0.5]]))[0, 0])
+    e_hi = flash_energy(0.2, 3.0)
+    e_lo = flash_energy(2.0, 0.5)
+    assert e_hi > 0 and e_lo > 0
+    ratio = e_lo / e_hi
+    expect = F_lo / F_hi
+    assert ratio == pytest.approx(expect, rel=0.05), (ratio, expect)
