@@ -99,7 +99,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  mesh_bsdf: int = DIFFUSE, moving: bool = False,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
                  n_pairs: int = 1, n_rx_pairs: int = 1,
-                 has_lo: bool = False):
+                 has_lo: bool = False, polarized: bool = False):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -117,6 +117,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     the aperture-gain branch at trace time; phased arrays unroll the
     cross-WDF pair sum (radar/wigner.py::phased_aperture_gain,
     reference phased.cpp:127-155) over `n_pairs` SMEM rows.
+    polarized: Stokes transport (mirrors radar_path.py's pol_M chain /
+    the reference *_polarized variants): a per-lane 4x4 Mueller chain of
+    M00-normalized vertex matrices; the four ADC outputs are S0..S3 with
+    S0 equal to the unpolarized power.  Conductor lobes polarize via
+    mueller.specular_reflection structure, diffuse depolarizes.
     """
 
     n_time = cfg.n_time
@@ -133,6 +138,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     # without one it degrades to raw, like the reference
     rres_lo = receive_type == 'raw_resample' and has_lo
     SUB = sub   # shadow the module constant: tile height is per-scene
+    n_ch = 4 if polarized else (2 if coherent else 1)
     # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
            or (has_mesh and mesh_bsdf == ROUGH_CONDUCTOR))
@@ -154,8 +160,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
                bvh_links_ref,
                bvh_leaf_ref,
-               out_ref,     # (n_time, n_freq) power (or I when coherent)
-               q_ref,       # (n_time, n_freq) Q (coherent; zeros otherwise)
+               out_ref,     # (n_time, n_freq) power / I / Stokes S0
+               q_ref,       # (n_time, n_freq) Q (coherent) / S1 (polarized)
+               s2_ref,      # (n_time, n_freq) S2 (polarized; zeros else)
+               s3_ref,      # (n_time, n_freq) S3
                cnt_ref,     # (1, 1) total events
                ms_t_ref,    # VMEM scratch: mesh hit state (t, normal, refl)
                ms_nx_ref, ms_ny_ref, ms_nz_ref, ms_rf_ref):
@@ -165,6 +173,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
             q_ref[:] = jnp.zeros_like(q_ref)
+            s2_ref[:] = jnp.zeros_like(s2_ref)
+            s3_ref[:] = jnp.zeros_like(s3_ref)
             cnt_ref[0, 0] = 0.0
 
         if use_prng:
@@ -422,6 +432,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             dop = 1.0
         acc = jnp.zeros((n_time, n_freq), jnp.float32)
         acc_q = jnp.zeros((n_time, n_freq), jnp.float32)
+        acc_s2 = jnp.zeros((n_time, n_freq), jnp.float32)
+        acc_s3 = jnp.zeros((n_time, n_freq), jnp.float32)
         n_events = jnp.zeros(shape)
 
         def intersect(ox, oy, oz, dx, dy, dz, live=None):
@@ -781,6 +793,97 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         ddx, ddy, ddz = dx, dy, dz
         wdel = jnp.zeros(shape) != 0.0   # last bounce was a delta mirror
 
+        if polarized:
+            # accumulated Mueller chain (M00-normalized vertices) + its
+            # transverse input basis (mirrors radar_path.py pol_M/pol_b)
+            one_p = jnp.ones(shape)
+            zero_p = jnp.zeros(shape)
+            pm = [[one_p if i == j else zero_p for j in range(4)]
+                  for i in range(4)]
+            # arbitrary basis perpendicular to d: cross(ref, d) with
+            # ref = z when |dz| < 0.9 else x (radar_path.py::_perp_basis)
+            use_z = jnp.abs(dz) < 0.9
+            refx = jnp.where(use_z, 0.0, 1.0)
+            refz = jnp.where(use_z, 1.0, 0.0)
+            pbx = -refz * dy
+            pby = refz * dx - refx * dz
+            pbz = refx * dy
+            pbn = jax.lax.rsqrt(jnp.maximum(
+                pbx * pbx + pby * pby + pbz * pbz, 1e-20))
+            pbx, pby, pbz = pbx * pbn, pby * pbn, pbz * pbn
+
+            def vertex_mueller(kb2, eb2, kk2, rdx, rdy, rdz,
+                               tdx, tdy, tdz, vbx_, vby_, vbz_):
+                """Per-lane vertex Mueller (mirrors
+                radar_path.py::_vertex_mueller): M00-normalized specular
+                structure for conductor lanes, depolarizer otherwise,
+                rotated from the plane-of-incidence s axis into the chain's
+                basis (vb) around the out-propagation axis -d_rx.
+                Returns (4x4 list, new s-axis basis)."""
+                hx_ = tdx - rdx
+                hy_ = tdy - rdy
+                hz_ = tdz - rdz
+                hn = jax.lax.rsqrt(jnp.maximum(
+                    hx_ * hx_ + hy_ * hy_ + hz_ * hz_, 1e-20))
+                hx_, hy_, hz_ = hx_ * hn, hy_ * hn, hz_ * hn
+                ci = jnp.clip(jnp.abs(tdx * hx_ + tdy * hy_ + tdz * hz_),
+                              1e-3, 1.0)
+                # conductor Fresnel components (mueller.py
+                # specular_reflection with k)
+                c2_ = ci * ci
+                s2_ = 1.0 - c2_
+                e2 = eb2 * eb2
+                k2 = kk2 * kk2
+                t0 = e2 - k2 - s2_
+                a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+                a_ = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+                t1 = a2b2 + c2_
+                t2 = 2.0 * a_ * ci
+                rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-20)
+                t3 = c2_ * a2b2 + s2_ * s2_
+                t4 = t2 * s2_
+                rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-20)
+                # delta phase via its tangent components (no arctan2)
+                y0 = 2.0 * ci * jnp.sqrt(jnp.maximum(a2b2 - a_ * a_, 0.0))
+                x0 = c2_ - a2b2
+                rr_ = jnp.sqrt(jnp.maximum(x0 * x0 + y0 * y0, 1e-20))
+                cd = x0 / rr_
+                sd = y0 / rr_
+                A_ = jnp.maximum(0.5 * (rs + rp), 1e-20)
+                bpar = 0.5 * (rs - rp) / A_
+                qpar = jnp.sqrt(jnp.maximum(rs * rp, 0.0)) / A_
+                is_pol = ((kb2 == float(CONDUCTOR))
+                          | (kb2 == float(ROUGH_CONDUCTOR)))
+                bpar = jnp.where(is_pol, bpar, 0.0)
+                keep = jnp.where(is_pol, 1.0, 0.0)
+                qc = jnp.where(is_pol, qpar * cd, 0.0)
+                qs = jnp.where(is_pol, qpar * sd, 0.0)
+                # s axis = cross(d_rx, d_tx); degenerate -> previous basis
+                sxx = rdy * tdz - rdz * tdy
+                syy = rdz * tdx - rdx * tdz
+                szz = rdx * tdy - rdy * tdx
+                sn_ = jnp.sqrt(sxx * sxx + syy * syy + szz * szz)
+                degen = sn_ <= 1e-6
+                inv_s = 1.0 / jnp.maximum(sn_, 1e-20)
+                sxx = jnp.where(degen, vbx_, sxx * inv_s)
+                syy = jnp.where(degen, vby_, syy * inv_s)
+                szz = jnp.where(degen, vbz_, szz * inv_s)
+                # rotation s-axis -> chain basis around -d_rx, as
+                # cos/sin(2 ang) built algebraically from the atan2 inputs
+                ca = sxx * vbx_ + syy * vby_ + szz * vbz_
+                crx = syy * vbz_ - szz * vby_
+                cry = szz * vbx_ - sxx * vbz_
+                crz = sxx * vby_ - syy * vbx_
+                sa = -(crx * rdx + cry * rdy + crz * rdz)
+                den = jnp.maximum(ca * ca + sa * sa, 1e-20)
+                c2r = (ca * ca - sa * sa) / den
+                s2r = 2.0 * ca * sa / den
+                m_v = [[one_p, bpar, zero_p, zero_p],
+                       [c2r * bpar, c2r * keep, s2r * qc, s2r * qs],
+                       [-s2r * bpar, -s2r * keep, c2r * qc, c2r * qs],
+                       [zero_p, zero_p, -qs, qc]]
+                return m_v, (sxx, syy, szz)
+
         if _ABLATE == 'trivial':
             # dev: skip all physics — measures launch + RNG + accumulation
             acc = acc + jnp.sum(ox + dx) * 1e-30
@@ -883,9 +986,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                         amp_h = jnp.sqrt(jnp.maximum(val_h, 0.0))
                         vi_h = jnp.where(ok_h, amp_h * _fast_cos(ph_h), 0.0)
                         vq_h = jnp.where(ok_h, amp_h * _fast_sin(ph_h), 0.0)
-                        contribs.append((vi_h, vq_h, yb_h, xb_h))
+                        contribs.append(((vi_h, vq_h), yb_h, xb_h))
+                    elif polarized:
+                        # unpolarized tx Stokes e0 through the chain:
+                        # column 0 of pm (radar_path.py:265-267)
+                        contribs.append((tuple(
+                            jnp.where(ok_h, val_h * pm[i][0], 0.0)
+                            for i in range(4)), yb_h, xb_h))
                     else:
-                        contribs.append((val_h, None, yb_h, xb_h))
+                        contribs.append(((val_h,), yb_h, xb_h))
                     n_events = n_events + jnp.where(ok_h & (val_h != 0.0),
                                                     1.0, 0.0)
 
@@ -994,38 +1103,51 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     amp = jnp.sqrt(jnp.maximum(val, 0.0))
                     v_i = jnp.where(ok, amp * _fast_cos(ph), 0.0)
                     v_q = jnp.where(ok, amp * _fast_sin(ph), 0.0)
-                    contribs.append((v_i, v_q, yb, xb))
+                    contribs.append(((v_i, v_q), yb, xb))
+                elif polarized:
+                    # NEE vertex scatters tx light toward the rx chain:
+                    # stokes = (pm @ m_nee) column 0 with m_nee's column 0
+                    # = [1, c2r*b, -s2r*b, 0] (radar_path.py:330-334)
+                    m_nee, _sax = vertex_mueller(kb, etac, kc,
+                                                 ddx, ddy, ddz,
+                                                 wx_, wy_, wz_,
+                                                 pbx, pby, pbz)
+                    col0 = [m_nee[0][0], m_nee[1][0], m_nee[2][0],
+                            m_nee[3][0]]
+                    contribs.append((tuple(
+                        jnp.where(ok, val * (pm[i][0] * col0[0]
+                                             + pm[i][1] * col0[1]
+                                             + pm[i][2] * col0[2]
+                                             + pm[i][3] * col0[3]), 0.0)
+                        for i in range(4)), yb, xb))
                 else:
-                    contribs.append((jnp.where(ok, val, 0.0), None, yb, xb))
+                    contribs.append(((jnp.where(ok, val, 0.0),), yb, xb))
                 n_events = n_events + jnp.where(ok & (val != 0.0), 1.0, 0.0)
 
             # ------- splat: static-loop tent histogram over the tile -------
             # (scatter/reshape-free: each (time, freq) cell reduces the tile
             # under its tent mask, summing over this depth's contributions —
             # n_time*n_freq*n_tx is capped by supported())
+            accs = [acc, acc_q, acc_s2, acc_s3]
             if _ABLATE == 'nosplat':
-                for main, q_, yb, xb in contribs:
-                    acc = acc + jnp.sum(main)
+                for vals, yb, xb in contribs:
+                    accs[0] = accs[0] + jnp.sum(vals[0])
             elif n_freq == 1:
                 # fast-time-only grids: per-cell tent reductions, assembled
                 # by the supported (n_time,) -> (n_time, 1) minor-dim cast
-                cells = []
-                cells_q = []
+                cells_ch = [[] for _ in range(n_ch)]
                 for bt in range(n_time):
-                    tot = jnp.float32(0.0)
-                    totq = jnp.float32(0.0)
-                    for main, q_, yb, xb in contribs:
+                    tots = [jnp.float32(0.0) for _ in range(n_ch)]
+                    for vals, yb, xb in contribs:
                         wy_m = jnp.maximum(
                             1.0 - jnp.abs(yb - float(bt)), 0.0)
-                        tot = tot + jnp.sum(main * wy_m)
-                        if coherent:
-                            totq = totq + jnp.sum(q_ * wy_m)
-                    cells.append(tot)
-                    cells_q.append(totq)
-                acc = acc + jnp.stack(cells).reshape(n_time, n_freq)
-                if coherent:
-                    acc_q = acc_q + jnp.stack(cells_q).reshape(n_time,
-                                                               n_freq)
+                        for ch in range(n_ch):
+                            tots[ch] = tots[ch] + jnp.sum(vals[ch] * wy_m)
+                    for ch in range(n_ch):
+                        cells_ch[ch].append(tots[ch])
+                for ch in range(n_ch):
+                    accs[ch] = accs[ch] + jnp.stack(
+                        cells_ch[ch]).reshape(n_time, n_freq)
             else:
                 # 2-D (fast-time x frequency) grids splat on the MXU:
                 #   C[bt, bf] = sum_lane v * tent(yb - bt) * tent(xb - bf)
@@ -1041,19 +1163,18 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 iota_f = jax.lax.broadcasted_iota(
                     jnp.int32, (n_freq, LANE), 0).astype(jnp.float32)
                 dnum = (((1,), (1,)), ((), ()))
-                for main, q_, yb, xb in contribs:
+                for vals, yb, xb in contribs:
                     for s_r in range(SUB):
                         A = jnp.maximum(
                             1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
                         B = jnp.maximum(
                             1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f), 0.0)
-                        acc = acc + jax.lax.dot_general(
-                            A * main[s_r:s_r + 1, :], B, dnum,
-                            preferred_element_type=jnp.float32)
-                        if coherent:
-                            acc_q = acc_q + jax.lax.dot_general(
-                                A * q_[s_r:s_r + 1, :], B, dnum,
+                        for ch in range(n_ch):
+                            accs[ch] = accs[ch] + jax.lax.dot_general(
+                                A * vals[ch][s_r:s_r + 1, :], B, dnum,
                                 preferred_element_type=jnp.float32)
+
+            acc, acc_q, acc_s2, acc_s3 = accs
 
             if depth == max_depth - 1:
                 break
@@ -1127,6 +1248,23 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 ndz = jnp.where(is_m, mz_, ndz)
                 w_b = jnp.where(is_m, refl * F_m, w_b)
                 wdel = is_m
+            if polarized:
+                # extend the Mueller chain through this bounce
+                # (radar_path.py:356-360); new basis = the bounce's s axis
+                m_b, sax_b = vertex_mueller(kb, etac, kc, ddx, ddy, ddz,
+                                            ndx, ndy, ndz, pbx, pby, pbz)
+                alive_p = active & (w_b > 0.0) & (txc < 0.0)
+                new_pm = [[None] * 4 for _ in range(4)]
+                for i in range(4):
+                    for j in range(4):
+                        v_ij = (pm[i][0] * m_b[0][j] + pm[i][1] * m_b[1][j]
+                                + pm[i][2] * m_b[2][j]
+                                + pm[i][3] * m_b[3][j])
+                        new_pm[i][j] = jnp.where(alive_p, v_ij, pm[i][j])
+                pm = new_pm
+                pbx = jnp.where(alive_p, sax_b[0], pbx)
+                pby = jnp.where(alive_p, sax_b[1], pby)
+                pbz = jnp.where(alive_p, sax_b[2], pbz)
             if moving:
                 # bounce Doppler for the continued path (radar_path.py:361)
                 dop = dop * (1.0 + ((ndx - ddx) * vhx + (ndy - ddy) * vhy
@@ -1140,6 +1278,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
 
         out_ref[:] = out_ref[:] + acc
         q_ref[:] = q_ref[:] + acc_q
+        s2_ref[:] = s2_ref[:] + acc_s2
+        s3_ref[:] = s3_ref[:] + acc_s3
         cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(n_events)
 
     return kernel
@@ -1481,7 +1621,7 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds',
-    'has_lo'))
+    'has_lo', 'polarized'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -1489,7 +1629,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          coherent: bool = False, has_mesh: bool = False,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
          absorbing: bool = False, tx_kinds: tuple = (0,),
-         has_lo: bool = False,
+         has_lo: bool = False, polarized: bool = False,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1519,9 +1659,9 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           mesh_bsdf=mesh_bsdf, moving=moving,
                           absorbing=absorbing, tx_kinds=tx_kinds,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
-                          has_lo=has_lo)
+                          has_lo=has_lo, polarized=polarized)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out, out_q, cnt = pl.pallas_call(
+    out, out_q, out_s2, out_s3, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -1539,10 +1679,16 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
             jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
             jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -1557,14 +1703,16 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(params, prim, txp, php, rph, uniforms, bvh_bbox, bvh_links,
       bvh_leaves)
-    return out, out_q, cnt
+    return out, out_q, out_s2, out_s3, cnt
 
 
 def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                    max_depth: int = 3, time_sampling: str = 'gate',
-                   interpret: bool = False, coherent: bool = False):
+                   interpret: bool = False, coherent: bool = False,
+                   polarized: bool = False):
     """Run the megakernel; returns (signal, n_samples) — signal is
-    (n_time, n_freq) power, or (n_time, n_freq, 2) I/Q when coherent.
+    (n_time, n_freq) power, (n_time, n_freq, 2) I/Q when coherent, or
+    (n_time, n_freq, 4) Stokes S0..S3 when polarized.
 
     The signal is the raw accumulated power (develop with
     `develop_signal(..., mode='density')` semantics: multiply by
@@ -1604,6 +1752,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if coherent and rx.receive_type == 'mixer':
         raise ValueError("coherent mixer receive is outside the "
                          "megakernel's scope (jnp wavefront only)")
+    if polarized and coherent:
+        raise ValueError("polarized + coherent is outside the megakernel's "
+                         "scope (jnp wavefront only)")
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
@@ -1618,16 +1769,18 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if has_mesh:
         mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
                        bvh_leaves=mesh_pack.leaves)
-    out, out_q, cnt = _run(jnp.asarray(params), prim_dev, txp_dev, php_dev,
-                           rxph_dev,
-                           jax.random.key(seed), prim_kinds, prim_tx,
-                           prim_bsdf, prim_tex, rx.adc, rx.receive_type,
-                           time_sampling, max_depth, rx_kind, n_lanes,
-                           interpret, coherent,
-                           has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
-                           moving=moving, absorbing=absorbing,
-                           tx_kinds=tx_kinds,
-                           has_lo=rx.lo_waveform is not None, **mesh_kw)
+    out, out_q, out_s2, out_s3, cnt = _run(
+        jnp.asarray(params), prim_dev, txp_dev, php_dev, rxph_dev,
+        jax.random.key(seed), prim_kinds, prim_tx,
+        prim_bsdf, prim_tex, rx.adc, rx.receive_type,
+        time_sampling, max_depth, rx_kind, n_lanes,
+        interpret, coherent,
+        has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
+        moving=moving, absorbing=absorbing,
+        tx_kinds=tx_kinds,
+        has_lo=rx.lo_waveform is not None, polarized=polarized, **mesh_kw)
+    if polarized:
+        return jnp.stack([out, out_q, out_s2, out_s3], axis=-1), n_lanes
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes

@@ -144,10 +144,10 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     """
     if scene_data is None:
         scene_data = scene.compile()
-    if use_pallas and polarized:
+    if use_pallas and polarized and coherent:
         if use_pallas is True:
-            raise ValueError("polarized receive is outside the megakernel's "
-                             "scope (jnp wavefront only)")
+            raise ValueError("polarized + coherent receive is outside the "
+                             "megakernel's scope (jnp wavefront only)")
         use_pallas = False
     if use_pallas:
         from .integrators.pallas_receive import receive_pallas, supported
@@ -171,14 +171,14 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
                                     seed=seed, max_depth=max_depth,
                                     time_sampling=time_sampling,
-                                    coherent=coherent,
+                                    coherent=coherent, polarized=polarized,
                                     interpret=on_cpu)
-            n_ch0 = 2 if coherent else 1
+            n_ch0 = 4 if polarized else (2 if coherent else 1)
             adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, n_ch0 + 2),
                             jnp.float32)
-            if coherent:
-                adc = adc.at[..., 0].set(out[..., 0])
-                adc = adc.at[..., 1].set(out[..., 1])
+            if polarized or coherent:
+                for c_ in range(n_ch0):
+                    adc = adc.at[..., c_].set(out[..., c_])
             else:
                 adc = adc.at[..., 0].set(out)
             return adc, n

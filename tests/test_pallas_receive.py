@@ -1056,3 +1056,87 @@ def test_megakernel_mirror_fresnel_amplitude():
     ratio = e_lo / e_hi
     expect = F_lo / F_hi
     assert ratio == pytest.approx(expect, rel=0.05), (ratio, expect)
+
+
+def test_megakernel_polarized_stokes():
+    """Polarized Stokes in the kernel (in-kernel Mueller chain): the
+    45-degree conductor plate polarizes an unpolarized tx along the s axis
+    with DoP = |B|/A from mueller.specular_reflection; a diffuse plate
+    depolarizes; S0 equals the unpolarized kernel run exactly (same
+    stream)."""
+    import jax.numpy as jnp
+    from beifong_tpu import scene as sc, mueller as mu
+    from beifong_tpu.bsdf import diffuse, conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    C = 340.0
+    band = Band.from_freq(C, 40e3, 10e3)
+    eta, kk = 2.0, 1.0
+
+    def build(mat):
+        s = sc.Scene(band=band)
+        s.add(conductor("cond", eta=eta, k=kk, twosided=True))
+        s.add(diffuse("diff", reflectance=1.0, twosided=True))
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        # the conductor path is mirror -> DIRECT tx hit (NEE is zero on a
+        # mirror), so the tx aperture must be large enough to catch the
+        # reflected beam
+        aim_tx = np.asarray(tf.compose(
+            tf.look_at([0, 0, -5], [0, 0, 0], up=(0, 1, 0)),
+            tf.scale([1.0, 1.0, 1.0])))
+        s.add(sh.rectangle(to_world=aim_tx, transmitter="tx"))
+        adc = ADCConfig(n_time=32, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+        rx = wigner_receiver("rx", adc, receive_type='raw')
+        s.add(rx)
+        aim_rx = np.asarray(tf.compose(tf.look_at([0, -5, 0], [0, 0, 0]),
+                                       tf.scale([0.05, 0.05, 1.0])))
+        s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+        aim_p = np.asarray(tf.compose(tf.look_at([0, 0, 0], [0, -1, -1]),
+                                      tf.scale(1.0)))
+        s.add(sh.rectangle(to_world=aim_p, bsdf=mat))
+        return s, rx
+
+    s, rx = build("cond")
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=9, max_depth=2,
+                            time_sampling='gate', interpret=True,
+                            polarized=True)
+    stokes = np.asarray(out).sum(axis=(0, 1))
+    # giant coherent apertures make the scalar weights signed/heavy-tailed
+    # at test spp, but every lane shares the SAME 45-degree polarization
+    # structure, so the Stokes RATIOS are exact regardless of sum sign
+    assert abs(stokes[0]) > 0
+    m = np.asarray(mu.specular_reflection(
+        jnp.asarray(np.cos(np.pi / 4)), jnp.asarray(eta), jnp.asarray(kk)))
+    expected_s1 = m[1, 0] / m[0, 0]
+    got_s1 = stokes[1] / stokes[0]
+    assert abs(got_s1 - expected_s1) < 0.1, (got_s1, expected_s1)
+    # small S2 leakage from off-plane lanes (the kernel's plain-cosine rx
+    # sampling spreads wider than the jnp mixture sampler)
+    assert abs(stokes[2] / stokes[0]) < 0.08
+    assert abs(stokes[3] / stokes[0]) < 0.08
+    # S0 == unpolarized kernel run, same stream, exactly
+    out0, _ = receive_pallas(s, sd, rx, spp=1 << 14, seed=9, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    np.testing.assert_allclose(np.asarray(out)[..., 0], np.asarray(out0),
+                               rtol=1e-5)
+    # diffuse plate depolarizes
+    s2, rx2 = build("diff")
+    sd2 = s2.compile()
+    out_d, _ = receive_pallas(s2, sd2, rx2, spp=1 << 13, seed=9, max_depth=2,
+                              time_sampling='gate', interpret=True,
+                              polarized=True)
+    st_d = np.asarray(out_d).sum(axis=(0, 1))
+    assert abs(st_d[0]) > 0
+    # per-lane depolarization zeroes S1..S3 exactly, so the DoP ratio is
+    # sign-robust even when the scalar sum is noise-signed
+    dop_ = np.sqrt(st_d[1] ** 2 + st_d[2] ** 2 + st_d[3] ** 2) / abs(st_d[0])
+    assert dop_ < 0.05, dop_
