@@ -99,13 +99,19 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  mesh_bsdf: int = DIFFUSE, moving: bool = False,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
                  n_pairs: int = 1, n_rx_pairs: int = 1,
-                 has_lo: bool = False, polarized: bool = False):
+                 has_lo: bool = False, polarized: bool = False,
+                 bmp_meta: tuple = ()):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
     prim_bsdf: per-prim BSDF type code (DIFFUSE / ROUGH_CONDUCTOR).
-    prim_tex: per-prim bool — checkerboard-textured reflectance (rects
-    only; prim cols 22..25 carry c0, c1, scale_u, scale_v).
+    prim_tex: per-prim texture code — 0 none, 1 checkerboard, 2 bitmap
+    (rects only; prim cols 22..25 carry c0, c1, scale_u, scale_v).
+    bmp_meta: per-prim (row_offset, H, W) into the packed bitmap texture
+    array for prim_tex == 2 prims ((-1, 0, 0) otherwise).  Bitmap texels
+    are fetched nearest-neighbour with a one-hot MXU gather — the same
+    dot_general trick as the 2-D ADC splat run in reverse — because
+    Mosaic has no per-lane dynamic gather (texture_eval parity).
     mesh_bsdf: shared BSDF type of all mesh shapes (per-tri reflectance
     rides the BVH leaf payload; alpha/eta/k are scene-shared scalars).
     moving: any nonzero shape/tx/rx velocity — emits the first-order
@@ -150,6 +156,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
               or (has_mesh and mesh_bsdf == CONDUCTOR))
     # lanes need per-prim eta/k (conductor Fresnel) for either lobe family
     need_fres = ggx or mirror
+    any_bmp = any(t == 2 for t in prim_tex)
 
     def kernel(sp_ref,      # SMEM scalar params vector
                prim_ref,    # (n_prims, 28) prim table rows (SMEM)
@@ -157,6 +164,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                ph_ref,      # (n_tx, 2 + 6*K) phased-array pair rows (SMEM)
                rph_ref,     # (1, 2 + 6*K_rx) phased-receiver pair row (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
+               tex_ref,     # (R, Wp) packed bitmap texel rows (VMEM)
                bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
                bvh_links_ref,
                bvh_leaf_ref,
@@ -457,6 +465,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             vbx = jnp.zeros(shape)          # hit-shape velocity (moving)
             vby = jnp.zeros(shape)
             vbz = jnp.zeros(shape)
+            if any_bmp:
+                # bitmap-textured winner: frac uv + prim id, resolved to a
+                # texel AFTER the closest-hit loop (one gather per bitmap
+                # prim instead of one per candidate hit)
+                bub = jnp.zeros(shape)
+                bvb = jnp.zeros(shape)
+                bpid = jnp.full(shape, -1.0)
+            else:
+                bub = bvb = bpid = None
             for p, kind in enumerate(prim_kinds):
                 if kind not in (RECTANGLE, SPHERE):
                     continue
@@ -480,7 +497,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     nxp = m[8] * rnorm
                     nyp = m[9] * rnorm
                     nzp = m[10] * rnorm
-                    if prim_tex[p]:
+                    if prim_tex[p] == 1:
                         # checkerboard reflectance from the rect's local
                         # uv = (p_local + 1)/2 (mirrors textures.py eval)
                         uu = (px + 1.0) * 0.5 * prim_ref[p, 24]
@@ -489,6 +506,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                         par = cs - 2.0 * jnp.floor(cs * 0.5)
                         tex_f = jnp.where(par < 0.5, prim_ref[p, 22],
                                           prim_ref[p, 23])
+                    elif prim_tex[p] == 2:
+                        # bitmap: record frac uv now, gather after the loop
+                        uu = (px + 1.0) * 0.5 * prim_ref[p, 24]
+                        vv = (py + 1.0) * 0.5 * prim_ref[p, 25]
+                        bmp_u = uu - jnp.floor(uu)
+                        bmp_v = vv - jnp.floor(vv)
                 else:
                     a_s = odx * odx + ody * ody + odz * odz
                     b_s = 2.0 * (oox * odx + ooy * ody + ooz * odz)
@@ -522,6 +545,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 if tex_f is not None:
                     rb_p = rb_p * tex_f
                 rb = jnp.where(closer, rb_p, rb)  # reflectance
+                if any_bmp:
+                    if prim_tex[p] == 2:
+                        bub = jnp.where(closer, bmp_u, bub)
+                        bvb = jnp.where(closer, bmp_v, bvb)
+                        bpid = jnp.where(closer, float(p), bpid)
+                    else:
+                        bpid = jnp.where(closer, -1.0, bpid)
                 txc = jnp.where(closer, float(prim_tx[p]), txc)
                 kb = jnp.where(closer, float(prim_bsdf[p]), kb)
                 if need_fres:
@@ -587,6 +617,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     eb = jnp.where(m_closer, sp(21), eb)
                     kkb = jnp.where(m_closer, sp(22), kkb)
                 txc = jnp.where(m_closer, -1.0, txc)
+                if any_bmp:
+                    bpid = jnp.where(m_closer, -1.0, bpid)
                 if moving:
                     # scene-shared rigid mesh velocity (sp 26..28)
                     vbx = jnp.where(m_closer, sp(26), vbx)
@@ -594,7 +626,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     vbz = jnp.where(m_closer, sp(28), vbz)
             hit = tb < 3.4e37
             return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
-                    (vbx, vby, vbz), hit)
+                    (vbx, vby, vbz), (bub, bvb, bpid), hit)
 
         def occluded(ox, oy, oz, dx, dy, dz, maxt, skip_prim, live=None):
             occ = jnp.zeros(shape) != 0.0
@@ -892,11 +924,53 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             cnt_ref[0, 0] = cnt_ref[0, 0] + 0.0
             return
 
+        def _bitmap_fetch(off, H, W, iy, ix):
+            """Nearest texel tex[iy, ix] for every lane via one-hot MXU
+            contractions (no per-lane gather on TPU): per ray row,
+            col one-hots B (Wp, LANE) pull columns with tex @ B, then the
+            row one-hot A (H, LANE) reduces over H.  Texels beyond each
+            bitmap's true width are zero-padded so the full-width contract
+            is exact."""
+            Wp = tex_ref.shape[1]
+            tex_tile = tex_ref[off:off + H, :]
+            iota_h = jax.lax.broadcasted_iota(
+                jnp.int32, (H, LANE), 0).astype(jnp.float32)
+            iota_w = jax.lax.broadcasted_iota(
+                jnp.int32, (Wp, LANE), 0).astype(jnp.float32)
+            iota_s = jax.lax.broadcasted_iota(
+                jnp.int32, (SUB, 1), 0).astype(jnp.float32)
+            dnum = (((1,), (0,)), ((), ()))
+            val = jnp.zeros(shape, jnp.float32)
+            for s_r in range(SUB):
+                B = jnp.where(
+                    jnp.abs(ix[s_r:s_r + 1, :] - iota_w) < 0.5, 1.0, 0.0)
+                tg = jax.lax.dot_general(
+                    tex_tile, B, dnum,
+                    preferred_element_type=jnp.float32)   # (H, LANE)
+                A = jnp.where(
+                    jnp.abs(iy[s_r:s_r + 1, :] - iota_h) < 0.5, 1.0, 0.0)
+                row = jnp.sum(A * tg, axis=0, keepdims=True)
+                val = val + jnp.where(iota_s == float(s_r), row, 0.0)
+            return val
+
         for depth in range(max_depth):
             (tb, nx, ny, nz, refl, alph, etac, kc, kb, txc,
-             (vhx, vhy, vhz), hit) = intersect(
+             (vhx, vhy, vhz), (bub, bvb, bpid), hit) = intersect(
                  cx, cyv, cz, ddx, ddy, ddz,
                  live=None if depth == 0 else active)
+            if any_bmp:
+                # fold the winning bitmap texel into the reflectance
+                # (mirrors texture_eval: nearest, u%1 * W clipped)
+                for p in range(len(prim_kinds)):
+                    if prim_tex[p] != 2:
+                        continue
+                    off_p, H_p, W_p = bmp_meta[p]
+                    ix = jnp.minimum(jnp.floor(bub * float(W_p)),
+                                     float(W_p - 1))
+                    iy = jnp.minimum(jnp.floor(bvb * float(H_p)),
+                                     float(H_p - 1))
+                    tval = _bitmap_fetch(off_p, H_p, W_p, iy, ix)
+                    refl = jnp.where(bpid == float(p), refl * tval, refl)
             active = active & hit
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
@@ -1310,6 +1384,7 @@ def _pack_scene(scene, rx, shape_idx):
     shape_tx = {int(s): t for t, s in enumerate(tx_shapes)}
 
     shape_vel = np.asarray(shapes.velocity)
+    bmp_of_prim = {}   # prim index -> texture row (BITMAP prims)
     for i in range(n):
         prim[i, 0] = kind_np[i]
         prim[i, 1:13] = to_obj[i, :3, :].reshape(-1)
@@ -1322,10 +1397,11 @@ def _pack_scene(scene, rx, shape_idx):
         prim[i, 17] = b_k[b, 0] if b >= 0 else 0.0
         prim[i, 18] = float(b_type[b]) if b >= 0 else 0.0
         prim[i, 19:22] = shape_vel[i]
-        # checkerboard texture payload (rects; supported() gates the rest)
+        # texture payload (rects; supported() gates the rest):
+        # prim[26] = 1 checkerboard (procedural), 2 bitmap (packed texels)
         t_i = int(np.asarray(sd.bsdfs.texture_idx)[b]) if b >= 0 else -1
         if t_i >= 0:
-            from ..textures import CHECKERBOARD as _CHK
+            from ..textures import CHECKERBOARD as _CHK, BITMAP as _BMP
             tt = sd.textures
             if int(np.asarray(tt.type)[t_i]) == _CHK:
                 prim[i, 22] = float(np.asarray(tt.color0)[t_i, 0])
@@ -1333,6 +1409,41 @@ def _pack_scene(scene, rx, shape_idx):
                 prim[i, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
                 prim[i, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
                 prim[i, 26] = 1.0
+            elif int(np.asarray(tt.type)[t_i]) == _BMP:
+                prim[i, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
+                prim[i, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
+                prim[i, 26] = 2.0
+                bmp_of_prim[i] = t_i
+
+    # packed bitmap texel rows: channel 0 of each referenced bitmap,
+    # stacked on 8-row boundaries, width zero-padded to a lane multiple so
+    # the kernel's one-hot gather contracts a full minor dim
+    bmp_meta = [(-1, 0, 0)] * n
+    if bmp_of_prim:
+        tt = sd.textures
+        hw_np = np.asarray(tt.atlas_hw)
+        atlas_np = None
+        used = sorted(set(bmp_of_prim.values()))
+        w_max = max(int(hw_np[t, 1]) for t in used)
+        Wp = max(128, ((w_max + 127) // 128) * 128)
+        off_of = {}
+        blocks = []
+        off = 0
+        for t_i in used:
+            if atlas_np is None:
+                atlas_np = np.asarray(tt.atlas)
+            h, w = int(hw_np[t_i, 0]), int(hw_np[t_i, 1])
+            blk = np.zeros((((h + 7) // 8) * 8, Wp), np.float32)
+            blk[:h, :w] = atlas_np[t_i, :h, :w, 0]
+            off_of[t_i] = (off, h, w)
+            blocks.append(blk)
+            off += blk.shape[0]
+        tex = np.concatenate(blocks, axis=0)
+        for i, t_i in bmp_of_prim.items():
+            bmp_meta[i] = off_of[t_i]
+    else:
+        tex = np.zeros((8, 128), np.float32)
+    bmp_meta = tuple(bmp_meta)
 
     # per-tx table (MMW phase constants computed host-side in float64:
     # frac(fc_ref*PRI_f32) and the exact carrier offset wf_fc - fc_ref)
@@ -1468,7 +1579,7 @@ def _pack_scene(scene, rx, shape_idx):
         # scene-shared mesh velocity (rigid meshes; supported() gates all
         # mesh shapes to one value)
         params[26:29] = shape_vel[int(sidx[0])]
-    return params, prim, txp, php, rxph, mesh_pack
+    return params, prim, txp, php, rxph, tex, bmp_meta, mesh_pack
 
 
 # Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
@@ -1484,6 +1595,10 @@ MAX_ADC_CELLS_MXU = 32768  # n_freq > 1: dot_general splat (VMEM acc bound)
 MAX_PRIMS = 64
 MAX_TX = 4
 MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
+# bitmap textures: each gather is SUB (H,Wp)x(Wp,LANE) matmuls per depth,
+# so texel count is a direct FLOP/VMEM cost (Wp pads to a 128 multiple)
+MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
+MAX_BMP_ROWS = 512       # total packed rows across bitmaps
 
 
 def supported(scene_data, rx, reason: list | None = None) -> bool:
@@ -1560,23 +1675,34 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         return no('BSDF types beyond diffuse/conductor/rough-conductor')
     tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
     if (tex_idx >= 0).any():
-        # checkerboard on analytic rectangles is in scope (procedural,
-        # evaluated from the rect's local uv in-kernel); everything else
-        # still falls back
-        from ..textures import CHECKERBOARD
+        # checkerboard (procedural) and small bitmaps (one-hot MXU gather)
+        # on analytic rectangles are in scope; everything else falls back
+        from ..textures import CHECKERBOARD, BITMAP
         t_types = np.asarray(scene_data.textures.type)
+        t_hw = np.asarray(scene_data.textures.atlas_hw)
         b_of = np.asarray(scene_data.shapes.bsdf_idx)
         k_of = np.asarray(scene_data.shapes.kind)
+        bmp_rows = 0
         for si_ in range(len(b_of)):
             b = b_of[si_]
             if b < 0 or tex_idx[b] < 0:
                 continue
-            if t_types[tex_idx[b]] != CHECKERBOARD:
-                return no('non-checkerboard textured BSDF (kernel evaluates '
-                          'procedural checkers only)')
+            t_i = tex_idx[b]
+            if t_types[t_i] not in (CHECKERBOARD, BITMAP):
+                return no('textured BSDF beyond checkerboard/bitmap (kernel '
+                          'scope)')
             if k_of[si_] != RECTANGLE:
-                return no('checkerboard texture on a non-rectangle shape '
+                return no('texture on a non-rectangle shape '
                           '(kernel derives uv from rect local coords)')
+            if t_types[t_i] == BITMAP:
+                h, w = int(t_hw[t_i, 0]), int(t_hw[t_i, 1])
+                if h * w > MAX_BMP_TEXELS:
+                    return no(f'bitmap texture {h}x{w} > {MAX_BMP_TEXELS} '
+                              f'texels (one-hot gather cost)')
+                bmp_rows += ((h + 7) // 8) * 8
+        if bmp_rows > MAX_BMP_ROWS:
+            return no(f'{bmp_rows} packed bitmap rows > {MAX_BMP_ROWS} '
+                      f'(VMEM texel budget)')
     if rx.receive_type not in ('raw', 'raw_resample', 'mix_resample') \
             and not (rx.receive_type == 'mixer'
                      and rx.lo_waveform is not None):
@@ -1621,7 +1747,7 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds',
-    'has_lo', 'polarized'))
+    'has_lo', 'polarized', 'bmp_meta'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -1630,6 +1756,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          mesh_bsdf: int = DIFFUSE, moving: bool = False,
          absorbing: bool = False, tx_kinds: tuple = (0,),
          has_lo: bool = False, polarized: bool = False,
+         bmp_meta: tuple = (), tex=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1649,6 +1776,8 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         bvh_bbox = jnp.zeros((6,), jnp.float32)
         bvh_links = jnp.full((3,), -1, jnp.int32)
         bvh_leaves = jnp.zeros((88,), jnp.float32)
+    if tex is None:
+        tex = jnp.zeros((8, 128), jnp.float32)
     n_pairs = (int(php.shape[1]) - 2) // 6
     n_rx_pairs = (int(rph.shape[1]) - 2) // 6
     kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
@@ -1659,7 +1788,8 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           mesh_bsdf=mesh_bsdf, moving=moving,
                           absorbing=absorbing, tx_kinds=tx_kinds,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
-                          has_lo=has_lo, polarized=polarized)
+                          has_lo=has_lo, polarized=polarized,
+                          bmp_meta=bmp_meta)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, out_s2, out_s3, cnt = pl.pallas_call(
         kernel,
@@ -1672,6 +1802,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
             smem,
             pl.BlockSpec((1, nd, sub, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             smem, smem, smem,
         ],
         out_specs=[
@@ -1701,7 +1832,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
             pltpu.VMEM((sub, LANE), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, txp, php, rph, uniforms, bvh_bbox, bvh_links,
+    )(params, prim, txp, php, rph, uniforms, tex, bvh_bbox, bvh_links,
       bvh_leaves)
     return out, out_q, out_s2, out_s3, cnt
 
@@ -1728,7 +1859,7 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     hit = cache.get(ck)
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        params, prim, txp, php, rxph, mesh_pack = _pack_scene(
+        params, prim, txp, php, rxph, tex, bmp_meta, mesh_pack = _pack_scene(
             scene_data, rx, shape_idx)
         moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
                       or np.abs(txp[:, 24:27]).max() > 0.0
@@ -1736,18 +1867,19 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),
-            jnp.asarray(php), jnp.asarray(rxph),
+            jnp.asarray(php), jnp.asarray(rxph), jnp.asarray(tex),
             tuple(int(k) for k in prim[:, 0]),
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
-            tuple(bool(f > 0.5) for f in prim[:, 26]),
+            tuple(int(f) for f in prim[:, 26]),
+            bmp_meta,
             int(params[19]),
             moving,
             bool(params[29] > 0.0),
             mesh_pack)
-    (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, prim_kinds,
-     prim_tx, prim_bsdf, prim_tex, mesh_bsdf, moving, absorbing,
-     mesh_pack) = cache[ck]
+    (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, tex_dev,
+     prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_bsdf, moving,
+     absorbing, mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     if coherent and rx.receive_type == 'mixer':
         raise ValueError("coherent mixer receive is outside the "
@@ -1778,7 +1910,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
         moving=moving, absorbing=absorbing,
         tx_kinds=tx_kinds,
-        has_lo=rx.lo_waveform is not None, polarized=polarized, **mesh_kw)
+        has_lo=rx.lo_waveform is not None, polarized=polarized,
+        bmp_meta=bmp_meta, tex=tex_dev, **mesh_kw)
     if polarized:
         return jnp.stack([out, out_q, out_s2, out_s3], axis=-1), n_lanes
     if coherent:

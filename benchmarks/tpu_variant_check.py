@@ -1,0 +1,113 @@
+"""Compile-check late megakernel variants on the real TPU.
+
+Interpret mode (CPU) already pins the physics of these variants; this
+script proves the Mosaic compile + execution on hardware for the variant
+flags added late in round 2: polarized Stokes transport and bitmap
+textures (one-hot MXU gather).  Run whenever the kernel gains a new
+static flag — op classes that compiled before can still break in new
+combinations (layout/SMEM pressure).
+"""
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+import time
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from beifong_tpu import scene as sc
+from beifong_tpu.bsdf import diffuse, conductor
+from beifong_tpu.geometry import shapes as sh
+from beifong_tpu.core import transform as tf
+from beifong_tpu.core.config import Band
+from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                               ADCConfig)
+from beifong_tpu import textures as tex_mod
+from beifong_tpu.integrators.pallas_receive import receive_pallas, supported
+
+
+def base_scene(R=4.0, target_bsdf="mat"):
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    s.add(conductor("metal", eta=1.5, k=3.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                                tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    aim_rx = np.asarray(tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                                   tf.scale([0.05, 0.05, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    tgt = np.asarray(tf.compose(tf.look_at([0, -R, 0], [0, 0, 0]),
+                                tf.scale(0.5)))
+    s.add(sh.rectangle(to_world=tgt, bsdf=target_bsdf))
+    return s, rx, band
+
+
+def expected_peak(rx, R=4.0):
+    c = 340.0
+    tau = 2 * R / c
+    return int(round(tau / rx.adc.sampling_time * rx.adc.n_time - 0.5))
+
+
+def run(tag, s, rx, **kw):
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), (tag, why)
+    t0 = time.perf_counter()
+    out, n = receive_pallas(s, sd, rx, spp=1 << 20, seed=0, max_depth=2,
+                            time_sampling='gate', **kw)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    a = np.asarray(out)
+    prof = a[..., 0] if a.ndim == 3 else a
+    pk = int(prof[:, 0].argmax())
+    exp = expected_peak(rx)
+    print(f"{tag}: compile+run {dt:.1f}s  peak bin {pk} (expect ~{exp})  "
+          f"finite={np.isfinite(a).all()}", flush=True)
+    assert np.isfinite(a).all(), tag
+    assert abs(pk - exp) <= 2, (tag, pk, exp)
+    return a
+
+
+print("devices:", jax.devices(), flush=True)
+
+# 1) polarized Stokes (conductor target polarizes; S0 > 0, |S1..3| <= S0)
+s, rx, _ = base_scene(target_bsdf="metal")
+a = run("polarized", s, rx, polarized=True)
+s0 = a[..., 0].sum()
+assert s0 > 0
+assert np.all(np.abs(a[..., 1:]).sum(0) <= a[..., 0].sum(0) * (1 + 1e-3))
+
+# 2) bitmap texture (one-hot MXU gather)
+s, rx, _ = base_scene()
+img = np.random.default_rng(0).uniform(0.3, 1.0, (16, 16)).astype(np.float32)
+s.add(tex_mod.bitmap("bmp", img))
+for b in s.bsdfs:
+    if b.id == "mat":
+        b.texture = "bmp"
+run("bitmap16x16", s, rx)
+
+# 3) bitmap + checker + conductor in one scene (flag combination)
+s, rx, _ = base_scene()
+s.add(tex_mod.bitmap("bmp", img))
+s.add(tex_mod.checkerboard("chk", color0=1.0, color1=0.4, scale_uv=(4, 4)))
+mat_seen = False
+for b in s.bsdfs:
+    if b.id == "mat":
+        b.texture = "bmp"
+tgt2 = np.asarray(tf.compose(tf.look_at([1.2, -3.4, 0], [0, 0, 0]),
+                             tf.scale(0.4)))
+s.add(sh.rectangle(to_world=tgt2, bsdf="metal"))
+run("bitmap+mirror", s, rx)
+
+print("ALL TPU VARIANT CHECKS PASSED", flush=True)

@@ -736,17 +736,66 @@ def test_megakernel_checkerboard_texture():
     out0, _ = receive_pallas(s0, sd0, rx0, spp=1 << 13, seed=3, max_depth=2,
                              time_sampling='gate', interpret=True)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-6)
-    # bitmap textures still fall back with a reason
+
+
+def test_megakernel_bitmap_texture():
+    """Bitmap-textured rect in the kernel (one-hot MXU gather): profile
+    matches the jnp wavefront; a constant bitmap equals the equivalent
+    uniform checkerboard exactly; oversized bitmaps fall back."""
     import beifong_tpu.textures as tex_mod
-    s2, rx2 = TR._point_target_scene()
-    img = np.ones((4, 4, 3), np.float32)
-    s2.add(tex_mod.bitmap("bmp", img))
-    for b in s2.bsdfs:
+    from beifong_tpu.receive import develop_signal
+    import test_radar as TR
+
+    def build(img, scale=(1.0, 1.0)):
+        s, rx = TR._point_target_scene()
+        s.add(tex_mod.bitmap("bmp", img, scale_uv=scale))
+        for b in s.bsdfs:
+            if b.id == "mat":
+                b.texture = "bmp"
+        return s, rx
+
+    # non-uniform 4x4 pattern: parity vs the jnp wavefront
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0.2, 1.0, (4, 4)).astype(np.float32)
+    s, rx = build(img)
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * 64
+    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 14, max_depth=2,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+    # constant bitmap == uniform checkerboard with the same value
+    # (identical draw schedule, deterministic)
+    from beifong_tpu.textures import checkerboard
+    sb, rxb = build(np.full((8, 8), 0.7, np.float32))
+    sdb = sb.compile()
+    outb, _ = receive_pallas(sb, sdb, rxb, spp=1 << 13, seed=3, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    sc, rxc = TR._point_target_scene()
+    sc.add(checkerboard("chk", color0=0.7, color1=0.7, scale_uv=(1, 1)))
+    for b in sc.bsdfs:
         if b.id == "mat":
-            b.texture = "bmp"
+            b.texture = "chk"
+    sdc = sc.compile()
+    outc, _ = receive_pallas(sc, sdc, rxc, spp=1 << 13, seed=3, max_depth=2,
+                             time_sampling='gate', interpret=True)
+    np.testing.assert_allclose(np.asarray(outb), np.asarray(outc), rtol=1e-5)
+
+    # oversized bitmaps fall back with a texel-budget reason
+    big = np.ones((256, 256), np.float32)
+    s2, rx2 = build(big)
     why2 = []
     assert not supported(s2.compile(), rx2, why2)
-    assert any('checker' in w for w in why2)
+    assert any('texel' in w for w in why2)
 
 
 def test_megakernel_ambient_absorption():
