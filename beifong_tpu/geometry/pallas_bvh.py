@@ -50,12 +50,13 @@ _INF = 3.4e38
 SMEM_TABLE_BUDGET = 900 * 1024
 
 
-def smem_bytes(n_tris: int, payload: bool = False) -> int:
+def smem_bytes(n_tris: int, payload: bool = False,
+               payload2: bool = False) -> int:
     """Approximate SMEM footprint of a packed BVH over n_tris (aligned
     leaves: ~n_tris/8 leaves, ~2x that many nodes)."""
     n_leaves = (n_tris + K_LEAF - 1) // K_LEAF
     n_nodes = 2 * n_leaves
-    stride = 88 if payload else 80
+    stride = 80 + (8 if payload else 0) + (8 if payload2 else 0)
     return n_nodes * (6 + 3) * 4 + n_leaves * stride * 4
 
 
@@ -67,18 +68,20 @@ class PackedBVH:
     bbox: jax.Array     # (N*6,) f32: [bbmin(3), bbmax(3)] per node
     links: jax.Array    # (N*3,) i32: [hit_link, miss_link, leaf_id] per node
     leaves: jax.Array   # (L*stride,) f32: v0x*8 v0y*8 v0z*8 e1*24 e2*24
-    #                     idx*8 [payload*8 when stride == 88]
+    #                     idx*8 [payload*8 at 80][payload2*8 at 88]
     n_nodes: int
     n_leaves: int
-    stride: int = 80    # leaf row width: 80 plain, 88 with per-tri payload
+    stride: int = 80    # leaf row width: 80 plain, +8 per payload channel
 
 
-def pack(bvh: BVH, payload=None) -> PackedBVH:
+def pack(bvh: BVH, payload=None, payload2=None) -> PackedBVH:
     """Flatten a threaded BVH into SMEM-friendly tables, padding every leaf
     to exactly K_LEAF triangles (degenerate zero-edge pads never hit).
 
     `payload`: optional (n_tris,) f32 per-ORIGINAL-triangle scalar (e.g.
-    reflectance) carried next to each leaf triangle; widens rows to 88."""
+    reflectance) carried next to each leaf triangle; widens rows to 88.
+    `payload2`: optional second per-tri scalar (e.g. the owning shape's
+    row in a per-shape table) at offset 88; requires `payload`."""
     bb_min = np.asarray(bvh.bb_min, np.float32)
     bb_max = np.asarray(bvh.bb_max, np.float32)
     hit_l = np.asarray(bvh.hit_link, np.int32)
@@ -94,7 +97,9 @@ def pack(bvh: BVH, payload=None) -> PackedBVH:
     bbox = np.concatenate([bb_min, bb_max], axis=1).astype(np.float32)
     links = np.stack([hit_l, miss_l, np.full(n, -1, np.int32)], axis=1)
 
-    stride = 80 if payload is None else 88
+    assert payload2 is None or payload is not None
+    stride = 80 + (0 if payload is None else 8) \
+        + (0 if payload2 is None else 8)
     leaf_nodes = np.nonzero(leaf_off >= 0)[0]
     rows = []
     for li, ni in enumerate(leaf_nodes):
@@ -115,6 +120,8 @@ def pack(bvh: BVH, payload=None) -> PackedBVH:
             idxs[k] = float(perm[off + k])
             if payload is not None:
                 row[80 + k] = float(payload[perm[off + k]])
+            if payload2 is not None:
+                row[88 + k] = float(payload2[perm[off + k]])
         row[72:80] = idxs
         rows.append(row)
     leaves = (np.stack(rows) if rows
@@ -212,8 +219,11 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
                            & (tt > 1e-4) & (tri >= 0.0))
                     pay = (leaf_ref[lb + 80 + k] if stride > 80
                            else jnp.float32(0.0))
+                    pay2 = (leaf_ref[lb + 88 + k] if stride > 88
+                            else jnp.float32(0.0))
                     state['leaf_hit'](s, hit, tt, uu, vv, tri,
-                                      (e1x, e1y, e1z, e2x, e2y, e2z), pay)
+                                      (e1x, e1y, e1z, e2x, e2y, e2z), pay,
+                                      pay2)
 
             nxt = jnp.where(hit_any, links_ref[ni * 3],
                             links_ref[ni * 3 + 1])
@@ -272,7 +282,7 @@ def _traversal_kernel(mode: str, streams: int = STREAMS, stride: int = 80):
                 return jnp.where(occ_ref[sl(s), :] > 0.0, 0.0,
                                  limit[sl(s), :])
 
-            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay):
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay, pay2):
                 blocked = hit & (tt < limit[sl(s), :])
                 occ_ref[sl(s), :] = jnp.where(blocked, 1.0, occ_ref[sl(s), :])
 
@@ -282,7 +292,7 @@ def _traversal_kernel(mode: str, streams: int = STREAMS, stride: int = 80):
             def tbest(s):
                 return t_ref[sl(s), :]
 
-            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay):
+            def leaf_hit(s, hit, tt, uu, vv, tri, edges, pay, pay2):
                 better = hit & (tt < t_ref[sl(s), :])
                 t_ref[sl(s), :] = jnp.where(better, tt, t_ref[sl(s), :])
                 idx_ref[sl(s), :] = jnp.where(

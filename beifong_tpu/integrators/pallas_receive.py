@@ -96,7 +96,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  max_depth: int, rx_kind: str, n_tiles: int,
                  use_prng: bool = True, coherent: bool = False,
                  has_mesh: bool = False, sub: int = SUB, n_tx: int = 1,
-                 mesh_bsdf: int = DIFFUSE, moving: bool = False,
+                 mesh_types: tuple = (), moving: bool = False,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
                  n_pairs: int = 1, n_rx_pairs: int = 1,
                  has_lo: bool = False, polarized: bool = False,
@@ -105,6 +105,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
     prim_bsdf: per-prim BSDF type code (DIFFUSE / ROUGH_CONDUCTOR).
+    mesh_types: per-MESH-SHAPE BSDF type codes; each triangle's second
+    leaf payload is its shape's row in the (n_mesh_shapes, 8) SMEM table
+    [vel(3), alpha, eta, k, type, pad], so multi-body scenes (differing
+    rigid velocities and/or lobe params per mesh) stay in the kernel —
+    lanes resolve their shape row with a static unroll after the walk.
     prim_tex: per-prim texture code — 0 none, 1 checkerboard, 2 bitmap
     (rects only; prim cols 22..25 carry c0, c1, scale_u, scale_v).
     bmp_meta: per-prim (row_offset, H, W) into the packed bitmap texture
@@ -112,8 +117,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     are fetched nearest-neighbour with a one-hot MXU gather — the same
     dot_general trick as the 2-D ADC splat run in reverse — because
     Mosaic has no per-lane dynamic gather (texture_eval parity).
-    mesh_bsdf: shared BSDF type of all mesh shapes (per-tri reflectance
-    rides the BVH leaf payload; alpha/eta/k are scene-shared scalars).
+    Per-tri reflectance rides the first BVH leaf payload.
     moving: any nonzero shape/tx/rx velocity — emits the first-order
     per-bounce Doppler chain (mirrors radar_path.py: cumulative factor D
     with f_received = f_emitted * D); static scenes skip it entirely.
@@ -147,13 +151,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     n_ch = 4 if polarized else (2 if coherent else 1)
     # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
-           or (has_mesh and mesh_bsdf == ROUGH_CONDUCTOR))
+           or ROUGH_CONDUCTOR in set(mesh_types))
     # smooth conductors: delta mirror bounce; NEE can't sample the lobe, so
     # delta-continued lanes count DIRECT tx hits at every depth instead
     # (the kernel analogue of radar_path.py:369 emission_weight = 1 on
     # is_delta — specular flash / corner-reflector chains)
     mirror = (CONDUCTOR in set(prim_bsdf)
-              or (has_mesh and mesh_bsdf == CONDUCTOR))
+              or CONDUCTOR in set(mesh_types))
     # lanes need per-prim eta/k (conductor Fresnel) for either lobe family
     need_fres = ggx or mirror
     any_bmp = any(t == 2 for t in prim_tex)
@@ -163,6 +167,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                tx_ref,      # (n_tx, 28) transmitter table rows (SMEM)
                ph_ref,      # (n_tx, 2 + 6*K) phased-array pair rows (SMEM)
                rph_ref,     # (1, 2 + 6*K_rx) phased-receiver pair row (SMEM)
+               msh_ref,     # (n_mesh_shapes, 8) per-mesh-shape rows (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
                tex_ref,     # (R, Wp) packed bitmap texel rows (VMEM)
                bvh_bbox_ref,   # flat SMEM BVH tables (dummies when no mesh)
@@ -173,8 +178,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                s2_ref,      # (n_time, n_freq) S2 (polarized; zeros else)
                s3_ref,      # (n_time, n_freq) S3
                cnt_ref,     # (1, 1) total events
-               ms_t_ref,    # VMEM scratch: mesh hit state (t, normal, refl)
-               ms_nx_ref, ms_ny_ref, ms_nz_ref, ms_rf_ref):
+               ms_t_ref,    # VMEM scratch: mesh hit state (t, normal, refl,
+               ms_nx_ref, ms_ny_ref, ms_nz_ref, ms_rf_ref,
+               ms_sid_ref):  # ... owning-shape row)
         tile_id = pl.program_id(0)
 
         @pl.when(tile_id == 0)
@@ -571,6 +577,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 ms_ny_ref[:] = jnp.zeros(shape)
                 ms_nz_ref[:] = jnp.zeros(shape)
                 ms_rf_ref[:] = jnp.zeros(shape)
+                ms_sid_ref[:] = jnp.zeros(shape)
                 tb_a = tb
 
                 def minv(v):
@@ -583,7 +590,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                         return best
                     return jnp.where(live, best, 0.0)
 
-                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay):
+                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay, pay2):
                     e1x, e1y, e1z, e2x, e2y, e2z = edges
                     better = hit_m & (tt < ms_t_ref[:]) & (tt > 1e-4)
                     # geometric normal from the edge scalars
@@ -596,6 +603,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     ms_ny_ref[:] = jnp.where(better, gny * rn, ms_ny_ref[:])
                     ms_nz_ref[:] = jnp.where(better, gnz * rn, ms_nz_ref[:])
                     ms_rf_ref[:] = jnp.where(better, pay, ms_rf_ref[:])
+                    ms_sid_ref[:] = jnp.where(better, pay2, ms_sid_ref[:])
                     ms_t_ref[:] = jnp.where(better, tt, ms_t_ref[:])
 
                 pbvh.traversal_body(
@@ -603,7 +611,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
                     dict(tbest=tbest, leaf_hit=leaf_hit,
                          live=lambda: jnp.float32(1.0)),
-                    anyhit=False, streams=1, sub=SUB, stride=88)
+                    anyhit=False, streams=1, sub=SUB, stride=96)
                 m_closer = ms_t_ref[:] < tb
                 tb = jnp.where(m_closer, ms_t_ref[:], tb)
                 nx = jnp.where(m_closer, ms_nx_ref[:], nx)
@@ -611,19 +619,34 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 nz = jnp.where(m_closer, ms_nz_ref[:], nz)
                 # per-triangle reflectance rides the BVH leaf payload
                 rb = jnp.where(m_closer, ms_rf_ref[:], rb)
-                kb = jnp.where(m_closer, float(mesh_bsdf), kb)
-                if need_fres:
-                    ab = jnp.where(m_closer, sp(20), ab)
-                    eb = jnp.where(m_closer, sp(21), eb)
-                    kkb = jnp.where(m_closer, sp(22), kkb)
+                # per-shape lobe/velocity from the SMEM table: static unroll
+                # over mesh shapes, selected by the tri's shape-row payload
+                sid = ms_sid_ref[:]
+                if len(mesh_types) == 1:
+                    kb = jnp.where(m_closer, float(mesh_types[0]), kb)
+                    if need_fres:
+                        ab = jnp.where(m_closer, msh_ref[0, 3], ab)
+                        eb = jnp.where(m_closer, msh_ref[0, 4], eb)
+                        kkb = jnp.where(m_closer, msh_ref[0, 5], kkb)
+                    if moving:
+                        vbx = jnp.where(m_closer, msh_ref[0, 0], vbx)
+                        vby = jnp.where(m_closer, msh_ref[0, 1], vby)
+                        vbz = jnp.where(m_closer, msh_ref[0, 2], vbz)
+                else:
+                    for s_m in range(len(mesh_types)):
+                        here = m_closer & (jnp.abs(sid - float(s_m)) < 0.5)
+                        kb = jnp.where(here, float(mesh_types[s_m]), kb)
+                        if need_fres:
+                            ab = jnp.where(here, msh_ref[s_m, 3], ab)
+                            eb = jnp.where(here, msh_ref[s_m, 4], eb)
+                            kkb = jnp.where(here, msh_ref[s_m, 5], kkb)
+                        if moving:
+                            vbx = jnp.where(here, msh_ref[s_m, 0], vbx)
+                            vby = jnp.where(here, msh_ref[s_m, 1], vby)
+                            vbz = jnp.where(here, msh_ref[s_m, 2], vbz)
                 txc = jnp.where(m_closer, -1.0, txc)
                 if any_bmp:
                     bpid = jnp.where(m_closer, -1.0, bpid)
-                if moving:
-                    # scene-shared rigid mesh velocity (sp 26..28)
-                    vbx = jnp.where(m_closer, sp(26), vbx)
-                    vby = jnp.where(m_closer, sp(27), vby)
-                    vbz = jnp.where(m_closer, sp(28), vbz)
             hit = tb < 3.4e37
             return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
                     (vbx, vby, vbz), (bub, bvb, bpid), hit)
@@ -681,7 +704,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     done = occ_a | (ms_t_ref[:] > 0.0)
                     return jnp.where(done, 0.0, limit)
 
-                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay):
+                def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay, pay2):
                     blocked = hit_m & (tt < limit)
                     ms_t_ref[:] = jnp.where(blocked, 1.0, ms_t_ref[:])
 
@@ -690,7 +713,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
                     dict(tbest=tbest, leaf_hit=leaf_hit,
                          live=lambda: jnp.float32(1.0)),
-                    anyhit=True, streams=1, sub=SUB, stride=88)
+                    anyhit=True, streams=1, sub=SUB, stride=96)
                 occ = occ | (ms_t_ref[:] > 0.0)
             return occ
 
@@ -1558,28 +1581,39 @@ def _pack_scene(scene, rx, shape_idx):
             params[29] = float(np.asarray(sd.medium.sigma_t).reshape(-1)[0])
 
     mesh_pack = None
-    params[19] = -1.0   # mesh BSDF kind (no mesh)
+    msh = np.zeros((1, 8), np.float32)
+    mesh_types = ()
     if sd.tris is not None:
         from ..geometry import bvh as bvh_mod
         tri = sd.tris
         b = bvh_mod.build(np.asarray(tri.v0), np.asarray(tri.e1),
                           np.asarray(tri.e2), align=True)
-        # per-triangle reflectance rides the BVH leaf payload; the BSDF
-        # kind/alpha/eta/k are scene-shared for meshes (supported() gates)
+        # per-triangle reflectance rides the first BVH leaf payload; the
+        # second payload is the owning shape's row in the per-mesh-shape
+        # table [vel(3), alpha, eta, k, type, pad] — multi-body meshes
+        # (differing rigid velocities / lobe params) resolve per lane
         sidx = np.asarray(tri.shape_idx)
         b_of_shape = bsdf_idx[sidx]
         payload = np.where(b_of_shape >= 0,
                            refl[np.maximum(b_of_shape, 0), 0], 0.0)
-        mesh_pack = pbvh.pack(b, payload=np.asarray(payload, np.float32))
-        b0 = int(b_of_shape[0])
-        params[19] = float(b_type[b0]) if b0 >= 0 else 0.0
-        params[20] = b_alpha[b0] if b0 >= 0 else 0.1
-        params[21] = b_eta[b0, 0] if b0 >= 0 else 0.0
-        params[22] = b_k[b0, 0] if b0 >= 0 else 0.0
-        # scene-shared mesh velocity (rigid meshes; supported() gates all
-        # mesh shapes to one value)
-        params[26:29] = shape_vel[int(sidx[0])]
-    return params, prim, txp, php, rxph, tex, bmp_meta, mesh_pack
+        shape_rows = sorted(set(int(s) for s in sidx))
+        row_of = {s: r for r, s in enumerate(shape_rows)}
+        payload2 = np.asarray([row_of[int(s)] for s in sidx], np.float32)
+        mesh_pack = pbvh.pack(b, payload=np.asarray(payload, np.float32),
+                              payload2=payload2)
+        msh = np.zeros((len(shape_rows), 8), np.float32)
+        types = []
+        for r, s_i in enumerate(shape_rows):
+            bi = int(bsdf_idx[s_i])
+            msh[r, 0:3] = shape_vel[s_i]
+            msh[r, 3] = b_alpha[bi] if bi >= 0 else 0.1
+            msh[r, 4] = b_eta[bi, 0] if bi >= 0 else 0.0
+            msh[r, 5] = b_k[bi, 0] if bi >= 0 else 0.0
+            msh[r, 6] = float(b_type[bi]) if bi >= 0 else 0.0
+            types.append(int(b_type[bi]) if bi >= 0 else 0)
+        mesh_types = tuple(types)
+    return (params, prim, txp, php, rxph, msh, mesh_types, tex, bmp_meta,
+            mesh_pack)
 
 
 # Hard kernel-size limits: the splat unrolls n_time*n_freq per-cell
@@ -1599,6 +1633,7 @@ MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 # so texel count is a direct FLOP/VMEM cost (Wp pads to a 128 multiple)
 MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
 MAX_BMP_ROWS = 512       # total packed rows across bitmaps
+MAX_MESH_SHAPES = 16     # per-shape unroll after the BVH walk
 
 
 def supported(scene_data, rx, reason: list | None = None) -> bool:
@@ -1635,41 +1670,24 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
     if scene_data.tris is not None:
         n_tris = scene_data.tris.n_faces
-        if pbvh.smem_bytes(n_tris, payload=True) > pbvh.SMEM_TABLE_BUDGET:
+        bts = pbvh.smem_bytes(n_tris, payload=True, payload2=True)
+        if bts > pbvh.SMEM_TABLE_BUDGET:
             return no(f'{n_tris} mesh triangles exceed the SMEM BVH budget '
-                      f'({pbvh.smem_bytes(n_tris, payload=True)} > '
-                      f'{pbvh.SMEM_TABLE_BUDGET} bytes)')
+                      f'({bts} > {pbvh.SMEM_TABLE_BUDGET} bytes)')
         sidx = np.asarray(scene_data.tris.shape_idx)
         b_idx = np.asarray(scene_data.shapes.bsdf_idx)[sidx]
         if (b_idx < 0).any():
             return no('mesh shape without a BSDF')
-        # reflectance may differ per mesh shape (per-tri leaf payload);
-        # the lobe shape (kind/alpha/eta/k) is packed once per scene
-        btab = scene_data.bsdfs
-        types = np.asarray(btab.type)[b_idx]
-        if not (types == types[0]).all():
-            return no('mesh shapes with differing BSDF types (the kernel '
-                      'packs one shared mesh lobe)')
-        for field in ('alpha',):
-            v = np.asarray(getattr(btab, field))[b_idx]
-            if not np.allclose(v, v[0]):
-                return no(f'mesh shapes with differing BSDF {field}')
-        for field in ('eta', 'k'):
-            v = np.asarray(getattr(btab, field))[b_idx, 0]
-            if not np.allclose(v, v[0]):
-                return no(f'mesh shapes with differing BSDF {field}')
+        # per-shape lobe params / rigid velocities ride the SMEM mesh-shape
+        # table; lanes resolve their shape with a static unroll, so the
+        # shape count is a program-size cost
+        n_mesh_shapes = len(set(sidx.tolist()))
+        if n_mesh_shapes > MAX_MESH_SHAPES:
+            return no(f'{n_mesh_shapes} mesh shapes > {MAX_MESH_SHAPES} '
+                      f'(unrolled per-shape resolution)')
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
     if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
-    # moving analytic shapes / tx / rx ride the in-kernel first-order
-    # Doppler chain; meshes move rigidly with ONE shared velocity (the
-    # leaf payload carries no per-tri velocity)
-    if scene_data.tris is not None:
-        msidx = np.asarray(scene_data.tris.shape_idx)
-        mv = np.asarray(scene_data.shapes.velocity)[msidx]
-        if not np.allclose(mv, mv[0]):
-            return no('mesh shapes with differing velocities (the kernel '
-                      'packs one shared mesh velocity)')
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
                                              ROUGH_CONDUCTOR}:
         return no('BSDF types beyond diffuse/conductor/rough-conductor')
@@ -1746,17 +1764,17 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
-    'coherent', 'has_mesh', 'mesh_bsdf', 'moving', 'absorbing', 'tx_kinds',
+    'coherent', 'has_mesh', 'mesh_types', 'moving', 'absorbing', 'tx_kinds',
     'has_lo', 'polarized', 'bmp_meta'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
          max_depth: int, rx_kind: str, n_lanes: int, interpret: bool = False,
          coherent: bool = False, has_mesh: bool = False,
-         mesh_bsdf: int = DIFFUSE, moving: bool = False,
+         mesh_types: tuple = (), moving: bool = False,
          absorbing: bool = False, tx_kinds: tuple = (0,),
          has_lo: bool = False, polarized: bool = False,
-         bmp_meta: tuple = (), tex=None,
+         bmp_meta: tuple = (), tex=None, msh=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1775,9 +1793,11 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
     if bvh_bbox is None:
         bvh_bbox = jnp.zeros((6,), jnp.float32)
         bvh_links = jnp.full((3,), -1, jnp.int32)
-        bvh_leaves = jnp.zeros((88,), jnp.float32)
+        bvh_leaves = jnp.zeros((96,), jnp.float32)
     if tex is None:
         tex = jnp.zeros((8, 128), jnp.float32)
+    if msh is None:
+        msh = jnp.zeros((1, 8), jnp.float32)
     n_pairs = (int(php.shape[1]) - 2) // 6
     n_rx_pairs = (int(rph.shape[1]) - 2) // 6
     kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
@@ -1785,7 +1805,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           time_sampling, max_depth, rx_kind, n_tiles,
                           use_prng=use_prng, coherent=coherent,
                           has_mesh=has_mesh, sub=sub, n_tx=n_tx,
-                          mesh_bsdf=mesh_bsdf, moving=moving,
+                          mesh_types=mesh_types, moving=moving,
                           absorbing=absorbing, tx_kinds=tx_kinds,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
                           has_lo=has_lo, polarized=polarized,
@@ -1795,6 +1815,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            smem,
             smem,
             smem,
             smem,
@@ -1830,9 +1851,10 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, txp, php, rph, uniforms, tex, bvh_bbox, bvh_links,
+    )(params, prim, txp, php, rph, msh, uniforms, tex, bvh_bbox, bvh_links,
       bvh_leaves)
     return out, out_q, out_s2, out_s3, cnt
 
@@ -1859,27 +1881,29 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     hit = cache.get(ck)
     if hit is None or hit[0] is not scene_data:
         shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
-        params, prim, txp, php, rxph, tex, bmp_meta, mesh_pack = _pack_scene(
-            scene_data, rx, shape_idx)
+        (params, prim, txp, php, rxph, msh, mesh_types, tex, bmp_meta,
+         mesh_pack) = _pack_scene(scene_data, rx, shape_idx)
         moving = bool(np.abs(prim[:, 19:22]).max() > 0.0
                       or np.abs(txp[:, 24:27]).max() > 0.0
-                      or np.abs(params[23:29]).max() > 0.0)
+                      or np.abs(params[23:26]).max() > 0.0
+                      or np.abs(msh[:, 0:3]).max() > 0.0)
         cache[ck] = (
             scene_data,
             shape_idx, params, jnp.asarray(prim), jnp.asarray(txp),
-            jnp.asarray(php), jnp.asarray(rxph), jnp.asarray(tex),
+            jnp.asarray(php), jnp.asarray(rxph), jnp.asarray(msh),
+            jnp.asarray(tex),
             tuple(int(k) for k in prim[:, 0]),
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
             tuple(int(f) for f in prim[:, 26]),
             bmp_meta,
-            int(params[19]),
+            mesh_types,
             moving,
             bool(params[29] > 0.0),
             mesh_pack)
-    (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, tex_dev,
-     prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_bsdf, moving,
-     absorbing, mesh_pack) = cache[ck]
+    (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, msh_dev,
+     tex_dev, prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_types,
+     moving, absorbing, mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     if coherent and rx.receive_type == 'mixer':
         raise ValueError("coherent mixer receive is outside the "
@@ -1907,11 +1931,11 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         prim_bsdf, prim_tex, rx.adc, rx.receive_type,
         time_sampling, max_depth, rx_kind, n_lanes,
         interpret, coherent,
-        has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
+        has_mesh=has_mesh, mesh_types=mesh_types,
         moving=moving, absorbing=absorbing,
         tx_kinds=tx_kinds,
         has_lo=rx.lo_waveform is not None, polarized=polarized,
-        bmp_meta=bmp_meta, tex=tex_dev, **mesh_kw)
+        bmp_meta=bmp_meta, tex=tex_dev, msh=msh_dev, **mesh_kw)
     if polarized:
         return jnp.stack([out, out_q, out_s2, out_s3], axis=-1), n_lanes
     if coherent:

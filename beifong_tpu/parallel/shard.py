@@ -69,17 +69,17 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         shape_idx0 = scene_host.shape_index_of_endpoint('receiver', rx.id)
         cache[ck] = (scene_data, shape_idx0,
                      *_pack_scene(scene_data, rx, shape_idx0))
-    (_, shape_idx, params, prim, txp, php, rxph, tex, bmp_meta,
-     mesh_pack) = cache[ck]
+    (_, shape_idx, params, prim, txp, php, rxph, msh, mesh_types, tex,
+     bmp_meta, mesh_pack) = cache[ck]
     prim_kinds = tuple(int(k) for k in prim[:, 0])
     prim_tx = tuple(int(f) for f in prim[:, 14])
     prim_bsdf = tuple(int(f) for f in prim[:, 18])
     prim_tex = tuple(int(f) for f in prim[:, 26])
-    mesh_bsdf = int(params[19])
     import numpy as _np
     moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
                   or _np.abs(txp[:, 24:27]).max() > 0.0
-                  or _np.abs(params[23:29]).max() > 0.0)
+                  or _np.abs(params[23:26]).max() > 0.0
+                  or _np.abs(msh[:, 0:3]).max() > 0.0)
     absorbing = bool(params[29] > 0.0)
     tx_kinds = tuple(int(f) for f in _np.asarray(txp)[:, 27])
     from ..radar.endpoints import PHASED as _RX_PHASED
@@ -102,12 +102,13 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     txp_dev = jnp.asarray(txp)
     php_dev = jnp.asarray(php)
     rxph_dev = jnp.asarray(rxph)
+    msh_dev = jnp.asarray(msh)
     tex_dev = jnp.asarray(tex)
 
     @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P(), P(), P(), P(), P(), P(), P()),
+                       in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
                        out_specs=P(), check_rep=False)
-    def run(params_r, prim_r, txp_r, php_r, rxph_r, tex_r, key_data):
+    def run(params_r, prim_r, txp_r, php_r, rxph_r, msh_r, tex_r, key_data):
         dev = jax.lax.axis_index(axes[0])
         if len(axes) > 1:
             dev = dev * jax.lax.axis_size(axes[1]) + jax.lax.axis_index(axes[1])
@@ -116,16 +117,16 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
         out = _run(p2, prim_r, txp_r, php_r, rxph_r, k, prim_kinds, prim_tx,
                    prim_bsdf, prim_tex, rx.adc, rx.receive_type,
                    time_sampling, max_depth, rx_kind, n_lanes, interpret,
-                   coherent, has_mesh=has_mesh, mesh_bsdf=mesh_bsdf,
+                   coherent, has_mesh=has_mesh, mesh_types=mesh_types,
                    moving=moving, absorbing=absorbing, tx_kinds=tx_kinds,
-                   bmp_meta=bmp_meta, tex=tex_r, **mesh_kw)
+                   bmp_meta=bmp_meta, tex=tex_r, msh=msh_r, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)
         return sig
 
-    sig = run(params_dev, prim_dev, txp_dev, php_dev, rxph_dev, tex_dev,
-              jax.random.key_data(jax.random.key(seed)))
+    sig = run(params_dev, prim_dev, txp_dev, php_dev, rxph_dev, msh_dev,
+              tex_dev, jax.random.key_data(jax.random.key(seed)))
     return sig, n_lanes * n_dev
 
 

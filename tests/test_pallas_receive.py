@@ -533,6 +533,99 @@ def test_megakernel_mesh_doppler_shift():
                                         abs=1.5)
 
 
+def _two_mesh_scene(R1=3.0, R2=5.5, bsdf2="mat", v2=0.0):
+    """Two separate mesh bodies at different ranges; the second can carry
+    its own material and rigid velocity (per-shape SMEM table)."""
+    from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+    from beifong_tpu.core import transform as tfm
+    s, rx = _mesh_scene(R=R1)
+    # shrink the tx/rx apertures 4x: body 2 sits ~15 deg off boresight,
+    # outside the default 0.1 m apertures' WDF mainlobe (lambda/w ~ 5 deg)
+    for sp_ in s.shapes:
+        ep = getattr(sp_, 'transmitter', None) or getattr(sp_, 'receiver',
+                                                          None)
+        if ep:
+            m_old = np.asarray(sp_.to_world)
+            sp_.to_world = m_old @ np.asarray(
+                tfm.scale([0.25, 0.25, 1.0]))
+    if bsdf2 != "mat":
+        from beifong_tpu.bsdf import rough_conductor
+        s.add(rough_conductor(bsdf2, specular_reflectance=1.0, alpha=0.3,
+                              eta=1.5, k=3.0, twosided=True))
+    v, f = make_grid(7, 7)
+    v = np.asarray(v, np.float32)
+    v[:, 2] = 0.04 * np.sin(3 * v[:, 0])
+    # offset in z so body 1 (at the origin line of sight) doesn't occlude
+    p2 = np.asarray([0.0, -R2, 1.5])
+    m2 = np.asarray(tfm.compose(tfm.look_at(p2, [0, 0, 0]),
+                                tfm.scale(0.6)))
+    spec = MeshSpec(v, np.asarray(f), bsdf=bsdf2, to_world=m2)
+    spec.velocity = np.asarray([0.0, v2, 0.0], np.float32)
+    s.add(spec)
+    # two-way delay of body 2 (tx at ~(0.3,0,0), rx at ~(-0.3,0,0))
+    tau2 = (np.linalg.norm(p2 - [0.3, 0, 0])
+            + np.linalg.norm(p2 - [-0.3, 0, 0])) / 340.0
+    return s, rx, float(tau2), p2
+
+
+def test_megakernel_multi_body_mesh():
+    """Two mesh bodies with DIFFERENT materials (diffuse + GGX conductor)
+    stay in the kernel (per-shape lobe table): range profile shows both
+    returns and matches the jnp wavefront."""
+    from beifong_tpu.receive import develop_signal
+    s, rx, tau2, _p2 = _two_mesh_scene(bsdf2="metal2")
+    sd = s.compile(use_bvh=False)
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=0, max_depth=1,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
+    a, n2 = receive(s, sd, rx, seed=9, spp=1 << 13, max_depth=1,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    # both bodies return: energy around each expected delay in BOTH paths
+    c = 340.0
+    for tau in (2 * 3.0 / c, tau2):
+        b = int(round(tau / rx.adc.sampling_time * rx.adc.n_time - 0.5))
+        assert tp[b - 3:b + 4].sum() > 0.005 * tp.sum(), (tau, tp)
+        assert tj[b - 3:b + 4].sum() > 0.005 * tj.sum(), (tau, tj)
+
+
+def test_megakernel_multi_body_velocities():
+    """Two mesh bodies with DIFFERENT rigid velocities: the static body's
+    echo stays at the carrier while the closing body's is Doppler-shifted
+    by 2v/c * f0 — resolved per time gate (per-shape velocity table; the
+    old kernel collapsed all meshes to one shared velocity)."""
+    import dataclasses as dc
+    s, rx, tau2, p2 = _two_mesh_scene(v2=3.0)
+    rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=16, n_freq=32,
+                                       sampling_time=0.06,
+                                       freq_lo=39e3, freq_hi=43e3))
+    s.receivers[0] = rx
+    sd = s.compile(use_bvh=False)
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=1, max_depth=1,
+                            time_sampling='gate', interpret=True)
+    grid = np.asarray(out)
+    c, f0 = 340.0, 40e3
+    bw = (43e3 - 39e3) / 32
+    f0_bin = int((f0 - 39e3) / (43e3 - 39e3) * 32 - 0.5)
+    tb1 = int(round(2 * 3.0 / c / 0.06 * 16 - 0.5))   # static body gate
+    tb2 = int(round(tau2 / 0.06 * 16 - 0.5))          # moving body gate
+    spec1 = grid[max(tb1 - 1, 0):tb1 + 2].sum(axis=0)
+    spec2 = grid[max(tb2 - 1, 0):tb2 + 2].sum(axis=0)
+    assert spec1.sum() > 0 and spec2.sum() > 0
+    assert abs(int(spec1.argmax()) - f0_bin) <= 1
+    # radial closing speed: v2 * (unit toward radar) . y_hat
+    v_rad = 3.0 * (np.linalg.norm(p2[1]) / np.linalg.norm(p2))
+    shift_bins = 2 * v_rad / c * f0 / bw
+    assert int(spec2.argmax()) - int(spec1.argmax()) == pytest.approx(
+        shift_bins, abs=1.5)
+
+
 def test_megakernel_specular_flash():
     """Smooth-conductor plate facing the radar: the echo comes ONLY from
     the delta chain (mirror bounce -> direct tx hit at depth 1 — NEE has
