@@ -232,8 +232,11 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         if med is not None:
             # ambient-medium absorption along the segment (two-way paths
             # accumulate the full exponent; replaces reference media for the
-            # radar chain — atmosphere / water column)
-            throughput = throughput * med.transmittance(dt)
+            # radar chain — atmosphere / water column).  attenuation(o, d,
+            # dist) is uniform across media: gridded media integrate sigma
+            # along the segment (dead lanes: dt = 0 -> exp(0))
+            seg_o = si.p - d_cur * dt[:, None]
+            throughput = throughput * med.attenuation(seg_o, d_cur, dt)
 
         seg_boundary = scene.band.boundary_phase   # per-reflection phase
 
@@ -320,7 +323,7 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
         val_nee = throughput * f_b[:, 0] * w_nee * mis * w_gate_nee
         if med is not None:
-            val_nee = val_nee * med.transmittance(ds.dist)
+            val_nee = val_nee * med.attenuation(si.p, ds.d, ds.dist)
         if coherent:
             ph_nee = _echo_phase(scene, tx_row, lo_wf, plen, ds.dist,
                                  t_emit, k_nee, t_rx_nee,

@@ -39,6 +39,11 @@ class HomogeneousMedium:
     def transmittance(self, dist):
         return jnp.exp(-self.sigma_t * dist)
 
+    def attenuation(self, o, d, dist):
+        """Uniform media API for the radar chain: transmittance along the
+        segment o + t*d, t in [0, dist) — position-independent here."""
+        return jnp.exp(-self.sigma_t * dist)
+
     def sample_distance(self, u, max_dist):
         """Sample free-flight distance ~ sigma_t e^{-sigma_t d}; returns
         (d, is_medium_event, weight).  Events beyond max_dist are surface
@@ -122,6 +127,24 @@ class HeterogeneousMedium:
         iy = jnp.clip((q[..., 1] * H).astype(jnp.int32), 0, H - 1)
         ix = jnp.clip((q[..., 0] * W).astype(jnp.int32), 0, W - 1)
         return jnp.where(inside, self.sigma_grid[iz, iy, ix], 0.0)
+
+    def optical_depth(self, o, d, dist, n_samples: int = 16):
+        """Deterministic midpoint quadrature of int sigma(o + t d) dt over
+        [0, dist]: exact for segments within one grid cell, O(dist/K)
+        otherwise.  The radar chain uses exp(-tau) for ambient absorption
+        (smooth atmosphere / water-column profiles) where a noiseless,
+        jit-static estimate beats ratio tracking; volumetric optical
+        rendering keeps the unbiased `transmittance` below."""
+        taus = 0.0
+        for i in range(n_samples):
+            t = (i + 0.5) / n_samples * dist
+            p = o + t[..., None] * d
+            taus = taus + self.sigma_at(p)
+        return taus * dist / n_samples
+
+    def attenuation(self, o, d, dist):
+        """Uniform media API for the radar chain (see HomogeneousMedium)."""
+        return jnp.exp(-self.optical_depth(o, d, dist))
 
     def transmittance(self, o, d, dist, key, n_estimates: int = 4,
                       max_steps: int = 32):

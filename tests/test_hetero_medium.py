@@ -69,3 +69,55 @@ def test_sigma_lookup_outside_box_zero():
     s = np.asarray(med.sigma_at(p))
     assert s[0] == pytest.approx(3.0)
     assert s[1] == 0.0
+
+
+def test_optical_depth_quadrature():
+    """Midpoint optical depth: uniform grid gives sigma*dist exactly; a
+    two-layer grid gives the layer-weighted integral."""
+    sigma = 0.8
+    med = HeterogeneousMedium.make(_uniform_grid(sigma),
+                                   box_min=(-10, -10, -10),
+                                   box_max=(10, 10, 10))
+    o = jnp.array([[0.0, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    tau = float(np.asarray(med.optical_depth(o, d, jnp.array([8.0]))))
+    assert tau == pytest.approx(sigma * 8.0, rel=1e-5)
+    g = np.zeros((8, 8, 8), np.float32)
+    g[4:] = 2.0   # z > 0 half
+    med2 = HeterogeneousMedium.make(g, box_min=(-10, -10, -10),
+                                    box_max=(10, 10, 10))
+    tau2 = float(np.asarray(med2.optical_depth(
+        o, d, jnp.array([10.0]), n_samples=64)))
+    assert tau2 == pytest.approx(2.0 * 5.0, rel=0.05)
+
+
+def test_radar_receive_with_heterogeneous_medium():
+    """The radar chain accepts an ambient HETEROGENEOUS medium: a uniform
+    grid attenuates the point-target echo by exp(-sigma * path) exactly
+    like the homogeneous medium (regression: this used to crash — the
+    chain called the homogeneous transmittance signature)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_radar as TR
+    from beifong_tpu.media import HomogeneousMedium
+    from beifong_tpu.receive import receive, develop_signal
+
+    def run(med):
+        s, rx = TR._point_target_scene()
+        s.medium = med
+        sd = s.compile()
+        a, n = receive(s, sd, rx, seed=2, spp=1 << 12, max_depth=1,
+                       time_sampling='gate')
+        return np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
+
+    sigma = 0.05
+    hom = run(HomogeneousMedium.make(sigma_t=sigma))
+    het = run(HeterogeneousMedium.make(
+        _uniform_grid(sigma), box_min=(-20, -20, -20),
+        box_max=(20, 20, 20)))
+    assert het.sum() > 0
+    pk = int(hom.argmax())
+    assert int(het.argmax()) == pk
+    # same seed, same estimator: uniform grid == homogeneous bit-for-bit
+    # up to the quadrature (exact for a uniform grid)
+    np.testing.assert_allclose(het, hom, rtol=1e-4)
