@@ -168,21 +168,36 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             ok_k = supported(scene_data, rx_chk, why)
         if ok_k:
             rx0 = receiver or scene.receivers[0]
-            out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
-                                    seed=seed, max_depth=max_depth,
-                                    time_sampling=time_sampling,
-                                    coherent=coherent, polarized=polarized,
-                                    interpret=on_cpu)
-            n_ch0 = 4 if polarized else (2 if coherent else 1)
-            adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, n_ch0 + 2),
-                            jnp.float32)
-            if polarized or coherent:
-                for c_ in range(n_ch0):
-                    adc = adc.at[..., c_].set(out[..., c_])
+            try:
+                out, n = receive_pallas(scene, scene_data, rx0, spp=spp,
+                                        seed=seed, max_depth=max_depth,
+                                        time_sampling=time_sampling,
+                                        coherent=coherent,
+                                        polarized=polarized,
+                                        interpret=on_cpu)
+            except Exception as e:  # noqa: BLE001 — Mosaic compile guard
+                # 'auto' must never crash a run the jnp wavefront can
+                # finish: an unexpected Mosaic/XLA rejection of a kernel
+                # variant (new flag combination on a new toolchain) logs
+                # and falls back; an explicit use_pallas=True re-raises
+                if use_pallas is True:
+                    raise
+                from .profiler import log
+                log.warning('receive: megakernel failed (%s: %s) — '
+                            'falling back to the jnp wavefront',
+                            type(e).__name__, e)
+                why.append(f'kernel failure {type(e).__name__}')
             else:
-                adc = adc.at[..., 0].set(out)
-            return adc, n
-        elif use_pallas is True:
+                n_ch0 = 4 if polarized else (2 if coherent else 1)
+                adc = jnp.zeros((rx0.adc.n_time, rx0.adc.n_freq, n_ch0 + 2),
+                                jnp.float32)
+                if polarized or coherent:
+                    for c_ in range(n_ch0):
+                        adc = adc.at[..., c_].set(out[..., c_])
+                else:
+                    adc = adc.at[..., 0].set(out)
+                return adc, n
+        if not ok_k and use_pallas is True:
             raise ValueError("scene outside the Pallas megakernel's scope: "
                              + '; '.join(why))
         else:

@@ -139,6 +139,29 @@ def test_receive_use_pallas_auto():
     assert n == TILE
 
 
+def test_receive_auto_survives_kernel_failure():
+    """'auto' must never crash a run the jnp wavefront can finish: an
+    unexpected Mosaic/XLA rejection logs and falls back; an explicit
+    use_pallas=True re-raises."""
+    import jax as _jax
+    from beifong_tpu.integrators import pallas_receive as pr
+    import unittest.mock as mock
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+
+    def boom(*a, **k):
+        raise RuntimeError("Mosaic says no")
+
+    with mock.patch.object(pr, 'receive_pallas', boom), \
+            mock.patch.object(_jax, 'default_backend', lambda: 'tpu'):
+        adc, n = receive(s, sd, rx, spp=1 << 12, max_depth=2,
+                         time_sampling='gate', use_pallas='auto', seed=7)
+        assert np.asarray(adc)[..., 0].sum() > 0   # jnp result came back
+        with pytest.raises(RuntimeError, match="Mosaic"):
+            receive(s, sd, rx, spp=1 << 12, max_depth=2,
+                    time_sampling='gate', use_pallas=True, seed=7)
+
+
 def test_megakernel_coherent_phase_physics():
     """Coherent I/Q in the megakernel: quarter-wavelength target shift flips
     the echo phase by ~pi (same physics test as the jnp coherent path)."""
