@@ -1382,6 +1382,61 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     return kernel
 
 
+def _demoted_rects(sd) -> list:
+    """Shape indices of plain rectangles moved into the triangle BVH when
+    the analytic prim table would overflow MAX_PRIMS (each becomes two
+    exact world-space triangles; per-shape BSDF/velocity ride the mesh
+    shape table).  Transmitter shapes, bsdf-less blockers (the rx rect),
+    spheres, and textured rects (uv needs rect local coords) stay
+    analytic."""
+    kind_np = np.asarray(sd.shapes.kind)
+    n = int(kind_np.shape[0])
+    n_analytic = int(np.isin(kind_np, (RECTANGLE, SPHERE)).sum())
+    if n_analytic <= MAX_PRIMS:
+        return []
+    bsdf_idx = np.asarray(sd.shapes.bsdf_idx)
+    tex_idx = np.asarray(sd.bsdfs.texture_idx)
+    tx_shapes = set()
+    if sd.transmitters is not None:
+        tx_shapes = {int(x) for x in np.asarray(sd.transmitters.shape_idx)}
+    out = []
+    for i in range(n):
+        b = int(bsdf_idx[i])
+        if (int(kind_np[i]) == RECTANGLE and i not in tx_shapes
+                and b >= 0 and int(tex_idx[b]) < 0):
+            out.append(i)
+    return out
+
+
+def _mesh_shape_rows(sd, mesh_shape_ids):
+    """Deduplicated per-mesh-shape table rows: shapes sharing (velocity,
+    alpha, eta, k, type) collapse to one row, so e.g. 70 identical demoted
+    clutter rects cost ONE unroll step, not 70.  Returns (rows, row_of)
+    with rows = list of 8-float lists and row_of: shape_idx -> row."""
+    bsdf_idx = np.asarray(sd.shapes.bsdf_idx)
+    shape_vel = np.asarray(sd.shapes.velocity)
+    b_type = np.asarray(sd.bsdfs.type)
+    b_alpha = np.asarray(sd.bsdfs.alpha)
+    b_eta = np.asarray(sd.bsdfs.eta)
+    b_k = np.asarray(sd.bsdfs.k)
+    rows = []
+    key_of = {}
+    row_of = {}
+    for s_i in sorted(mesh_shape_ids):
+        bi = int(bsdf_idx[s_i])
+        key = (float(shape_vel[s_i][0]), float(shape_vel[s_i][1]),
+               float(shape_vel[s_i][2]),
+               float(b_alpha[bi]) if bi >= 0 else 0.1,
+               float(b_eta[bi, 0]) if bi >= 0 else 0.0,
+               float(b_k[bi, 0]) if bi >= 0 else 0.0,
+               float(b_type[bi]) if bi >= 0 else 0.0)
+        if key not in key_of:
+            key_of[key] = len(rows)
+            rows.append(list(key) + [0.0])
+        row_of[s_i] = key_of[key]
+    return rows, row_of
+
+
 def _pack_scene(scene, rx, shape_idx):
     """Flatten scene + receiver into (params vector, prim table, tx table,
     mesh pack).
@@ -1392,7 +1447,9 @@ def _pack_scene(scene, rx, shape_idx):
     sd = scene
     shapes = sd.shapes
     n = int(shapes.kind.shape[0])
-    prim = np.zeros((n, 28), np.float32)
+    demote = _demoted_rects(sd)
+    keep = [i for i in range(n) if i not in set(demote)]
+    prim = np.zeros((len(keep), 28), np.float32)
     kind_np = np.asarray(shapes.kind)
     to_obj = np.asarray(shapes.to_object)
     bsdf_idx = np.asarray(shapes.bsdf_idx)
@@ -1407,19 +1464,19 @@ def _pack_scene(scene, rx, shape_idx):
     shape_tx = {int(s): t for t, s in enumerate(tx_shapes)}
 
     shape_vel = np.asarray(shapes.velocity)
-    bmp_of_prim = {}   # prim index -> texture row (BITMAP prims)
-    for i in range(n):
-        prim[i, 0] = kind_np[i]
-        prim[i, 1:13] = to_obj[i, :3, :].reshape(-1)
+    bmp_of_prim = {}   # prim ROW -> texture row (BITMAP prims)
+    for i_row, i in enumerate(keep):
+        prim[i_row, 0] = kind_np[i]
+        prim[i_row, 1:13] = to_obj[i, :3, :].reshape(-1)
         b = int(bsdf_idx[i])
         # rx shape keeps refl=0: blocks rays, never scatters
-        prim[i, 13] = refl[b, 0] if b >= 0 else 0.0
-        prim[i, 14] = float(shape_tx.get(i, -1))
-        prim[i, 15] = b_alpha[b] if b >= 0 else 0.1
-        prim[i, 16] = b_eta[b, 0] if b >= 0 else 0.0
-        prim[i, 17] = b_k[b, 0] if b >= 0 else 0.0
-        prim[i, 18] = float(b_type[b]) if b >= 0 else 0.0
-        prim[i, 19:22] = shape_vel[i]
+        prim[i_row, 13] = refl[b, 0] if b >= 0 else 0.0
+        prim[i_row, 14] = float(shape_tx.get(i, -1))
+        prim[i_row, 15] = b_alpha[b] if b >= 0 else 0.1
+        prim[i_row, 16] = b_eta[b, 0] if b >= 0 else 0.0
+        prim[i_row, 17] = b_k[b, 0] if b >= 0 else 0.0
+        prim[i_row, 18] = float(b_type[b]) if b >= 0 else 0.0
+        prim[i_row, 19:22] = shape_vel[i]
         # texture payload (rects; supported() gates the rest):
         # prim[26] = 1 checkerboard (procedural), 2 bitmap (packed texels)
         t_i = int(np.asarray(sd.bsdfs.texture_idx)[b]) if b >= 0 else -1
@@ -1427,21 +1484,21 @@ def _pack_scene(scene, rx, shape_idx):
             from ..textures import CHECKERBOARD as _CHK, BITMAP as _BMP
             tt = sd.textures
             if int(np.asarray(tt.type)[t_i]) == _CHK:
-                prim[i, 22] = float(np.asarray(tt.color0)[t_i, 0])
-                prim[i, 23] = float(np.asarray(tt.color1)[t_i, 0])
-                prim[i, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
-                prim[i, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
-                prim[i, 26] = 1.0
+                prim[i_row, 22] = float(np.asarray(tt.color0)[t_i, 0])
+                prim[i_row, 23] = float(np.asarray(tt.color1)[t_i, 0])
+                prim[i_row, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
+                prim[i_row, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
+                prim[i_row, 26] = 1.0
             elif int(np.asarray(tt.type)[t_i]) == _BMP:
-                prim[i, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
-                prim[i, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
-                prim[i, 26] = 2.0
-                bmp_of_prim[i] = t_i
+                prim[i_row, 24] = float(np.asarray(tt.scale_uv)[t_i, 0])
+                prim[i_row, 25] = float(np.asarray(tt.scale_uv)[t_i, 1])
+                prim[i_row, 26] = 2.0
+                bmp_of_prim[i_row] = t_i
 
     # packed bitmap texel rows: channel 0 of each referenced bitmap,
     # stacked on 8-row boundaries, width zero-padded to a lane multiple so
     # the kernel's one-hot gather contracts a full minor dim
-    bmp_meta = [(-1, 0, 0)] * n
+    bmp_meta = [(-1, 0, 0)] * len(keep)
     if bmp_of_prim:
         tt = sd.textures
         hw_np = np.asarray(tt.atlas_hw)
@@ -1583,35 +1640,54 @@ def _pack_scene(scene, rx, shape_idx):
     mesh_pack = None
     msh = np.zeros((1, 8), np.float32)
     mesh_types = ()
-    if sd.tris is not None:
+    if sd.tris is not None or demote:
         from ..geometry import bvh as bvh_mod
         tri = sd.tris
-        b = bvh_mod.build(np.asarray(tri.v0), np.asarray(tri.e1),
-                          np.asarray(tri.e2), align=True)
+        if tri is not None:
+            v0_a = [np.asarray(tri.v0)]
+            e1_a = [np.asarray(tri.e1)]
+            e2_a = [np.asarray(tri.e2)]
+            sidx_a = [np.asarray(tri.shape_idx)]
+        else:
+            v0_a, e1_a, e2_a, sidx_a = [], [], [], []
+        if demote:
+            # each demoted rect -> two exact world-space triangles
+            tw = np.asarray(shapes.to_world)
+            dv0, de1, de2, dsx = [], [], [], []
+            for i in demote:
+                M = tw[i]
+
+                def corner(x, y, M=M):
+                    return M[:3, :3] @ np.array([x, y, 0.0]) + M[:3, 3]
+
+                w00, w10 = corner(-1, -1), corner(1, -1)
+                w01, w11 = corner(-1, 1), corner(1, 1)
+                dv0 += [w00, w11]
+                de1 += [w10 - w00, w01 - w11]
+                de2 += [w01 - w00, w10 - w11]
+                dsx += [i, i]
+            v0_a.append(np.asarray(dv0, np.float32))
+            e1_a.append(np.asarray(de1, np.float32))
+            e2_a.append(np.asarray(de2, np.float32))
+            sidx_a.append(np.asarray(dsx, np.int64))
+        v0_all = np.concatenate(v0_a, axis=0)
+        e1_all = np.concatenate(e1_a, axis=0)
+        e2_all = np.concatenate(e2_a, axis=0)
+        b = bvh_mod.build(v0_all, e1_all, e2_all, align=True)
         # per-triangle reflectance rides the first BVH leaf payload; the
         # second payload is the owning shape's row in the per-mesh-shape
         # table [vel(3), alpha, eta, k, type, pad] — multi-body meshes
         # (differing rigid velocities / lobe params) resolve per lane
-        sidx = np.asarray(tri.shape_idx)
+        sidx = np.concatenate(sidx_a, axis=0)
         b_of_shape = bsdf_idx[sidx]
         payload = np.where(b_of_shape >= 0,
                            refl[np.maximum(b_of_shape, 0), 0], 0.0)
-        shape_rows = sorted(set(int(s) for s in sidx))
-        row_of = {s: r for r, s in enumerate(shape_rows)}
+        rows, row_of = _mesh_shape_rows(sd, set(int(s) for s in sidx))
         payload2 = np.asarray([row_of[int(s)] for s in sidx], np.float32)
         mesh_pack = pbvh.pack(b, payload=np.asarray(payload, np.float32),
                               payload2=payload2)
-        msh = np.zeros((len(shape_rows), 8), np.float32)
-        types = []
-        for r, s_i in enumerate(shape_rows):
-            bi = int(bsdf_idx[s_i])
-            msh[r, 0:3] = shape_vel[s_i]
-            msh[r, 3] = b_alpha[bi] if bi >= 0 else 0.1
-            msh[r, 4] = b_eta[bi, 0] if bi >= 0 else 0.0
-            msh[r, 5] = b_k[bi, 0] if bi >= 0 else 0.0
-            msh[r, 6] = float(b_type[bi]) if bi >= 0 else 0.0
-            types.append(int(b_type[bi]) if bi >= 0 else 0)
-        mesh_types = tuple(types)
+        msh = np.asarray(rows, np.float32)
+        mesh_types = tuple(int(r[6]) for r in rows)
     return (params, prim, txp, php, rxph, msh, mesh_types, tex, bmp_meta,
             mesh_pack)
 
@@ -1633,7 +1709,7 @@ MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 # so texel count is a direct FLOP/VMEM cost (Wp pads to a 128 multiple)
 MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
 MAX_BMP_ROWS = 512       # total packed rows across bitmaps
-MAX_MESH_SHAPES = 16     # per-shape unroll after the BVH walk
+MAX_MESH_SHAPES = 64     # per-shape unroll after the BVH walk
 
 
 def supported(scene_data, rx, reason: list | None = None) -> bool:
@@ -1668,23 +1744,28 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
                   'tx chirp: ambiguous)')
     from ..geometry.shapes import TRIANGLE
     from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
-    if scene_data.tris is not None:
-        n_tris = scene_data.tris.n_faces
+    demote = _demoted_rects(scene_data)
+    if scene_data.tris is not None or demote:
+        n_tris = (scene_data.tris.n_faces if scene_data.tris is not None
+                  else 0) + 2 * len(demote)
         bts = pbvh.smem_bytes(n_tris, payload=True, payload2=True)
         if bts > pbvh.SMEM_TABLE_BUDGET:
             return no(f'{n_tris} mesh triangles exceed the SMEM BVH budget '
                       f'({bts} > {pbvh.SMEM_TABLE_BUDGET} bytes)')
-        sidx = np.asarray(scene_data.tris.shape_idx)
-        b_idx = np.asarray(scene_data.shapes.bsdf_idx)[sidx]
+        sidx = (np.asarray(scene_data.tris.shape_idx).tolist()
+                if scene_data.tris is not None else [])
+        b_idx = np.asarray(scene_data.shapes.bsdf_idx)[np.asarray(
+            sidx, np.int64)] if sidx else np.zeros(0)
         if (b_idx < 0).any():
             return no('mesh shape without a BSDF')
         # per-shape lobe params / rigid velocities ride the SMEM mesh-shape
-        # table; lanes resolve their shape with a static unroll, so the
-        # shape count is a program-size cost
-        n_mesh_shapes = len(set(sidx.tolist()))
-        if n_mesh_shapes > MAX_MESH_SHAPES:
-            return no(f'{n_mesh_shapes} mesh shapes > {MAX_MESH_SHAPES} '
-                      f'(unrolled per-shape resolution)')
+        # table; lanes resolve their shape with a static unroll — shapes
+        # sharing (velocity, lobe) collapse to one row, so the limit is on
+        # DISTINCT rows, not bodies
+        rows, _ = _mesh_shape_rows(scene_data, set(sidx) | set(demote))
+        if len(rows) > MAX_MESH_SHAPES:
+            return no(f'{len(rows)} distinct mesh-shape rows > '
+                      f'{MAX_MESH_SHAPES} (unrolled per-shape resolution)')
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
     if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
@@ -1751,9 +1832,11 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         # 2-D grids splat via dot_general: bound is the VMEM accumulator
         return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
                   f'cells > {MAX_ADC_CELLS_MXU} (MXU splat VMEM bound)')
-    n_prims = int(scene_data.shapes.kind.shape[0])
+    kind_all = np.asarray(scene_data.shapes.kind)
+    n_prims = int(np.isin(kind_all, (RECTANGLE, SPHERE)).sum()) - len(demote)
     if n_prims > MAX_PRIMS:
-        return no(f'{n_prims} prims > {MAX_PRIMS} (unrolled intersector)')
+        return no(f'{n_prims} analytic prims > {MAX_PRIMS} after rect '
+                  f'demotion (unrolled intersector)')
     return True
 
 

@@ -74,35 +74,45 @@ def test_supported_gates():
     v2, f2 = make_grid(2, 2)
     s2.add(MeshSpec(v2, f2, bsdf="d2"))
     assert supported(s2.compile(), rx)
-    # …but differing mesh BSDF *types* still fall back (one shared lobe)
+    # …and so are differing mesh BSDF *types* and DIFFERING velocities
+    # (per-shape SMEM table resolved by the tri's shape-row payload)
     from beifong_tpu.bsdf import rough_conductor
     s2.add(rough_conductor("rc", alpha=0.3))
     v3, f3 = make_grid(2, 2)
     s2.add(MeshSpec(v3, f3, bsdf="rc"))
-    why2 = []
-    assert not supported(s2.compile(), rx, why2)
-    assert any('BSDF types' in w for w in why2)
+    assert supported(s2.compile(), rx)
     # moving ANALYTIC shapes are in scope (in-kernel Doppler chain)…
     s3, rx3 = g._build_scene(ground=False)
     s3.shapes[-1].velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
     assert supported(s3.compile(), rx3)
-    # …and so are rigidly-moving meshes (one shared velocity)…
+    # …and rigidly-moving meshes, including DIFFERING per-body velocities
     s3b, rx3b = _mesh_scene()
     mesh_specs = [sp_ for sp_ in s3b.shapes
                   if hasattr(sp_, 'faces') and sp_.faces is not None]
     for sp_ in mesh_specs:
         sp_.velocity = np.asarray([1.0, 0.0, 0.0], np.float32)
     assert supported(s3b.compile(use_bvh=False), rx3b)
-    # …but meshes with DIFFERING velocities fall back
-    import copy as _copy
     v2_, f2_ = mesh_specs[0].vertices, mesh_specs[0].faces
     from beifong_tpu.geometry.mesh import MeshSpec as _MS
     extra = _MS(v2_, f2_, bsdf="mat")
     extra.velocity = np.asarray([0.0, 2.0, 0.0], np.float32)
     s3b.add(extra)
+    assert supported(s3b.compile(use_bvh=False), rx3b)
+    # identical bodies collapse to one table row (no cap pressure)…
+    s3c, rx3c = _mesh_scene()
+    for k_ in range(65):
+        ms = _MS(v2_, f2_, bsdf="mat")
+        s3c.add(ms)
+    assert supported(s3c.compile(use_bvh=False), rx3c)
+    # …but >64 DISTINCT (velocity, lobe) rows fall back with a reason
+    s3d, rx3d = _mesh_scene()
+    for k_ in range(65):
+        ms = _MS(v2_, f2_, bsdf="mat")
+        ms.velocity = np.asarray([0.1 * (k_ + 1), 0.0, 0.0], np.float32)
+        s3d.add(ms)
     why3 = []
-    assert not supported(s3b.compile(use_bvh=False), rx3b, why3)
-    assert any('velocit' in w for w in why3)
+    assert not supported(s3d.compile(use_bvh=False), rx3d, why3)
+    assert any('mesh-shape rows' in w for w in why3)
     # oversized ADC grids must be rejected with a reason; 2-D grids go
     # through the MXU dot_general splat (cap 32k cells), fast-time-only
     # grids through the unrolled reduce splat (cap 512)
@@ -647,6 +657,47 @@ def test_megakernel_multi_body_velocities():
     shift_bins = 2 * v_rad / c * f0 / bw
     assert int(spec2.argmax()) - int(spec1.argmax()) == pytest.approx(
         shift_bins, abs=1.5)
+
+
+def test_megakernel_rect_demotion():
+    """>MAX_PRIMS analytic scenes stay in the kernel: plain rects are
+    demoted into the triangle BVH (two exact world-space tris each, BSDF
+    and velocity via the per-shape table) instead of falling back to the
+    jnp wavefront.  Profile parity with the jnp path on a 70-rect clutter
+    scene."""
+    from beifong_tpu.receive import develop_signal
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.integrators.pallas_receive import MAX_PRIMS
+    import test_radar as TR
+
+    s, rx = TR._point_target_scene()
+    rng = np.random.default_rng(3)
+    for k in range(MAX_PRIMS + 6):
+        # small clutter plates scattered around/behind the target
+        x = float(rng.uniform(-2.5, 2.5))
+        z = float(rng.uniform(-2.0, 2.0))
+        y = float(rng.uniform(-9.0, -5.5))
+        m = np.asarray(tfm.compose(tfm.look_at([x, y, z], [0, 0, 0]),
+                                   tfm.scale(0.12)))
+        s.add(sh.rectangle(to_world=m, bsdf="mat"))
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=0, max_depth=1,
+                            time_sampling='gate', interpret=True)
+    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
+    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 13, max_depth=1,
+                    time_sampling='gate')
+    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    assert tp.sum() > 0
+    # main target peak identical; clutter band populated in both paths
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    far = np.arange(64) > int(tj.argmax()) + 4
+    assert tp[far].sum() > 0 and tj[far].sum() > 0
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
 def test_megakernel_specular_flash():
