@@ -80,14 +80,14 @@ def test_optical_depth_quadrature():
                                    box_max=(10, 10, 10))
     o = jnp.array([[0.0, 0.0, -5.0]])
     d = jnp.array([[0.0, 0.0, 1.0]])
-    tau = float(np.asarray(med.optical_depth(o, d, jnp.array([8.0]))))
+    tau = float(np.asarray(med.optical_depth(o, d, jnp.array([8.0])))[0])
     assert tau == pytest.approx(sigma * 8.0, rel=1e-5)
     g = np.zeros((8, 8, 8), np.float32)
     g[4:] = 2.0   # z > 0 half
     med2 = HeterogeneousMedium.make(g, box_min=(-10, -10, -10),
                                     box_max=(10, 10, 10))
     tau2 = float(np.asarray(med2.optical_depth(
-        o, d, jnp.array([10.0]), n_samples=64)))
+        o, d, jnp.array([10.0]), n_samples=64))[0])
     assert tau2 == pytest.approx(2.0 * 5.0, rel=0.05)
 
 
