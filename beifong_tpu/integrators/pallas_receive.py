@@ -215,9 +215,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         # receiver params
         rxm = [sp(2 + i) for i in range(12)]       # rx to_world 3x4 rows
         rx_wx, rx_wy = sp(14), sp(15)              # |cols| (aperture)
-        # mixer LO waveform (sp 33..38; only read in mixer mode)
+        # LO waveform (sp 33..38) + its f64-derived phase constants
+        # (sp 39/40): frac(fc_ref * PRI_lo) and lo_fc - fc_ref — the same
+        # host-side pivots the tx table carries, for coherent dechirp
         lo = dict(wf=sp(33), amp=sp(34), prf=sp(35), text=sp(36),
-                  fc=sp(37), fext=sp(38))
+                  fc=sp(37), fext=sp(38), fcpri=sp(39), dfc=sp(40))
         # transmitter tables: per-tx scalars (statically unrolled over t)
         txs = []
         for t in range(n_tx):
@@ -302,6 +304,23 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 jj = m_r - m_e - k_pri
                 tm_r = tm_e + dtot / cvel - jj * pri
                 cyc = cyc - _h_cyc(tx, tm_r) + m_r * tx['fcpri']
+            elif has_lo:
+                # dechirp against the receiver's OWN LO (mirrors
+                # radar_path._echo_phase's lo_wf branch): fold t_recv by
+                # the LO PRI; when the dechirp is matched (delay + tm_e
+                # lands a whole number of LO PRIs from t_recv) rebuild the
+                # fold from the delay so h_lo sees a cancellation-free
+                # argument
+                pri_lo = 1.0 / jnp.maximum(lo['prf'], 1e-12)
+                m_r = jnp.floor(t_recv * lo['prf'])
+                tm_r0 = t_recv - m_r * pri_lo
+                tau = dtot / cvel
+                jr = (tau + tm_e - tm_r0) * lo['prf']
+                jj = jnp.round(jr)
+                tm_hp = tm_e + tau - jj * pri_lo
+                use_hp = jnp.abs(jr - jj) < 1e-3
+                tm_r = jnp.where(use_hp, tm_hp, tm_r0)
+                cyc = cyc - _h_cyc(lo, tm_r) + m_r * lo['fcpri']
             return TWO_PI * (cyc - jnp.floor(cyc))
 
         # ------------------------------------------------------------------
@@ -1610,7 +1629,7 @@ def _pack_scene(scene, rx, shape_idx):
         rx_hx = float(np.abs(locs[:, 0]).max()) + float(np.asarray(rx.elem_wid)[0])
         rx_hy = float(np.abs(locs[:, 1]).max()) + float(np.asarray(rx.elem_wid)[1])
 
-    params = np.zeros(40, np.float32)
+    params = np.zeros(44, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -1631,6 +1650,12 @@ def _pack_scene(scene, rx, shape_idx):
         params[36] = float(np.asarray(lo_wf.t_ext).reshape(-1)[0])
         params[37] = float(np.asarray(lo_wf.f_centre).reshape(-1)[0])
         params[38] = float(np.asarray(lo_wf.f_ext).reshape(-1)[0])
+        # coherent dechirp pivots (f64 host-side, as for the tx table)
+        pri_lo32 = np.float32(1.0 / max(np.float32(params[35]),
+                                        np.float32(1e-12)))
+        params[39] = np.float32(np.float64(fc_ref) * np.float64(pri_lo32)
+                                % 1.0)
+        params[40] = np.float32(np.float64(params[37]) - np.float64(fc_ref))
 
     if sd.medium is not None:
         from ..media import HomogeneousMedium
@@ -1988,9 +2013,6 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
      tex_dev, prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_types,
      moving, absorbing, mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
-    if coherent and rx.receive_type == 'mixer':
-        raise ValueError("coherent mixer receive is outside the "
-                         "megakernel's scope (jnp wavefront only)")
     if polarized and coherent:
         raise ValueError("polarized + coherent is outside the megakernel's "
                          "scope (jnp wavefront only)")

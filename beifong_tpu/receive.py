@@ -154,10 +154,7 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
         why: list = []
         rx_chk = receiver or scene.receivers[0]
         on_cpu = jax.default_backend() == 'cpu'
-        if coherent and rx_chk.receive_type == 'mixer':
-            why.append('coherent mixer (no in-kernel dechirp phase)')
-            ok_k = False
-        elif on_cpu and use_pallas == 'auto':
+        if on_cpu and use_pallas == 'auto':
             # Mosaic compiles for TPU only; interpret mode is a debugging
             # path, not a fast one — 'auto' on CPU stays on the jnp
             # wavefront (use_pallas=True forces interpret mode instead)

@@ -101,7 +101,6 @@ run("bitmap16x16", s, rx)
 s, rx, _ = base_scene()
 s.add(tex_mod.bitmap("bmp", img))
 s.add(tex_mod.checkerboard("chk", color0=1.0, color1=0.4, scale_uv=(4, 4)))
-mat_seen = False
 for b in s.bsdfs:
     if b.id == "mat":
         b.texture = "bmp"
@@ -109,5 +108,35 @@ tgt2 = np.asarray(tf.compose(tf.look_at([1.2, -3.4, 0], [0, 0, 0]),
                              tf.scale(0.4)))
 s.add(sh.rectangle(to_world=tgt2, bsdf="metal"))
 run("bitmap+mirror", s, rx)
+
+# 4) rect demotion: 70 clutter rects -> BVH (mesh path, deduped rows)
+s, rx, _ = base_scene()
+rng = np.random.default_rng(0)
+for k in range(70):
+    m = np.asarray(tf.compose(
+        tf.look_at([float(rng.uniform(-2.5, 2.5)),
+                    float(rng.uniform(-9.0, -5.5)),
+                    float(rng.uniform(-2.0, 2.0))], [0, 0, 0]),
+        tf.scale(0.12)))
+    s.add(sh.rectangle(to_world=m, bsdf="mat"))
+run("demotion70", s, rx)
+
+# 5) multi-body meshes: two bodies, distinct velocity + lobe rows
+from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+from beifong_tpu.bsdf import rough_conductor
+s, rx, _ = base_scene()
+s.add(rough_conductor("rc", specular_reflectance=1.0, alpha=0.3,
+                      eta=1.5, k=3.0, twosided=True))
+v, fc_ = make_grid(9, 9)
+v = np.asarray(v, np.float32)
+m1 = np.asarray(tf.compose(tf.look_at([0, -6.0, 1.5], [0, 0, 0]),
+                           tf.scale(0.6)))
+spec = MeshSpec(v, np.asarray(fc_), bsdf="rc", to_world=m1)
+spec.velocity = np.asarray([0.0, 3.0, 0.0], np.float32)
+s.add(spec)
+m2 = np.asarray(tf.compose(tf.look_at([0, -7.0, -1.5], [0, 0, 0]),
+                           tf.scale(0.6)))
+s.add(MeshSpec(v, np.asarray(fc_), bsdf="mat", to_world=m2))
+run("multibody", s, rx)
 
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)

@@ -1178,10 +1178,36 @@ def test_megakernel_mixer_beat():
     assert abs(f_peak - f_beat_expect) < 3 * bin_w, (
         f"kernel mixer beat at {f_peak:.1f} Hz, "
         f"expected {f_beat_expect:.1f} Hz")
-    # coherent mixer is refused (no in-kernel dechirp phase)
-    with pytest.raises(ValueError):
-        receive_pallas(s, sd, rx, spp=1 << 10, seed=0, max_depth=2,
-                       time_sampling='fixed', interpret=True, coherent=True)
+    # coherent mixer now runs in-kernel: dechirp phase against the
+    # packed LO (sp 39/40 pivots, mirrors _echo_phase's lo branch).
+    # The peak-bin phase is MC-noisy (residual dechirp phases average
+    # over the window), so pin the PHYSICS with common random numbers:
+    # a quarter-wavelength target shift flips the beat phase by ~pi.
+    from beifong_tpu.receive import receive as _receive, develop_signal
+
+    def iq_at_peak(dr):
+        s2, rx2, _ = TR._fmcw_scene('mixer', dR=dr)
+        sd2 = s2.compile()
+        outc, _nc = receive_pallas(s2, sd2, rx2, spp=1 << 14, seed=3,
+                                   max_depth=2, time_sampling='fixed',
+                                   interpret=True, coherent=True)
+        iq = np.asarray(outc)
+        z = (iq[..., 0] + 1j * iq[..., 1]).sum(axis=0)
+        # jnp path peaks in the same beat bin
+        a, n2 = _receive(s2, sd2, rx2, seed=11, spp=1 << 13, max_depth=2,
+                         time_sampling='fixed', coherent=True)
+        g = np.asarray(develop_signal(a, n2, rx2.adc))
+        zj = (g[..., 0] + 1j * g[..., 1]).sum(axis=0)
+        pk = int(np.abs(z).argmax())
+        assert abs(pk - int(np.abs(zj).argmax())) <= 2
+        return z[pk]
+
+    band_c, f0 = 340.0, 40e3
+    lam = band_c / f0
+    z0 = iq_at_peak(0.0)
+    z1 = iq_at_peak(lam / 4)           # 2*dR = lam/2 -> pi flip
+    dphi = abs(np.angle(z1 * np.conj(z0)))
+    assert abs(dphi - np.pi) < 0.6, dphi
 
 
 def test_megakernel_raw_resample_lo():

@@ -272,9 +272,10 @@ def test_doppler_shift_moving_target():
         f"peak {f_peak:.0f} Hz, expected {40e3 + f_shift:.0f} Hz")
 
 
-def _fmcw_scene(receive_type, resample_tx=True):
-    """Shared FMCW point-target scene for receive-type tests."""
-    R = 6.0
+def _fmcw_scene(receive_type, resample_tx=True, dR=0.0):
+    """Shared FMCW point-target scene for receive-type tests.
+    `dR` nudges the target range (sub-wavelength coherent-phase tests)."""
+    R = 6.0 + dR
     band = Band.from_freq(C, 40e3, 4e3)
     chirp_len, sweep = 0.09, 2e3
     s = sc.Scene(band=band)
