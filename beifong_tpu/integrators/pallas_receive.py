@@ -219,7 +219,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         # (sp 39/40): frac(fc_ref * PRI_lo) and lo_fc - fc_ref — the same
         # host-side pivots the tx table carries, for coherent dechirp
         lo = dict(wf=sp(33), amp=sp(34), prf=sp(35), text=sp(36),
-                  fc=sp(37), fext=sp(38), fcpri=sp(39), dfc=sp(40))
+                  fc=sp(37), fext=sp(38), fcpri=sp(39), dfc=sp(40),
+                  phi0=sp(41))
         # transmitter tables: per-tx scalars (statically unrolled over t)
         txs = []
         for t in range(n_tx):
@@ -233,6 +234,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 dfc=tx_ref[t, 23],     # wf_fc - fc_ref (exact f64 diff)
                 vel=(tx_ref[t, 24], tx_ref[t, 25], tx_ref[t, 26]),
                 ek=tx_ref[t, 27],      # endpoint kind: wigner / area
+                phi0=tx_ref[t, 28],    # waveform phase offset [rad]
             ))
 
         def inst_freq(tx, t):
@@ -297,13 +299,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             m_e = jnp.floor(t_emit * tx['prf'])
             tm_e = t_emit - m_e * pri
             ct = _frac_cycles(sp(17), dtot) + dtot * sp(18)
-            cyc = _h_cyc(tx, tm_e) - (ct - jnp.floor(ct)) \
+            cyc = tx['phi0'] * (1.0 / TWO_PI) \
+                + _h_cyc(tx, tm_e) - (ct - jnp.floor(ct)) \
                 - (m_e + k_pri) * tx['fcpri']
             if mix:
+                # LO = the tx chirp itself, phi0 included (cancels the
+                # emission-side phi0 added above)
                 m_r = jnp.floor(t_recv * tx['prf'])
                 jj = m_r - m_e - k_pri
                 tm_r = tm_e + dtot / cvel - jj * pri
-                cyc = cyc - _h_cyc(tx, tm_r) + m_r * tx['fcpri']
+                cyc = cyc - tx['phi0'] * (1.0 / TWO_PI) \
+                    - _h_cyc(tx, tm_r) + m_r * tx['fcpri']
             elif has_lo:
                 # dechirp against the receiver's OWN LO (mirrors
                 # radar_path._echo_phase's lo_wf branch): fold t_recv by
@@ -320,7 +326,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 tm_hp = tm_e + tau - jj * pri_lo
                 use_hp = jnp.abs(jr - jj) < 1e-3
                 tm_r = jnp.where(use_hp, tm_hp, tm_r0)
-                cyc = cyc - _h_cyc(lo, tm_r) + m_r * lo['fcpri']
+                cyc = cyc - lo['phi0'] * (1.0 / TWO_PI) \
+                    - _h_cyc(lo, tm_r) + m_r * lo['fcpri']
             return TWO_PI * (cyc - jnp.floor(cyc))
 
         # ------------------------------------------------------------------
@@ -974,9 +981,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             bitmap's true width are zero-padded so the full-width contract
             is exact."""
             Wp = tex_ref.shape[1]
-            tex_tile = tex_ref[off:off + H, :]
+            # slice the full 8-row-padded block: pad rows are zeros and
+            # the row one-hot never selects them (iy <= H-1), so the
+            # sublane-aligned slice is free and Mosaic-safe
+            Hp = ((H + 7) // 8) * 8
+            tex_tile = tex_ref[off:off + Hp, :]
             iota_h = jax.lax.broadcasted_iota(
-                jnp.int32, (H, LANE), 0).astype(jnp.float32)
+                jnp.int32, (Hp, LANE), 0).astype(jnp.float32)
             iota_w = jax.lax.broadcasted_iota(
                 jnp.int32, (Wp, LANE), 0).astype(jnp.float32)
             iota_s = jax.lax.broadcasted_iota(
@@ -1002,17 +1013,22 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  live=None if depth == 0 else active)
             if any_bmp:
                 # fold the winning bitmap texel into the reflectance
-                # (mirrors texture_eval: nearest, u%1 * W clipped)
+                # (mirrors texture_eval: nearest, u%1 * W clipped); prims
+                # sharing one texture share ONE gather under an OR mask
+                groups = {}
                 for p in range(len(prim_kinds)):
-                    if prim_tex[p] != 2:
-                        continue
-                    off_p, H_p, W_p = bmp_meta[p]
+                    if prim_tex[p] == 2:
+                        groups.setdefault(bmp_meta[p], []).append(p)
+                for (off_p, H_p, W_p), ps in groups.items():
                     ix = jnp.minimum(jnp.floor(bub * float(W_p)),
                                      float(W_p - 1))
                     iy = jnp.minimum(jnp.floor(bvb * float(H_p)),
                                      float(H_p - 1))
                     tval = _bitmap_fetch(off_p, H_p, W_p, iy, ix)
-                    refl = jnp.where(bpid == float(p), refl * tval, refl)
+                    here = bpid == float(ps[0])
+                    for p in ps[1:]:
+                        here = here | (bpid == float(p))
+                    refl = jnp.where(here, refl * tval, refl)
             active = active & hit
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
@@ -1467,7 +1483,8 @@ def _pack_scene(scene, rx, shape_idx):
     shapes = sd.shapes
     n = int(shapes.kind.shape[0])
     demote = _demoted_rects(sd)
-    keep = [i for i in range(n) if i not in set(demote)]
+    dset = set(demote)
+    keep = [i for i in range(n) if i not in dset]
     prim = np.zeros((len(keep), 28), np.float32)
     kind_np = np.asarray(shapes.kind)
     to_obj = np.asarray(shapes.to_object)
@@ -1548,7 +1565,7 @@ def _pack_scene(scene, rx, shape_idx):
     # frac(fc_ref*PRI_f32) and the exact carrier offset wf_fc - fc_ref)
     fc_ref = 0.5 * (sd.band.freq_min + sd.band.freq_max)
     n_tx = tx.n
-    txp = np.zeros((n_tx, 28), np.float32)
+    txp = np.zeros((n_tx, 32), np.float32)
     tx_vel = np.asarray(tx.velocity)
     wf = tx.wf
     for t in range(n_tx):
@@ -1572,6 +1589,7 @@ def _pack_scene(scene, rx, shape_idx):
         txp[t, 23] = np.float32(np.float64(txp[t, 20]) - np.float64(fc_ref))
         txp[t, 24:27] = tx_vel[t]
         txp[t, 27] = float(np.asarray(tx.kind).reshape(-1)[t])
+        txp[t, 28] = float(np.asarray(wf.phi0).reshape(-1)[t])
 
     # phased-array pair table: (n_tx, 2 + 6*K) — element half-widths, then
     # per virtual pair (mid_s, mid_t, base_s, base_t, psi, valid)
@@ -1656,6 +1674,7 @@ def _pack_scene(scene, rx, shape_idx):
         params[39] = np.float32(np.float64(fc_ref) * np.float64(pri_lo32)
                                 % 1.0)
         params[40] = np.float32(np.float64(params[37]) - np.float64(fc_ref))
+        params[41] = float(np.asarray(lo_wf.phi0).reshape(-1)[0])
 
     if sd.medium is not None:
         from ..media import HomogeneousMedium
@@ -1806,7 +1825,7 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         t_hw = np.asarray(scene_data.textures.atlas_hw)
         b_of = np.asarray(scene_data.shapes.bsdf_idx)
         k_of = np.asarray(scene_data.shapes.kind)
-        bmp_rows = 0
+        bmp_used = set()   # texel rows count once per UNIQUE texture
         for si_ in range(len(b_of)):
             b = b_of[si_]
             if b < 0 or tex_idx[b] < 0:
@@ -1823,7 +1842,8 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
                 if h * w > MAX_BMP_TEXELS:
                     return no(f'bitmap texture {h}x{w} > {MAX_BMP_TEXELS} '
                               f'texels (one-hot gather cost)')
-                bmp_rows += ((h + 7) // 8) * 8
+                bmp_used.add(int(t_i))
+        bmp_rows = sum(((int(t_hw[t, 0]) + 7) // 8) * 8 for t in bmp_used)
         if bmp_rows > MAX_BMP_ROWS:
             return no(f'{bmp_rows} packed bitmap rows > {MAX_BMP_ROWS} '
                       f'(VMEM texel budget)')

@@ -119,6 +119,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                    time_sampling, max_depth, rx_kind, n_lanes, interpret,
                    coherent, has_mesh=has_mesh, mesh_types=mesh_types,
                    moving=moving, absorbing=absorbing, tx_kinds=tx_kinds,
+                   has_lo=rx.lo_waveform is not None,
                    bmp_meta=bmp_meta, tex=tex_r, msh=msh_r, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:

@@ -88,14 +88,15 @@ s0 = a[..., 0].sum()
 assert s0 > 0
 assert np.all(np.abs(a[..., 1:]).sum(0) <= a[..., 0].sum(0) * (1 + 1e-3))
 
-# 2) bitmap texture (one-hot MXU gather)
+# 2) bitmap texture (one-hot MXU gather) — deliberately NOT 8-row
+# aligned (12x9) to exercise the padded-block slice on hardware
 s, rx, _ = base_scene()
-img = np.random.default_rng(0).uniform(0.3, 1.0, (16, 16)).astype(np.float32)
+img = np.random.default_rng(0).uniform(0.3, 1.0, (12, 9)).astype(np.float32)
 s.add(tex_mod.bitmap("bmp", img))
 for b in s.bsdfs:
     if b.id == "mat":
         b.texture = "bmp"
-run("bitmap16x16", s, rx)
+run("bitmap12x9", s, rx)
 
 # 3) bitmap + checker + conductor in one scene (flag combination)
 s, rx, _ = base_scene()

@@ -963,6 +963,17 @@ def test_megakernel_bitmap_texture():
     why2 = []
     assert not supported(s2.compile(), rx2, why2)
     assert any('texel' in w for w in why2)
+    # many shapes SHARING one bitmap count its rows once (packing dedupes)
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    s3, rx3 = build(np.ones((72, 72), np.float32))
+    for k in range(8):
+        m = np.asarray(tfm.compose(
+            tfm.look_at([0.8 * k - 3, -7.0, 0], [0, 0, 0]),
+            tfm.scale(0.2)))
+        s3.add(sh.rectangle(to_world=m, bsdf="mat"))
+    why3 = []
+    assert supported(s3.compile(), rx3, why3), why3
 
 
 def test_megakernel_ambient_absorption():
@@ -1231,6 +1242,66 @@ def test_megakernel_raw_resample_lo():
     tj = np.asarray(develop_signal(a, n2, rx.adc)).sum(axis=0)[:, 0]
     assert tp.sum() > 0 and tj.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 2
+
+
+def test_megakernel_waveform_phi0():
+    """Waveform phase offset phi0 rides the kernel's coherent phase:
+    a pi/2 offset rotates the peak-bin IQ by pi/2 (parity with
+    radar_path.py:455's phi0 term), using common random numbers."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import receive as _receive, develop_signal
+    C, R = 340.0, 4.0
+    band = Band.from_freq(C, 40e3, 1e3)
+
+    def iq_at_peak(phi0):
+        s = sc.Scene(band=band)
+        s.add(diffuse("mat", reflectance=1.0, twosided=True))
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=1e3,
+                   is_delta=True, phi0=phi0)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        aim = np.asarray(tfm.compose(tfm.look_at([0, 0, 0], [0, -1, 0]),
+                                     tfm.scale([0.05, 0.05, 1.0])))
+        s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=39.5e3, freq_hi=40.5e3)
+        rx = wigner_receiver("rx", adc, receive_type='raw')
+        s.add(rx)
+        aim_rx = np.asarray(tfm.compose(tfm.look_at([0, -0.2, 0], [0, -4, 0]),
+                                        tfm.scale([0.05, 0.05, 1.0])))
+        s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+        tgt = np.asarray(tfm.compose(tfm.look_at([0, -R, 0], [0, 0, 0]),
+                                     tfm.scale(0.4)))
+        s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
+        sd = s.compile()
+        why = []
+        assert supported(sd, rx, why), why
+        out, _ = receive_pallas(s, sd, rx, spp=1 << 13, seed=5, max_depth=2,
+                                time_sampling='gate', interpret=True,
+                                coherent=True)
+        iq = np.asarray(out)
+        z = iq[:, 0, 0] + 1j * iq[:, 0, 1]
+        a, n2 = _receive(s, sd, rx, seed=7, spp=1 << 13, max_depth=2,
+                         time_sampling='gate', coherent=True)
+        g_ = np.asarray(develop_signal(a, n2, rx.adc))
+        zj = g_[:, 0, 0] + 1j * g_[:, 0, 1]
+        pk = int(np.abs(z).argmax())
+        assert abs(pk - int(np.abs(zj).argmax())) <= 1
+        return z[pk], zj[pk]
+
+    z0, zj0 = iq_at_peak(0.0)
+    z1, zj1 = iq_at_peak(np.pi / 2)
+    # kernel: phi0 rotates the echo by phi0 (common random numbers)
+    dphi = np.angle(z1 * np.conj(z0))
+    assert abs(dphi - np.pi / 2) < 0.3, dphi
+    # jnp path agrees on the same rotation
+    dphi_j = np.angle(zj1 * np.conj(zj0))
+    assert abs(dphi - dphi_j) < 0.3, (dphi, dphi_j)
 
 
 def test_megakernel_mirror_fresnel_amplitude():
