@@ -1264,9 +1264,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             if _ABLATE == 'nosplat':
                 for vals, yb, xb in contribs:
                     accs[0] = accs[0] + jnp.sum(vals[0])
-            elif n_freq == 1:
-                # fast-time-only grids: per-cell tent reductions, assembled
-                # by the supported (n_time,) -> (n_time, 1) minor-dim cast
+            elif n_freq == 1 and n_time <= MAX_ADC_CELLS \
+                    and n_time * max(len(txs), 1) <= MAX_SPLAT_TERMS:
+                # small fast-time-only grids: per-cell tent reductions,
+                # assembled by the supported (n_time,)->(n_time, 1) cast
+                # (larger 1-D grids take the MXU dot_general path below
+                # with a ones frequency factor — same arithmetic, no
+                # per-cell unroll)
                 cells_ch = [[] for _ in range(n_ch)]
                 for bt in range(n_time):
                     tots = [jnp.float32(0.0) for _ in range(n_ch)]
@@ -1299,8 +1303,14 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     for s_r in range(SUB):
                         A = jnp.maximum(
                             1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
-                        B = jnp.maximum(
-                            1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f), 0.0)
+                        if n_freq == 1:
+                            # single freq bin catches everything (the
+                            # unrolled path applies no freq tent either)
+                            B = jnp.ones((1, LANE), jnp.float32)
+                        else:
+                            B = jnp.maximum(
+                                1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f),
+                                0.0)
                         for ch in range(n_ch):
                             accs[ch] = accs[ch] + jax.lax.dot_general(
                                 A * vals[ch][s_r:s_r + 1, :], B, dnum,
@@ -1741,8 +1751,11 @@ def _pack_scene(scene, rx, shape_idx):
 # intersector unrolls over prims, so both directly scale compile time /
 # Mosaic program size.  Oversized scenes fall back to the jnp wavefront with
 # a logged reason instead of compile-bombing.
-MAX_ADC_CELLS = 512       # n_freq == 1: per-cell unrolled tent reductions
-MAX_ADC_CELLS_MXU = 32768  # n_freq > 1: dot_general splat (VMEM acc bound)
+MAX_ADC_CELLS = 512       # small n_freq == 1: per-cell unrolled reductions
+MAX_ADC_CELLS_MXU = 32768  # dot_general splat (VMEM accumulator bound)
+# the MXU splat materialises (n_time, LANE) tent + iota tiles in VMEM;
+# bound the fast-time extent so they stay a few MB (8192*128*4B = 4 MB each)
+MAX_SPLAT_ROWS = 8192
 # measured on v5e (depth 2, 1M lanes): 24 prims -> 9.6s compile / 98M
 # samples/s, 40 -> 13.6s / 84M, 64 -> 21s / 75M — linear compile growth,
 # still ~30x the jnp fallback at the cap
@@ -1864,19 +1877,18 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
             return no('heterogeneous medium (kernel models homogeneous '
                       'ambient absorption only)')
     cells = rx.adc.n_time * rx.adc.n_freq
-    if rx.adc.n_freq == 1:
-        # fast-time-only grids use the unrolled per-cell reduce splat
-        if cells > MAX_ADC_CELLS:
+    if rx.adc.n_freq == 1 and cells <= MAX_ADC_CELLS \
+            and cells * tx.n <= MAX_SPLAT_TERMS:
+        pass  # small fast-time-only grids: unrolled per-cell reduce splat
+    else:
+        # everything else splats via dot_general on the MXU — bounds are
+        # the VMEM accumulator and the (n_time, LANE) tent/iota tiles
+        if cells > MAX_ADC_CELLS_MXU:
             return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
-                      f'cells > {MAX_ADC_CELLS} (unrolled splat would '
-                      f'compile-bomb)')
-        if cells * tx.n > MAX_SPLAT_TERMS:
-            return no(f'ADC cells x transmitters = {cells * tx.n} > '
-                      f'{MAX_SPLAT_TERMS} (unrolled splat terms)')
-    elif cells > MAX_ADC_CELLS_MXU:
-        # 2-D grids splat via dot_general: bound is the VMEM accumulator
-        return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
-                  f'cells > {MAX_ADC_CELLS_MXU} (MXU splat VMEM bound)')
+                      f'cells > {MAX_ADC_CELLS_MXU} (MXU splat VMEM bound)')
+        if rx.adc.n_time > MAX_SPLAT_ROWS:
+            return no(f'ADC fast-time extent {rx.adc.n_time} > '
+                      f'{MAX_SPLAT_ROWS} (MXU splat tent-tile VMEM bound)')
     kind_all = np.asarray(scene_data.shapes.kind)
     n_prims = int(np.isin(kind_all, (RECTANGLE, SPHERE)).sum()) - len(demote)
     if n_prims > MAX_PRIMS:

@@ -140,4 +140,12 @@ m2 = np.asarray(tf.compose(tf.look_at([0, -7.0, -1.5], [0, 0, 0]),
 s.add(MeshSpec(v, np.asarray(fc_), bsdf="mat", to_world=m2))
 run("multibody", s, rx)
 
+# 6) large fast-time-only grid (1024 bins): 1-D MXU dot_general splat
+# with the ones frequency factor (past the 512-cell unroll cap)
+import dataclasses as dc
+s, rx, _ = base_scene()
+rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024))
+s.receivers[0] = rx
+run("adc1024x1", s, rx)
+
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)

@@ -34,6 +34,32 @@ def test_megakernel_matches_jnp(kind):
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+def test_megakernel_large_1d_adc_mxu_splat():
+    """Fast-time-only grids past the 512-cell unroll cap ride the MXU
+    dot_general splat (freq factor == 1): a 1024-bin run coarsened 16x
+    must reproduce the 64-bin unrolled run bin-for-bin (identical draws,
+    only the splat path differs — tent width is the one divergence)."""
+    import dataclasses as dc
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+    rx_big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024))
+    assert supported(sd, rx_big)
+    out_b, nb = receive_pallas(s, sd, rx_big, spp=1 << 13, seed=11,
+                               max_depth=2, time_sampling='gate',
+                               interpret=True)
+    out_s, ns = receive_pallas(s, sd, rx, spp=1 << 13, seed=11,
+                               max_depth=2, time_sampling='gate',
+                               interpret=True)
+    assert nb == ns
+    coarse = np.asarray(out_b)[:, 0].reshape(64, 16).sum(axis=1)
+    fine = np.asarray(out_s)[:, 0]
+    assert coarse.sum() == pytest.approx(fine.sum(), rel=1e-3)
+    pk = int(fine.argmax())
+    assert abs(int(coarse.argmax()) - pk) <= 1
+    lo, hi = max(pk - 2, 0), pk + 3
+    assert coarse[lo:hi].sum() == pytest.approx(fine[lo:hi].sum(), rel=0.05)
+
+
 def test_megakernel_deterministic_and_scales():
     s, rx = g._build_scene(ground=False, rx_kind="omni")
     sd = s.compile()
@@ -113,20 +139,24 @@ def test_supported_gates():
     why3 = []
     assert not supported(s3d.compile(use_bvh=False), rx3d, why3)
     assert any('mesh-shape rows' in w for w in why3)
-    # oversized ADC grids must be rejected with a reason; 2-D grids go
-    # through the MXU dot_general splat (cap 32k cells), fast-time-only
-    # grids through the unrolled reduce splat (cap 512)
+    # oversized ADC grids must be rejected with a reason; all grids past
+    # the small unrolled 1-D case go through the MXU dot_general splat
+    # (caps: 32k cells / 8192 fast-time rows)
     import dataclasses as dc
     big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024, n_freq=1))
+    assert supported(sd, big)     # 1-D past 512 now rides the MXU splat
+    big1b = dc.replace(rx, adc=dc.replace(rx.adc, n_time=16384, n_freq=1))
     why = []
-    assert not supported(sd, big, why)
-    assert any('cells' in w for w in why)
+    assert not supported(sd, big1b, why)
+    assert any('fast-time extent' in w for w in why)
     big2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
     why = []
     assert not supported(sd, big2, why)
     assert any('cells' in w for w in why)
     ok2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=64, n_freq=128))
     assert supported(sd, ok2)
+    ok3 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=8192, n_freq=1))
+    assert supported(sd, ok3)
 
 
 def test_receive_use_pallas_auto():
