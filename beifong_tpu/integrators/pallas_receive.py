@@ -100,7 +100,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
                  n_pairs: int = 1, n_rx_pairs: int = 1,
                  has_lo: bool = False, polarized: bool = False,
-                 bmp_meta: tuple = ()):
+                 bmp_meta: tuple = (), layered: int = 0):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -123,6 +123,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     with f_received = f_emitted * D); static scenes skip it entirely.
     absorbing: homogeneous ambient medium — per-segment exp(-sigma_t d)
     absorption (radar_path.py:233-236; sigma_t rides sp 29).
+    layered: K > 0 enables the z-stratified LayeredMedium instead —
+    exact two-gather optical depth tau = (T(z_b) - T(z_a)) / d_z with
+    T(z) a K-term ReLU sum (media.LayeredMedium.tau_z); z_min/dz ride
+    sp 43/44, step coefficients c_0..c_{K-1} ride sp 45..44+K.
     tx_kinds: static per-tx endpoint kind (wigner / phased / area) — picks
     the aperture-gain branch at trace time; phased arrays unroll the
     cross-WDF pair sum (radar/wigner.py::phased_aperture_gain,
@@ -329,6 +333,32 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 cyc = cyc - lo['phi0'] * (1.0 / TWO_PI) \
                     - _h_cyc(lo, tm_r) + m_r * lo['fcpri']
             return TWO_PI * (cyc - jnp.floor(cyc))
+
+        if layered:
+            # z-stratified medium: exact segment optical depth from the
+            # cumulative profile T(z) (media.LayeredMedium.tau_z) —
+            # c_0 linear + (K-1) ReLU step increments, all vector ops
+            z0l, dzl = sp(43), sp(44)
+
+            def _tau_z(z):
+                t = sp(45) * (z - z0l)
+                for i in range(1, layered):
+                    t = t + sp(45 + i) * jnp.maximum(
+                        z - (z0l + float(i) * dzl), 0.0)
+                return t
+
+            def _sigma_z(z):
+                s = jnp.zeros_like(z) + sp(45)
+                for i in range(1, layered):
+                    s = s + sp(45 + i) * jnp.where(
+                        z >= z0l + float(i) * dzl, 1.0, 0.0)
+                return s
+
+            def seg_tau(z_a, d_z, ln):
+                steep = jnp.abs(d_z) > 1e-5
+                dtau = (_tau_z(z_a + d_z * ln) - _tau_z(z_a)) \
+                    / jnp.where(steep, d_z, 1.0)
+                return jnp.where(steep, dtau, _sigma_z(z_a) * ln)
 
         # ------------------------------------------------------------------
         # receive-ray generation
@@ -1033,8 +1063,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             # clamp misses: 3.4e38 propagates inf/NaN through dead lanes
             tb = jnp.where(hit, tb, 1.0)
             plen = plen + jnp.where(active, tb, 0.0)
-            if absorbing:
+            if layered:
                 # ambient absorption along the segment (dead lanes: exp(0))
+                throughput = throughput * jnp.exp(
+                    -seg_tau(cz, ddz, jnp.where(active, tb, 0.0)))
+            elif absorbing:
                 throughput = throughput * jnp.exp(
                     -sp(29) * jnp.where(active, tb, 0.0))
             hx = cx + tb * ddx
@@ -1207,7 +1240,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                       & (txc < 0.0))
                 val = jnp.where(ok, throughput * f_cos * w_tx * w_gate
                                 / jnp.maximum(pdf_sa, 1e-30), 0.0)
-                if absorbing:
+                if layered:
+                    val = val * jnp.exp(-seg_tau(hz, wz_, dist))
+                elif absorbing:
                     val = val * jnp.exp(-sp(29) * dist)
 
                 if moving:
@@ -1657,7 +1692,7 @@ def _pack_scene(scene, rx, shape_idx):
         rx_hx = float(np.abs(locs[:, 0]).max()) + float(np.asarray(rx.elem_wid)[0])
         rx_hy = float(np.abs(locs[:, 1]).max()) + float(np.asarray(rx.elem_wid)[1])
 
-    params = np.zeros(44, np.float32)
+    params = np.zeros(45 + MAX_MEDIA_LAYERS, np.float32)
     params[0] = 0.0   # seed slot (set per call)
     params[1] = sd.band.c
     params[2:14] = rxm
@@ -1687,9 +1722,21 @@ def _pack_scene(scene, rx, shape_idx):
         params[41] = float(np.asarray(lo_wf.phi0).reshape(-1)[0])
 
     if sd.medium is not None:
-        from ..media import HomogeneousMedium
+        from ..media import HomogeneousMedium, LayeredMedium
         if isinstance(sd.medium, HomogeneousMedium):
             params[29] = float(np.asarray(sd.medium.sigma_t).reshape(-1)[0])
+        elif isinstance(sd.medium, LayeredMedium):
+            # z-stratified profile: K at 42 (host-read static flag),
+            # z_min/dz at 43/44, step coefficients c_0..c_{K-1} at 45..
+            med = sd.medium
+            k_lay = med.n_layers
+            sig = np.asarray(med.sigma, np.float64).reshape(-1)
+            params[42] = float(k_lay)
+            params[43] = float(np.asarray(med.z_min))
+            params[44] = (float(np.asarray(med.z_max))
+                          - float(np.asarray(med.z_min))) / k_lay
+            params[45] = sig[0]
+            params[46:45 + k_lay] = sig[1:] - sig[:-1]
 
     mesh_pack = None
     msh = np.zeros((1, 8), np.float32)
@@ -1767,6 +1814,7 @@ MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
 MAX_BMP_ROWS = 512       # total packed rows across bitmaps
 MAX_MESH_SHAPES = 64     # per-shape unroll after the BVH walk
+MAX_MEDIA_LAYERS = 32    # layered-medium ReLU terms per tau evaluation
 
 
 def supported(scene_data, rx, reason: list | None = None) -> bool:
@@ -1872,10 +1920,14 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     elif rx.kind not in (RX_WIGNER, RX_OMNI):
         return no(f'unknown receiver kind {rx.kind}')
     if scene_data.medium is not None:
-        from ..media import HomogeneousMedium
-        if not isinstance(scene_data.medium, HomogeneousMedium):
-            return no('heterogeneous medium (kernel models homogeneous '
-                      'ambient absorption only)')
+        from ..media import HomogeneousMedium, LayeredMedium
+        if isinstance(scene_data.medium, LayeredMedium):
+            if scene_data.medium.n_layers > MAX_MEDIA_LAYERS:
+                return no(f'{scene_data.medium.n_layers} medium layers > '
+                          f'{MAX_MEDIA_LAYERS} (unrolled tau terms)')
+        elif not isinstance(scene_data.medium, HomogeneousMedium):
+            return no('3-D gridded medium (kernel models homogeneous or '
+                      'z-layered ambient absorption only)')
     cells = rx.adc.n_time * rx.adc.n_freq
     if rx.adc.n_freq == 1 and cells <= MAX_ADC_CELLS \
             and cells * tx.n <= MAX_SPLAT_TERMS:
@@ -1905,7 +1957,7 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_types', 'moving', 'absorbing', 'tx_kinds',
-    'has_lo', 'polarized', 'bmp_meta'))
+    'has_lo', 'polarized', 'bmp_meta', 'layered'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -1914,7 +1966,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          mesh_types: tuple = (), moving: bool = False,
          absorbing: bool = False, tx_kinds: tuple = (0,),
          has_lo: bool = False, polarized: bool = False,
-         bmp_meta: tuple = (), tex=None, msh=None,
+         bmp_meta: tuple = (), layered: int = 0, tex=None, msh=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
@@ -1949,7 +2001,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           absorbing=absorbing, tx_kinds=tx_kinds,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
                           has_lo=has_lo, polarized=polarized,
-                          bmp_meta=bmp_meta)
+                          bmp_meta=bmp_meta, layered=layered)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out, out_q, out_s2, out_s3, cnt = pl.pallas_call(
         kernel,
@@ -2040,10 +2092,11 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             mesh_types,
             moving,
             bool(params[29] > 0.0),
+            int(params[42]),
             mesh_pack)
     (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, msh_dev,
      tex_dev, prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_types,
-     moving, absorbing, mesh_pack) = cache[ck]
+     moving, absorbing, layered, mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     if polarized and coherent:
         raise ValueError("polarized + coherent is outside the megakernel's "
@@ -2072,7 +2125,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         moving=moving, absorbing=absorbing,
         tx_kinds=tx_kinds,
         has_lo=rx.lo_waveform is not None, polarized=polarized,
-        bmp_meta=bmp_meta, tex=tex_dev, msh=msh_dev, **mesh_kw)
+        bmp_meta=bmp_meta, layered=layered, tex=tex_dev, msh=msh_dev,
+        **mesh_kw)
     if polarized:
         return jnp.stack([out, out_q, out_s2, out_s3], axis=-1), n_lanes
     if coherent:

@@ -194,6 +194,96 @@ class HeterogeneousMedium:
         return t, hit
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LayeredMedium:
+    """z-stratified ambient medium: piecewise-constant sigma_t over K
+    equal-thickness layers spanning [z_min, z_max], constant-extended
+    outside.  The TPU-native specialization of the reference's gridded
+    heterogeneous medium (`src/media/heterogeneous.cpp`) for the dominant
+    radar/sonar case — a stratified atmosphere or water column — where
+    segment optical depth has the exact closed form
+
+        tau = (T(z_b) - T(z_a)) / d_z,   T(z) = int_{z_min}^{z} sigma dz
+
+    i.e. two evaluations of the cumulative profile instead of ray
+    marching.  T(z) is a K-term sum of ReLUs (c_0 linear + step
+    increments), branch-free and Mosaic-friendly, so the Pallas megakernel
+    supports this medium exactly (pallas_receive packs c_i into params).
+    """
+
+    sigma: jax.Array        # (K,) per-layer extinction [1/m], bottom-up
+    z_min: jax.Array        # () bottom of the layered span
+    z_max: jax.Array        # () top of the layered span
+    albedo: jax.Array
+    g: jax.Array
+
+    @staticmethod
+    def make(sigma, z_min=0.0, z_max=1.0, albedo=0.0,
+             g=0.0) -> "LayeredMedium":
+        return LayeredMedium(sigma=jnp.asarray(sigma, jnp.float32),
+                             z_min=jnp.float32(z_min),
+                             z_max=jnp.float32(z_max),
+                             albedo=jnp.float32(albedo), g=jnp.float32(g))
+
+    @property
+    def n_layers(self) -> int:
+        return int(self.sigma.shape[0])
+
+    def _edges_and_steps(self):
+        k = self.n_layers
+        dz = (self.z_max - self.z_min) / k
+        edges = self.z_min + dz * jnp.arange(k, dtype=jnp.float32)
+        steps = jnp.concatenate([self.sigma[:1],
+                                 self.sigma[1:] - self.sigma[:-1]])
+        return edges, steps
+
+    def tau_z(self, z):
+        """Cumulative optical depth T(z) = int_{z_min}^z sigma dz with
+        constant extension (linear tails) outside [z_min, z_max]."""
+        edges, steps = self._edges_and_steps()
+        # c0 term is linear (covers the below-z_min constant extension);
+        # the rest are ReLU step increments
+        t = steps[0] * (z - edges[0])
+        t = t + jnp.sum(steps[1:] * jnp.maximum(
+            z[..., None] - edges[1:], 0.0), axis=-1)
+        return t
+
+    def sigma_at(self, p):
+        """sigma_t at world points (n, 3) — depends on z only."""
+        z = p[..., 2]
+        edges, steps = self._edges_and_steps()
+        return steps[0] + jnp.sum(
+            steps[1:] * (z[..., None] >= edges[1:]), axis=-1)
+
+    def optical_depth(self, o, d, dist):
+        """Exact int sigma along o + t d, t in [0, dist): the two-gather
+        closed form, with the sigma(z_a)*L limit for near-horizontal
+        segments."""
+        z_a = o[..., 2]
+        d_z = d[..., 2]
+        z_b = z_a + d_z * dist
+        steep = jnp.abs(d_z) > 1e-5
+        dtau = (self.tau_z(z_b) - self.tau_z(z_a)) \
+            / jnp.where(steep, d_z, 1.0)
+        flat = self.sigma_at(o) * dist
+        return jnp.where(steep, dtau, flat)
+
+    def attenuation(self, o, d, dist):
+        """Uniform media API for the radar chain (see HomogeneousMedium)."""
+        return jnp.exp(-self.optical_depth(o, d, dist))
+
+    @property
+    def majorant(self):
+        return jnp.max(self.sigma)
+
+    def sample_distance(self, o, d, u_seq, max_dist):
+        """Delta-tracking free flight against the max-layer majorant
+        (same contract as HeterogeneousMedium.sample_distance)."""
+        return HeterogeneousMedium.sample_distance(self, o, d, u_seq,
+                                                   max_dist)
+
+
 def atmospheric_attenuation_db_per_km(freq_hz):
     """Rough clear-air absorption for MMW radar bands [dB/km] (ITU-like
     lookup: 35/77/94 GHz windows and the 60 GHz O2 peak)."""

@@ -81,6 +81,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                   or _np.abs(params[23:26]).max() > 0.0
                   or _np.abs(msh[:, 0:3]).max() > 0.0)
     absorbing = bool(params[29] > 0.0)
+    layered = int(params[42])
     tx_kinds = tuple(int(f) for f in _np.asarray(txp)[:, 27])
     from ..radar.endpoints import PHASED as _RX_PHASED
     if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
@@ -120,7 +121,8 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
                    coherent, has_mesh=has_mesh, mesh_types=mesh_types,
                    moving=moving, absorbing=absorbing, tx_kinds=tx_kinds,
                    has_lo=rx.lo_waveform is not None,
-                   bmp_meta=bmp_meta, tex=tex_r, msh=msh_r, **mesh_kw)
+                   bmp_meta=bmp_meta, layered=layered,
+                   tex=tex_r, msh=msh_r, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         for ax in axes:
             sig = jax.lax.psum(sig, ax)

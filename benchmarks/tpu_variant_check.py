@@ -140,7 +140,14 @@ m2 = np.asarray(tf.compose(tf.look_at([0, -7.0, -1.5], [0, 0, 0]),
 s.add(MeshSpec(v, np.asarray(fc_), bsdf="mat", to_world=m2))
 run("multibody", s, rx)
 
-# 6) large fast-time-only grid (1024 bins): 1-D MXU dot_general splat
+# 6) layered (z-stratified) ambient medium: unrolled ReLU tau terms
+from beifong_tpu.media import LayeredMedium
+s, rx, _ = base_scene()
+s.medium = LayeredMedium.make(
+    np.linspace(0.05, 0.0, 8).astype(np.float32), z_min=-2.0, z_max=2.0)
+run("layered8", s, rx)
+
+# 7) large fast-time-only grid (1024 bins): 1-D MXU dot_general splat
 # with the ones frequency factor (past the 512-cell unroll cap)
 import dataclasses as dc
 s, rx, _ = base_scene()
