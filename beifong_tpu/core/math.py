@@ -76,7 +76,15 @@ def sphdir(theta, phi):
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at 0 with a finite gradient for x <= 0.
+
+    The naive sqrt(maximum(x, 0)) back-propagates 0 * sqrt'(0) = NaN on
+    clamped lanes, poisoning geometry gradients (inverse rendering
+    differentiates through miss-lane discriminants); the double-where
+    keeps the forward value identical and the cotangent exactly 0 there.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
 
 
 def safe_rsqrt(x):

@@ -77,6 +77,56 @@ def test_optimize_recovers_reflectance():
     assert refl == pytest.approx(0.7, abs=0.05)
 
 
+def test_geometry_gradient_no_nan():
+    """Gradients through the INTERSECTOR (target position -> path delay ->
+    signal) are finite and informative.  Regression: safe_sqrt(max(x,0))
+    back-propagated 0*inf = NaN through miss-lane discriminants, so any
+    geometry gradient came out NaN."""
+    import dataclasses as dc
+    from beifong_tpu.geometry.intersect import closest_hit
+
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+
+    def with_dy(dy):
+        # slide the target (shape row 1): to_world AND the cached inverse
+        tw = sd.shapes.to_world.at[1, 1, 3].add(dy)
+        to = sd.shapes.to_object.at[1, :3, 3].add(
+            -sd.shapes.to_object[1, :3, 1] * dy)
+        return dc.replace(sd, shapes=dc.replace(sd.shapes, to_world=tw,
+                                                to_object=to))
+
+    o = jnp.asarray(np.tile([[-0.3, 0.0, 0.0]], (64, 1)), jnp.float32)
+    dn = np.zeros((64, 3), np.float32)
+    dn[:, 1] = -1.0
+    dn[:, 0] = np.linspace(-0.1, 0.1, 64)
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    d = jnp.asarray(dn)
+
+    def hit_t_sum(dy):
+        si = closest_hit(with_dy(dy).shapes, None, o, d)
+        t = si.t
+        return jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0))
+
+    grad_t = float(jax.grad(hit_t_sum)(jnp.float32(0.1)))
+    assert np.isfinite(grad_t), grad_t
+    # moving the target closer (dy > 0 moves +y, toward the sensors at
+    # y=0 from y=-4) shortens the hit distances
+    assert grad_t < 0.0, grad_t
+
+    # and through the full signal chain: finite, and the data-misfit
+    # gradient points back toward the true position
+    shape_idx = s.shape_index_of_endpoint('receiver', rx.id)
+    obs = _signal(with_dy(0.0), rx, shape_idx, n=16384, seed=1)
+
+    def loss(dy):
+        sig = _signal(with_dy(dy), rx, shape_idx, n=16384, seed=1)
+        return jnp.mean((sig - obs) ** 2)
+
+    g_dy = float(jax.grad(loss)(jnp.float32(0.05)))
+    assert np.isfinite(g_dy), g_dy
+
+
 def test_sgd_and_adam_steps():
     p = {'x': jnp.array([1.0, 2.0])}
     gr = {'x': jnp.array([0.5, -0.5])}
