@@ -82,6 +82,8 @@ def load_dict(d: dict, band: Band = ULTRASOUND_40K):
             _load_transmitter(scene, val, None)
         elif t in _RX_TYPES:
             _load_receiver(scene, val, None)
+        elif t in _MEDIUM_TYPES:
+            _load_medium(scene, val)
         else:
             raise ValueError(f"unknown scene object type {t!r} at key {key!r}")
 
@@ -119,6 +121,66 @@ _SENSOR_TYPES = {"perspective", "thinlens", "fluxmeter", "radiancemeter",
                  "irradiancemeter"}
 _TX_TYPES = {"wignertransmitter", "phasedtransmitter", "areatransmitter"}
 _RX_TYPES = {"wignerreceiver", "phasedreceiver", "omnidirectional"}
+_MEDIUM_TYPES = {"homogeneous", "layered", "heterogeneous"}
+
+
+def _medium_scalar(v, default=0.0) -> float:
+    """Coerce a loader value (float / {'type':'spectrum','value':x}) to a
+    scalar; multi-entry spectra collapse to their mean (band average)."""
+    if v is None:
+        return float(default)
+    if isinstance(v, dict):
+        val = v.get("value", default)
+        if isinstance(val, (list, tuple)):
+            return float(np.mean(val))
+        return float(val)
+    if isinstance(v, (list, tuple)):
+        return float(np.mean(v))
+    return float(v)
+
+
+def _load_medium(scene: Scene, val):
+    """Global ambient medium (reference `<medium>` tags,
+    `src/media/{homogeneous,heterogeneous}.cpp`).  The radar chain applies
+    it as per-segment path absorption; a nested `<phase type="hg">` sets g.
+
+    `layered` is this framework's stratified extension
+    (`media.LayeredMedium`): props `sigma` (list), `z_min`, `z_max`.
+    Gridded heterogeneous media need volume data — build them in Python
+    (`media.HeterogeneousMedium.make`) and set `scene.medium` directly.
+    """
+    from .. import media as media_mod
+    t = val["type"]
+    g = 0.0
+    for v in val.values():
+        if isinstance(v, dict) and v.get("type") == "hg":
+            g = _medium_scalar(v.get("g"), 0.0)
+    albedo = _medium_scalar(val.get("albedo"), 0.0)
+    if t == "homogeneous":
+        sigma_t = val.get("sigma_t")
+        if sigma_t is None:
+            # reference alternative parameterization: sigma_s + sigma_a
+            sigma_t = (_medium_scalar(val.get("sigma_s"), 0.0)
+                       + _medium_scalar(val.get("sigma_a"), 0.0))
+        else:
+            sigma_t = _medium_scalar(sigma_t)
+        scene.medium = media_mod.HomogeneousMedium.make(
+            sigma_t=sigma_t, albedo=albedo, g=g)
+    elif t == "layered":
+        sigma = val.get("sigma", 0.0)
+        if isinstance(sigma, dict):
+            sigma = sigma.get("value", 0.0)
+        if not isinstance(sigma, (list, tuple)):
+            sigma = [float(sigma)]
+        scene.medium = media_mod.LayeredMedium.make(
+            np.asarray(sigma, np.float32),
+            z_min=_medium_scalar(val.get("z_min"), 0.0),
+            z_max=_medium_scalar(val.get("z_max"), 1.0),
+            albedo=albedo, g=g)
+    else:
+        raise ValueError(
+            "heterogeneous medium needs gridded volume data: build "
+            "media.HeterogeneousMedium.make(...) and set scene.medium")
 
 
 def _integrator_meta(val):

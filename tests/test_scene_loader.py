@@ -93,6 +93,57 @@ def test_radar_dict_scene():
     assert int(sd.transmitters.resample[0])
 
 
+def test_medium_tags(tmp_path):
+    """<medium> tags load into scene.medium (reference homogeneous.cpp
+    props incl. the sigma_s + sigma_a parameterization and nested hg
+    phase); 'layered' is the stratified extension."""
+    from beifong_tpu.media import HomogeneousMedium, LayeredMedium
+    d = {
+        "type": "scene",
+        "mat": {"type": "diffuse", "reflectance": 1.0},
+        "tgt": {"type": "rectangle", "bsdf": {"type": "ref", "id": "mat"}},
+        "air": {"type": "homogeneous", "sigma_t": 0.25, "albedo": 0.1,
+                "_phase0": {"type": "hg", "g": 0.3}},
+    }
+    scene, _ = load_dict(d)
+    assert isinstance(scene.medium, HomogeneousMedium)
+    assert float(scene.medium.sigma_t) == pytest.approx(0.25)
+    assert float(scene.medium.g) == pytest.approx(0.3)
+
+    d["air"] = {"type": "homogeneous", "sigma_s": 0.2, "sigma_a": 0.05}
+    scene, _ = load_dict(d)
+    assert float(scene.medium.sigma_t) == pytest.approx(0.25)
+
+    d["air"] = {"type": "layered", "sigma": [0.0, 0.4, 0.0],
+                "z_min": -1.0, "z_max": 2.0}
+    scene, _ = load_dict(d)
+    assert isinstance(scene.medium, LayeredMedium)
+    assert scene.medium.n_layers == 3
+    assert float(scene.medium.z_max) == pytest.approx(2.0)
+
+    # XML form
+    xml = """<scene version="2.0.0">
+      <bsdf type="diffuse" id="mat"/>
+      <shape type="rectangle"><ref id="mat"/></shape>
+      <medium type="homogeneous" id="air">
+        <float name="sigma_t" value="0.1"/>
+        <phase type="hg"><float name="g" value="-0.2"/></phase>
+      </medium>
+    </scene>"""
+    p = tmp_path / "med.xml"
+    p.write_text(xml)
+    from beifong_tpu.io.scene_loader import load_xml
+    scene, _ = load_xml(str(p))
+    assert isinstance(scene.medium, HomogeneousMedium)
+    assert float(scene.medium.sigma_t) == pytest.approx(0.1)
+    assert float(scene.medium.g) == pytest.approx(-0.2)
+
+    import pytest as _pt
+    d["air"] = {"type": "heterogeneous"}
+    with _pt.raises(ValueError):
+        load_dict(d)
+
+
 def test_obj_ply_loaders(tmp_path):
     obj = tmp_path / "tri.obj"
     obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\nf 1 2 3\nf 2 4 3\n")
