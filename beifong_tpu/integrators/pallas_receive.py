@@ -1340,16 +1340,26 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                             1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
                         if n_freq == 1:
                             # single freq bin catches everything (the
-                            # unrolled path applies no freq tent either)
-                            B = jnp.ones((1, LANE), jnp.float32)
+                            # unrolled path applies no freq tent either).
+                            # NOT a ones-vector dot_general: Mosaic lowers
+                            # an (n,LANE)x(LANE,1) matmul to multi_reduction
+                            # and fuses the running acc as its init, which
+                            # it rejects ("only constant accumulators
+                            # supported", v5e). A keepdims lane-sum has a
+                            # constant zero init; the acc add stays a
+                            # separate vector op.
+                            for ch in range(n_ch):
+                                accs[ch] = accs[ch] + jnp.sum(
+                                    A * vals[ch][s_r:s_r + 1, :],
+                                    axis=1, keepdims=True)
                         else:
                             B = jnp.maximum(
                                 1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f),
                                 0.0)
-                        for ch in range(n_ch):
-                            accs[ch] = accs[ch] + jax.lax.dot_general(
-                                A * vals[ch][s_r:s_r + 1, :], B, dnum,
-                                preferred_element_type=jnp.float32)
+                            for ch in range(n_ch):
+                                accs[ch] = accs[ch] + jax.lax.dot_general(
+                                    A * vals[ch][s_r:s_r + 1, :], B, dnum,
+                                    preferred_element_type=jnp.float32)
 
             acc, acc_q, acc_s2, acc_s3 = accs
 
@@ -1799,7 +1809,13 @@ def _pack_scene(scene, rx, shape_idx):
 # Mosaic program size.  Oversized scenes fall back to the jnp wavefront with
 # a logged reason instead of compile-bombing.
 MAX_ADC_CELLS = 512       # small n_freq == 1: per-cell unrolled reductions
-MAX_ADC_CELLS_MXU = 32768  # dot_general splat (VMEM accumulator bound)
+# dot_general splat: the 4 (n_time, n_freq) f32 accumulators stay VMEM-
+# resident across the whole grid (constant-index output blocks), so cells
+# bound VMEM directly — 131072 cells = 512 KB/channel, 2 MB total, which
+# leaves the ~16 MB/core budget comfortable next to the ray block + tent
+# tiles.  512x256 range-Doppler grids verified on v5e hardware
+# (benchmarks/tpu_variant_check.py case 9).
+MAX_ADC_CELLS_MXU = 131072
 # the MXU splat materialises (n_time, LANE) tent + iota tiles in VMEM;
 # bound the fast-time extent so they stay a few MB (8192*128*4B = 4 MB each)
 MAX_SPLAT_ROWS = 8192

@@ -147,12 +147,26 @@ s.medium = LayeredMedium.make(
     np.linspace(0.05, 0.0, 8).astype(np.float32), z_min=-2.0, z_max=2.0)
 run("layered8", s, rx)
 
-# 7) large fast-time-only grid (1024 bins): 1-D MXU dot_general splat
-# with the ones frequency factor (past the 512-cell unroll cap)
+# 7) large fast-time-only grid (1024 bins): 1-D MXU splat (keepdims
+# lane-sum; past the 512-cell unroll cap)
 import dataclasses as dc
 s, rx, _ = base_scene()
 rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024))
 s.receivers[0] = rx
 run("adc1024x1", s, rx)
+
+# 8) 2-D grid at the MXU-splat cell cap (512x64 = 32768 cells):
+# dot_general with a real frequency tent factor at scale
+s, rx, _ = base_scene()
+rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=64))
+s.receivers[0] = rx
+a = run("adc512x64", s, rx)
+
+# 9) full range-Doppler-class grid (512x256 = 131072 cells): the cap-lift
+# candidate — VMEM residency 4 accs x 512KB + tent tiles ~2.4 MB total
+s, rx, _ = base_scene()
+rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
+s.receivers[0] = rx
+run("adc512x256", s, rx)
 
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)
