@@ -1,1 +1,1 @@
-from . import windows, fir, pulse, rangedoppler, resample, cfar  # noqa: F401
+from . import windows, fir, pulse, rangedoppler, resample, cfar, beamform  # noqa: F401

@@ -1957,6 +1957,13 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
         if rx.adc.n_time > MAX_SPLAT_ROWS:
             return no(f'ADC fast-time extent {rx.adc.n_time} > '
                       f'{MAX_SPLAT_ROWS} (MXU splat tent-tile VMEM bound)')
+        # the freq side of the splat builds its own (n_freq, LANE) iota/tent
+        # tiles — the same VMEM bound applies (an 1x131072 grid fits the cell
+        # cap yet would need a ~64 MB freq tile and die in Mosaic, not fall
+        # back)
+        if rx.adc.n_freq > MAX_SPLAT_ROWS:
+            return no(f'ADC freq extent {rx.adc.n_freq} > '
+                      f'{MAX_SPLAT_ROWS} (MXU splat freq-tile VMEM bound)')
     kind_all = np.asarray(scene_data.shapes.kind)
     n_prims = int(np.isin(kind_all, (RECTANGLE, SPHERE)).sum()) - len(demote)
     if n_prims > MAX_PRIMS:

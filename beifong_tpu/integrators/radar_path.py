@@ -36,17 +36,24 @@ from ..scene import SceneData
 
 
 def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
-               coherent: bool = False):
+               coherent: bool = False, elem_dphase=None):
     """Scatter one batch of connection events into the ADC grid.
 
     adc: (n_time, n_freq, C+2); t_off [s] receive-time offset; f_out [Hz].
     In coherent mode two channels (I, Q) accumulate sqrt(power)*e^{i phase}.
     `value` may be (n,) power or (n, C) multi-channel (polarized Stokes).
+    `elem_dphase`: (n, E) per-element phase offsets (MIMO receive) — the
+    splat then fills 2E channels [I_0, Q_0, I_1, Q_1, ...].
     """
     x = (f_out - cfg.freq_lo) / max(cfg.freq_hi - cfg.freq_lo, 1e-30) * cfg.n_freq
     y = t_off / cfg.sampling_time * cfg.n_time
     pos = jnp.stack([x, y], axis=-1)
-    if coherent:
+    if elem_dphase is not None:
+        amp = jnp.sqrt(jnp.maximum(value, 0.0))[:, None]
+        ph_e = phase[:, None] + elem_dphase
+        vals = jnp.stack([amp * jnp.cos(ph_e), amp * jnp.sin(ph_e)],
+                         -1).reshape(value.shape[0], -1)
+    elif coherent:
         amp = jnp.sqrt(jnp.maximum(value, 0.0))
         vals = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)], -1)
     elif value.ndim == 2:
@@ -134,13 +141,26 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
                         receive_type: str, lo_wf, rx_velocity,
                         max_depth: int = 4, coherent: bool = False,
                         time_sampling: str = 'fixed',
-                        polarized: bool = False):
+                        polarized: bool = False, elem_offsets=None):
     """Trace one wavefront of receive rays, splatting every transmitter
     connection into `adc`.  Returns (adc, stream).
 
     o, d: (n,3) receive ray; t_rx: (n,) absolute receive time [s];
     f_rx: (n,) sampled receive frequency [Hz]; ray_weight: (n,) receiver
     importance weight (aperture area/pdf terms).
+
+    elem_offsets: (E,3) world-frame receive-element offsets from the ray
+    origin (MIMO per-channel receive, BASELINE config 5; requires
+    `coherent=True`).  The adc then carries 2E channels — element e
+    accumulates the SAME path contribution with the extra phase of the
+    exact spherical wavefront at its position: every connection of a lane
+    shares the first path vertex x1, so the per-element path differs only
+    in its last segment, delta_e = |x1 - (o + r_e)| - |x1 - o| (reduces to
+    the plane-wave steering phase -k d.r_e in the far field).  This is the
+    per-element data the reference's phased receiver sums ANALOGUELY into
+    one ADC (`src/receivers/phasedreceiver.cpp:118-145,293`) — kept
+    per-channel here so digital beamforming (dsp/beamform.py) runs on the
+    cube.
 
     time_sampling:
       'fixed' — t_rx was drawn uniformly over the ADC window before tracing
@@ -178,6 +198,23 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
     si = scene.ray_intersect(o, d)
     active &= si.valid
     emission_weight = jnp.ones((n,), jnp.float32)
+
+    if elem_offsets is not None:
+        assert coherent, "MIMO per-element receive needs coherent=True"
+        # exact per-element last-segment path difference, anchored at the
+        # first path vertex (shared by every connection of the lane)
+        x1 = jnp.where(si.valid[:, None], si.p, o + d)
+        r0 = jnp.linalg.norm(x1 - o, axis=-1)
+        re = jnp.linalg.norm(x1[:, None, :] - (o[:, None, :]
+                                               + elem_offsets[None]), axis=-1)
+        elem_dd = re - r0[:, None]                       # (n, E) [m]
+    else:
+        elem_dd = None
+
+    def elem_dphase(f_recv):
+        if elem_dd is None:
+            return None
+        return -m.TwoPi * (f_recv / c)[:, None] * elem_dd
 
     t_off = t_rx - cfg.sampling_start
 
@@ -271,7 +308,8 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ok_hit = hit_tx & (val_hit != 0.0)
         adc = _adc_splat(adc, cfg, t_rx_hit - cfg.sampling_start,
                          bin_freq(f_recv_hit, t_rx_hit), val_hit,
-                         ok_hit, ph_hit, coherent)
+                         ok_hit, ph_hit, coherent,
+                         elem_dphase=elem_dphase(f_recv_hit))
 
         # -------- NEE toward transmitters --------
         bsdf_idx = scene.bsdf_of(si.shape_idx)
@@ -339,7 +377,8 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
             ok_nee = nee_ok & (val_nee != 0.0)
         adc = _adc_splat(adc, cfg, t_rx_nee - cfg.sampling_start,
                          bin_freq(f_recv_nee, t_rx_nee), val_nee,
-                         ok_nee, ph_nee, coherent)
+                         ok_nee, ph_nee, coherent,
+                         elem_dphase=elem_dphase(f_recv_nee))
 
         if depth == max_depth - 1:
             break

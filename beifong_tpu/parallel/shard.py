@@ -22,7 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.rng import SampleStream
 from ..radar.endpoints import (rx_sample_ray, rx_sample_frequency,
@@ -108,7 +108,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
 
     @functools.partial(shard_map, mesh=mesh,
                        in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
-                       out_specs=P(), check_rep=False)
+                       out_specs=P(), check_vma=False)
     def run(params_r, prim_r, txp_r, php_r, rxph_r, msh_r, tex_r, key_data):
         dev = jax.lax.axis_index(axes[0])
         if len(axes) > 1:
@@ -178,7 +178,7 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
         shard_map, mesh=mesh,
         in_specs=(P(), P('pulse'), P()),
         out_specs=P('pulse'),
-        check_rep=False)
+        check_vma=False)
     def run(scene_data, pulse_starts_shard, key_data):
         ray_idx = jax.lax.axis_index('ray')
         pulse_idx0 = jax.lax.axis_index('pulse')
@@ -194,6 +194,100 @@ def receive_sharded(scene_data, rx, shape_idx: int, lo_wf, mesh: Mesh, key,
         return jax.lax.psum(adcs, 'ray')
 
     return run(scene_data, pulse_starts, jax.random.key_data(key))
+
+
+# ---------------------------------------------------------------------------
+# MIMO channel sharding (BASELINE config 5: "channels sharded across hosts")
+# ---------------------------------------------------------------------------
+
+
+def make_mimo_mesh(chan: int, ray: int | None = None, devices=None) -> Mesh:
+    """('chan', 'ray') device mesh: receive-array elements shard over
+    'chan' (each device owns E/chan per-element signal chains), ray lanes
+    shard over 'ray' (partial accumulations psum-merge)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if ray is None:
+        ray = n // chan
+    assert chan * ray == n, f"mesh {chan}x{ray} != {n} devices"
+    import numpy as np
+    return Mesh(np.asarray(devices).reshape(chan, ray), ('chan', 'ray'))
+
+
+def receive_mimo_sharded(scene_host, scene_data, rx, mesh: Mesh,
+                         spp: int = 4096, seed: int = 0, max_depth: int = 3,
+                         sampler: str = 'independent',
+                         time_sampling: str = 'fixed'):
+    """MIMO receive with the ELEMENT (channel) axis sharded over the 'chan'
+    mesh axis: every device traces the same paths (same key across 'chan')
+    but splats only its own element subset's I/Q channels — the per-channel
+    signal chains then run device-local with zero communication, and
+    beamforming is the only cross-channel collective
+    (`beamform_das_sharded`).  Lanes additionally shard over 'ray'
+    (distinct fold per shard, psum merge).
+
+    A channel-only mesh (ray=1) is bit-identical to dense
+    `receive_mimo(seed=seed)` — the parity test for the sharding.
+
+    Returns (iq (E, n_time, n_freq, 2) float32 — sharded over 'chan' on
+    axis 0, total_samples).  `develop_mimo_iq` turns it into the complex
+    cube.
+    """
+    from ..receive import scene_mono, _HashableRx, _receive_mimo_pass
+    from ..radar.endpoints import rx_elem_offsets
+    import numpy as np
+    scene_data = scene_mono(scene_data)
+    shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
+    offs = np.asarray(rx_elem_offsets(scene_data, rx, shape_idx))
+    n_e = offs.shape[0]
+    n_chan = dict(zip(mesh.axis_names, mesh.devices.shape))['chan']
+    n_ray = dict(zip(mesh.axis_names, mesh.devices.shape))['ray']
+    assert n_e % n_chan == 0, f"{n_e} elements not divisible by chan={n_chan}"
+    e_loc = n_e // n_chan
+    lanes = max(1, spp // n_ray)
+    n_total_log2 = max(1, (lanes * n_ray - 1).bit_length())
+    rx_h = _HashableRx(rx)
+    cfg = rx.adc
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P('chan'), P()), out_specs=P('chan'),
+                       check_vma=False)
+    def run(sd, offs_local, key_data):
+        ridx = jax.lax.axis_index('ray')
+        k = jax.random.fold_in(jax.random.wrap_key_data(key_data), ridx)
+        adc = film_mod.film_new(cfg.n_time, cfg.n_freq, 2 * e_loc)
+        adc = _receive_mimo_pass(sd, rx_h, shape_idx, rx.lo_waveform, k,
+                                 jnp.uint32(0), adc, offs_local, lanes,
+                                 max_depth, sampler, n_total_log2,
+                                 time_sampling)
+        adc = jax.lax.psum(adc, 'ray')
+        iq = adc[..., :2 * e_loc].reshape(cfg.n_time, cfg.n_freq, e_loc, 2)
+        return jnp.moveaxis(iq, 2, 0)          # (e_loc, n_time, n_freq, 2)
+
+    iq = run(scene_data, jnp.asarray(offs, jnp.float32),
+             jax.random.key_data(jax.random.key(seed)))
+    return iq, lanes * n_ray
+
+
+def develop_mimo_iq(iq, total_samples, cfg):
+    """(E, n_time, n_freq, 2) I/Q planes -> normalized complex cube."""
+    scale = cfg.n_time / max(int(total_samples), 1)
+    return (iq[..., 0] + 1j * iq[..., 1]) * scale
+
+
+def beamform_das_sharded(iq_local, offs_local, directions, freq, c,
+                         axis_name: str = 'chan'):
+    """Delay-and-sum over a channel-sharded cube: each device forms the
+    partial beam sum of ITS elements, one psum over `axis_name` completes
+    it (runs inside shard_map; the only cross-channel collective in the
+    MIMO chain).  iq_local: (e_loc, n_time, n_freq, 2); returns complex
+    (A, n_time, n_freq) replicated."""
+    from ..dsp.beamform import steering_matrix
+    a = steering_matrix(offs_local, directions, freq, c)   # (A, e_loc)
+    cube = iq_local[..., 0] + 1j * iq_local[..., 1]
+    part = jnp.einsum('ae,etf->atf', jnp.conj(a), cube)
+    n_e = jax.lax.psum(jnp.asarray(a.shape[1], jnp.float32), axis_name)
+    return jax.lax.psum(part, axis_name) / n_e
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +347,7 @@ def pulse_train_pipeline(mesh: Mesh, signal_pulses, replica, n_fft: int = 0):
         shard_map, mesh=mesh,
         in_specs=(P('pulse', 'ray'), P()),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     def run(sig_local, h_freq):
         rc = overlap_save_sharded(sig_local, h_freq, n_fft, n_taps, 'ray')
         rc_full = jax.lax.all_gather(rc, 'ray', axis=-1, tiled=True)

@@ -540,6 +540,46 @@ def rx_aperture_weight(scene, rx_spec: ReceiverSpec, shape_idx: int,
     return rect_aperture_gain(scene.shapes, idxs, p, d, wavelength)
 
 
+def rx_array_frame(scene, rx_spec: ReceiverSpec, shape_idx: int):
+    """Aperture frame of the receive array: (origin, s_n, t_n, normal) —
+    normalized in-plane axes + outward normal, from the attached shape's
+    to_world (or the spec's own transform when free-standing)."""
+    if shape_idx >= 0:
+        tw = scene.shapes.to_world[shape_idx]
+    else:
+        tw = jnp.asarray(rx_spec.to_world)
+    s_ax, t_ax = tw[:3, 0], tw[:3, 1]
+    sn = s_ax / jnp.maximum(jnp.linalg.norm(s_ax), 1e-20)
+    tn = t_ax / jnp.maximum(jnp.linalg.norm(t_ax), 1e-20)
+    nrm = jnp.cross(sn, tn)
+    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), 1e-20)
+    return tw[:3, 3], sn, tn, nrm
+
+
+def rx_elem_offsets(scene, rx_spec: ReceiverSpec, shape_idx: int):
+    """(E,3) world-frame offsets of the receive elements from the array
+    origin (element grid of reference `phased.cpp:78-96`, kept per element
+    instead of paired: MIMO channels need each element's own position)."""
+    _, sn, tn, nrm = rx_array_frame(scene, rx_spec, shape_idx)
+    locs = _elem_locs(rx_spec)          # (E,3) local in-plane coords
+    return (locs[:, 0:1] * sn[None] + locs[:, 1:2] * tn[None]
+            + locs[:, 2:3] * nrm[None])
+
+
+def rx_elem_pattern_gain(rx_spec: ReceiverSpec, sn, tn, d, wavelength):
+    """Single-element WDF directional gain x element area for direction `d`
+    — the aperture-centre cut of the rect WDF (`rectangle.cpp:132-220` with
+    tri(0)=1), element half-widths from the spec.  Identical per element in
+    the far field, so one factor serves every MIMO channel."""
+    wx = float(rx_spec.elem_wid[0])
+    wy = float(rx_spec.elem_wid[1])
+    from ..core.math import sinc
+    nu_x = jnp.einsum('nj,j->n', d, sn) / wavelength
+    nu_y = jnp.einsum('nj,j->n', d, tn) / wavelength
+    area = 4.0 * wx * wy
+    return area * 4.0 * sinc(TwoPi * nu_x * wx) * sinc(TwoPi * nu_y * wy)
+
+
 def rx_sample_frequency(receive_type: str, lo_wf, band, time, u,
                         adc_cfg: ADCConfig | None = None):
     """Receive-frequency sampling per receive_type (reference

@@ -111,7 +111,7 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
             receiver: ReceiverSpec | None = None, seed: int = 0,
             spp: int = 4096, max_depth: int = 3, coherent: bool = False,
             lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
-            time_sampling: str = 'fixed', use_pallas: str | bool = False,
+            time_sampling: str = 'fixed', use_pallas: str | bool = 'auto',
             checkpoint_path: str | None = None, checkpoint_every: int = 16,
             resume: bool = False, timeout_s: float | None = None,
             polarized: bool = False):
@@ -121,13 +121,18 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     4 (Stokes S0..S3 with `polarized=True` — the radar analogue of the
     reference's `*_polarized` variants, `mitsuba.conf:120-123`; S0 equals
     the unpolarized power).
-    `sampler`: independent | stratified | multijitter | halton.
+    `sampler`: independent | stratified | multijitter | halton | ldsampler
+    | orthogonal (the reference sampler plugin registry, `src/samplers/`).
     `time_sampling`: 'fixed' (reference semantics) or 'gate' (deferred
     time-gated importance sampling — ~window/pulse_len x effective spp for
     pulsed waveforms; requires window <= PRI).
-    `use_pallas`: True/'auto' routes supported scenes through the Pallas
-    megakernel (integrators/pallas_receive.py) — same estimator, different
-    RNG stream; the returned grid has empty weight/count channels.
+    `use_pallas`: 'auto' (default) routes supported scenes through the
+    Pallas megakernel (integrators/pallas_receive.py) on TPU — same
+    estimator, different RNG stream; the returned grid has empty
+    weight/count channels.  Unsupported scenes, CPU backends, and
+    unexpected kernel failures fall back to the jnp wavefront with a
+    logged reason.  True forces the kernel (raising outside its scope;
+    interpret mode on CPU); False forces the jnp wavefront.
 
     Long-run controls (reference `Integrator::cancel`/timeout,
     `integrator.h:158-170`, and the SIGHUP partial develop,
@@ -294,6 +299,119 @@ def develop_signal(adc, total_samples, cfg: ADCConfig, mode: str = 'density'):
     if mode == 'sum':
         return adc[..., :c]
     return adc[..., :c] * (cfg.n_time / jnp.maximum(total_samples, 1))
+
+
+# ---------------------------------------------------------------------------
+# MIMO multi-channel receive (BASELINE config 5): one coherent I/Q channel
+# per receive-array element, ready for digital beamforming (dsp/beamform.py)
+# and channel sharding (parallel/shard.py::receive_mimo_sharded).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=('rx', 'shape_idx', 'n_lanes',
+                                             'max_depth', 'sampler',
+                                             'n_total_log2', 'time_sampling'))
+def _receive_mimo_pass(scene_data: SceneData, rx, shape_idx: int, lo_wf, key,
+                       pass_idx, adc, elem_off, n_lanes: int, max_depth: int,
+                       sampler: str = 'independent', n_total_log2: int = 20,
+                       time_sampling: str = 'fixed'):
+    from .core import transform as _tfm, warp as _warp
+    from .core.math import Pi as _Pi
+    from .radar.endpoints import rx_array_frame, rx_elem_pattern_gain
+    cfg = rx.adc
+    stream = make_stream(sampler, key, n_lanes, pass_idx, n_total_log2)
+
+    if time_sampling == 'gate':
+        t_rx = jnp.zeros((n_lanes,), jnp.float32)
+        t_for_freq = jnp.full((n_lanes,),
+                              cfg.sampling_start + 0.5 * cfg.sampling_time)
+    else:
+        u_t, stream = stream.next_1d()
+        t_rx = cfg.sampling_start + u_t * cfg.sampling_time
+        t_for_freq = t_rx
+
+    u_f, stream = stream.next_1d()
+    f_rx, f_w = rx_sample_frequency(rx.receive_type, lo_wf, scene_data.band,
+                                    t_for_freq, u_f, cfg)
+
+    _, stream = stream.next_2d()        # keep the stream layout of
+    u_dir, stream = stream.next_2d()    # _receive_pass (u_pos unused here)
+    wl_rx = scene_data.band.c / jnp.maximum(f_rx, 1e-6)
+
+    # rays leave the ARRAY ORIGIN (per-element positions enter through the
+    # exact spherical per-element phases in radar_receive_trace); cosine
+    # hemisphere about the aperture normal, single-element pattern weight
+    origin, sn, tn, nrm = rx_array_frame(scene_data, rx, shape_idx)
+    o = jnp.broadcast_to(origin + 1e-4 * nrm, (n_lanes, 3))
+    d_local = _warp.square_to_cosine_hemisphere(u_dir)
+    frame = _tfm.frame_from_normal(jnp.broadcast_to(nrm, (n_lanes, 3)))
+    d = _tfm.to_world(frame, d_local)
+    w = _Pi * rx_elem_pattern_gain(rx, sn, tn, d, wl_rx) * rx.gain
+
+    adc, stream = radar_receive_trace(
+        scene_data, stream, o, d, t_rx, f_rx, w * f_w, adc, cfg,
+        rx.receive_type, lo_wf, jnp.asarray(rx.velocity),
+        max_depth=max_depth, coherent=True, time_sampling=time_sampling,
+        elem_offsets=elem_off)
+    return adc
+
+
+def receive_mimo(scene: Scene, scene_data: SceneData | None = None,
+                 receiver: ReceiverSpec | None = None, seed: int = 0,
+                 spp: int = 4096, max_depth: int = 3,
+                 lanes_per_pass: int = 1 << 17, sampler: str = 'independent',
+                 time_sampling: str = 'fixed', elem_offsets=None):
+    """Per-element MIMO receive (BASELINE config 5): returns
+    (adc (n_time, n_freq, 2E+2), total_samples) where the 2E channels are
+    interleaved I/Q per receive element.
+
+    The reference's phased receiver folds the array into ONE analog
+    cross-WDF gain summed into a single ADC
+    (`src/receivers/phasedreceiver.cpp:118-145,293`); the data digital
+    beamforming needs — per-element complex channels — is computed here
+    instead: every path connection splats into each element's I/Q pair with
+    the exact spherical per-element phase (see `radar_receive_trace`).
+    Feed `develop_mimo` then `dsp.beamform`.
+
+    `elem_offsets` overrides the (E,3) world element offsets derived from
+    the receiver spec's element grid (e.g. for a sharded channel subset).
+    """
+    from .radar.endpoints import rx_elem_offsets
+    if scene_data is None:
+        scene_data = scene.compile()
+    scene_data = scene_mono(scene_data)
+    if receiver is None:
+        receiver = scene.receivers[0]
+    shape_idx = scene.shape_index_of_endpoint('receiver', receiver.id)
+    if elem_offsets is None:
+        elem_offsets = rx_elem_offsets(scene_data, receiver, shape_idx)
+    elem_offsets = jnp.asarray(elem_offsets, jnp.float32)
+    n_e = elem_offsets.shape[0]
+    cfg = receiver.adc
+    adc = film_mod.film_new(cfg.n_time, cfg.n_freq, 2 * n_e)
+
+    n_pass = max(1, (spp + lanes_per_pass - 1) // lanes_per_pass)
+    lanes = min(spp, lanes_per_pass)
+    n_total_log2 = max(1, (lanes * n_pass - 1).bit_length())
+    # fold index 0 == the 'ray' shard-0 stream of receive_mimo_sharded, so a
+    # channel-only sharded run is bit-identical to this dense one
+    key = jax.random.fold_in(jax.random.key(seed), 0)
+    rx_h = _HashableRx(receiver)
+    for p in range(n_pass):
+        adc = _receive_mimo_pass(scene_data, rx_h, shape_idx,
+                                 receiver.lo_waveform, key, jnp.uint32(p),
+                                 adc, elem_offsets, lanes, max_depth, sampler,
+                                 n_total_log2, time_sampling)
+    return adc, lanes * n_pass
+
+
+def develop_mimo(adc, total_samples, cfg: ADCConfig):
+    """Normalize a MIMO accumulation into a complex channel cube
+    (E, n_time, n_freq) — the input to `dsp.beamform`."""
+    n_e = (adc.shape[-1] - 2) // 2
+    iq = adc[..., :2 * n_e] * (cfg.n_time / max(int(total_samples), 1))
+    cube = iq[..., 0::2] + 1j * iq[..., 1::2]        # (n_time, n_freq, E)
+    return jnp.moveaxis(cube, -1, 0)
 
 
 # ---------------------------------------------------------------------------

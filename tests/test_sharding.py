@@ -9,7 +9,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from beifong_tpu.parallel.shard import (make_mesh, overlap_save_sharded,
                                         pulse_train_pipeline, receive_sharded)
@@ -39,7 +39,7 @@ def test_overlap_save_halo_parity(mesh8):
     f = shard_map(
         lambda xl: overlap_save_sharded(xl, hf, n_fft, m, 'ray'),
         mesh=mesh8, in_specs=P('pulse', 'ray'), out_specs=P('pulse', 'ray'),
-        check_rep=False)
+        check_vma=False)
     y_sh = f(x)
     np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
                                rtol=1e-4, atol=1e-5)
@@ -65,6 +65,7 @@ def test_pulse_train_pipeline_parity(mesh8):
                                np.abs(np.asarray(rd_ref)), rtol=2e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_receive_sharded_runs_and_merges(mesh8):
     """Sharded receive: per-pulse ADCs come back populated, deterministic,
     and the 4-way ray psum merges more events than a single shard."""
@@ -91,6 +92,7 @@ def test_receive_sharded_runs_and_merges(mesh8):
     assert counts[0] > 2.0 * adcs1[..., 2].sum()
 
 
+@pytest.mark.slow
 def test_receive_sharded_matches_unsharded_stats(mesh8):
     """The sharded trace reproduces the single-device range profile: same
     peak bin (target round-trip) and comparable in-window energy."""

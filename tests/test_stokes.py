@@ -71,6 +71,7 @@ def test_conductor_partial_polarization():
     assert 0.01 < dop < 0.9
 
 
+@pytest.mark.slow
 def test_polarized_radar_conductor_reflection():
     """Polarized radar receive (Stokes through `radar_receive_trace`,
     reference `*_polarized` variants `mitsuba.conf:120-123`): an unpolarized
