@@ -462,10 +462,40 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 py_f = (patch // PATCH_P).astype(jnp.float32)
                 u3 = (px_f + u3) * (1.0 / PATCH_P)
                 u4 = (py_f + u4) * (1.0 / PATCH_P)
-            rr = jnp.sqrt(u3)
-            ph = TWO_PI * u4
-            tx_, ty_ = rr * _fast_cos(ph), rr * _fast_sin(ph)
-            tz_ = jnp.sqrt(jnp.maximum(1.0 - u3, 0.0))
+            area = 4.0 * rx_wx * rx_wy
+            if has_mesh and n_tiles % n_patches == 0:
+                # stratified cosine hemisphere (beam-coherent BVH tiles):
+                # cos pdf, weight = pi * area
+                rr = jnp.sqrt(u3)
+                ph = TWO_PI * u4
+                tx_, ty_ = rr * _fast_cos(ph), rr * _fast_sin(ph)
+                tz_ = jnp.sqrt(jnp.maximum(1.0 - u3, 0.0))
+                w0 = jnp.full(shape, np.pi * area) * sp(32)
+            else:
+                # 50/50 MIS mixture of cosine hemisphere and a power-cosine
+                # lobe matched to the aperture WDF mainlobe (mirrors
+                # rx_sample_ray's rectangle branch: directive antennas no
+                # longer waste ~all lanes outside the beam; the signed WDF
+                # weight stays in the estimator, only the sampling density
+                # changes — unbiased)
+                lam0 = sp(1) / jnp.maximum(f_rx, 1e-6)
+                w_mn = jnp.minimum(rx_wx, rx_wy)
+                k_l = jnp.maximum(
+                    2.0 * (2.0 * w_mn / (0.6 * lam0)) ** 2 - 2.0, 0.0)
+                pick = u3 >= 0.5
+                u0m = jnp.where(pick, 2.0 * u3 - 1.0, 2.0 * u3)
+                ph = TWO_PI * u4
+                # cosine branch: cos = sqrt(1-u); lobe: cos = u^(1/(k+1))
+                ct_c = jnp.sqrt(jnp.maximum(1.0 - u0m, 0.0))
+                ct_l = jnp.exp(jnp.log(jnp.maximum(u0m, 1e-12))
+                               / (k_l + 1.0))
+                tz_ = jnp.where(pick, ct_l, ct_c)
+                st = jnp.sqrt(jnp.maximum(1.0 - tz_ * tz_, 0.0))
+                tx_, ty_ = st * _fast_cos(ph), st * _fast_sin(ph)
+                cosk = jnp.exp(k_l * jnp.log(jnp.maximum(tz_, 1e-12)))
+                pdf_d = (0.5 * tz_ * (1.0 / np.pi)
+                         + 0.5 * (k_l + 1.0) * (1.0 / TWO_PI) * cosk)
+                w0 = (tz_ / jnp.maximum(pdf_d, 1e-30)) * area * sp(32)
             # Duff frame about n
             sign = jnp.where(nzz >= 0.0, 1.0, -1.0)
             a = -1.0 / (sign + nzz)
@@ -475,8 +505,6 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             dx = s1x * tx_ + s2x * ty_ + nzx * tz_
             dy = s1y * tx_ + s2y * ty_ + nzy * tz_
             dz = s1z * tx_ + s2z * ty_ + nzz * tz_
-            area = 4.0 * rx_wx * rx_wy
-            w0 = jnp.full(shape, np.pi * area) * sp(32)
             # aperture WDF directivity (rect): local pos r_hat = (lx, ly)/2
             lam = sp(1) / jnp.maximum(f_rx, 1e-6)
             nu_x = (rxm[0] * dx + rxm[4] * dy + rxm[8] * dz) \
@@ -505,6 +533,19 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         acc_s2 = jnp.zeros((n_time, n_freq), jnp.float32)
         acc_s3 = jnp.zeros((n_time, n_freq), jnp.float32)
         n_events = jnp.zeros(shape)
+        # Large fast-time-only grids accumulate into a LANE-wide tile and
+        # lane-reduce ONCE after the depth loop: reducing every splat
+        # contribution separately keeps a fresh (n_time, LANE) tent
+        # temporary live per term and Mosaic's register allocator spills
+        # (485 MB of spill slots on a depth-4 corner-reflector scene with
+        # n_time=1024, coherent); the running-tile FMA form has exactly
+        # n_ch wide values live.
+        wide_1d = (n_freq == 1 and _ABLATE != 'nosplat'
+                   and not (n_time <= MAX_ADC_CELLS
+                            and n_time * max(len(txs), 1)
+                            <= MAX_SPLAT_TERMS))
+        acc_w = ([jnp.zeros((n_time, LANE), jnp.float32)
+                  for _ in range(n_ch)] if wide_1d else None)
 
         def intersect(ox, oy, oz, dx, dy, dz, live=None):
             """Closest hit over prims: returns t, n(xyz), per-lane BSDF
@@ -1340,18 +1381,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                             1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
                         if n_freq == 1:
                             # single freq bin catches everything (the
-                            # unrolled path applies no freq tent either).
-                            # NOT a ones-vector dot_general: Mosaic lowers
-                            # an (n,LANE)x(LANE,1) matmul to multi_reduction
-                            # and fuses the running acc as its init, which
-                            # it rejects ("only constant accumulators
-                            # supported", v5e). A keepdims lane-sum has a
-                            # constant zero init; the acc add stays a
-                            # separate vector op.
+                            # unrolled path applies no freq tent either):
+                            # FMA into the LANE-wide running tile, reduced
+                            # once after the depth loop (see acc_w above)
                             for ch in range(n_ch):
-                                accs[ch] = accs[ch] + jnp.sum(
-                                    A * vals[ch][s_r:s_r + 1, :],
-                                    axis=1, keepdims=True)
+                                acc_w[ch] = (acc_w[ch]
+                                             + A * vals[ch][s_r:s_r + 1, :])
                         else:
                             B = jnp.maximum(
                                 1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f),
@@ -1463,6 +1498,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             cyv = hy + 1e-4 * fy
             cz = hz + 1e-4 * fz
 
+        if wide_1d:
+            # one lane reduction per channel for the whole tile
+            # (NOT a ones-vector dot_general: Mosaic rejects fusing the
+            # running acc as a matmul init — "only constant accumulators
+            # supported", v5e; the keepdims lane-sum has a constant zero
+            # init and the acc add stays a separate vector op)
+            accs = [acc, acc_q, acc_s2, acc_s3]
+            for ch in range(n_ch):
+                accs[ch] = accs[ch] + jnp.sum(acc_w[ch], axis=1,
+                                              keepdims=True)
+            acc, acc_q, acc_s2, acc_s3 = accs
         out_ref[:] = out_ref[:] + acc
         q_ref[:] = q_ref[:] + acc_q
         s2_ref[:] = s2_ref[:] + acc_s2
@@ -1825,6 +1871,21 @@ MAX_SPLAT_ROWS = 8192
 MAX_PRIMS = 64
 MAX_TX = 4
 MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
+
+
+def _wide_sub(cfg, n_tx: int) -> int:
+    """Tile height for large fast-time-only grids (the `wide_1d` splat in
+    the kernel): every sublane row FMAs an (n_time, LANE) tent tile into
+    the LANE-wide accumulator, and Mosaic's scoped-VMEM stack (16 MB on
+    v5e) holds a few of those temporaries in flight — shrink the tile
+    height so the per-tile live set stays inside the stack (a 64-row tile
+    at n_time=1024 spilled 35 MB; 8 rows compile and run).  Interpret mode
+    keeps the default height so test uniform tensors are layout-stable."""
+    if (cfg.n_freq == 1
+            and not (cfg.n_time <= MAX_ADC_CELLS
+                     and cfg.n_time * max(n_tx, 1) <= MAX_SPLAT_TERMS)):
+        return max(1, min(SUB, 8192 // cfg.n_time))
+    return SUB
 # bitmap textures: each gather is SUB (H,Wp)x(Wp,LANE) matmuls per depth,
 # so texel count is a direct FLOP/VMEM cost (Wp pads to a 128 multiple)
 MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
@@ -1991,10 +2052,15 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          has_lo: bool = False, polarized: bool = False,
          bmp_meta: tuple = (), layered: int = 0, tex=None, msh=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
-    sub = MESH_SUB if has_mesh else SUB
+    n_tx = int(txp.shape[0])
+    if has_mesh:
+        sub = MESH_SUB
+    elif interpret:
+        sub = SUB          # keep the uniform-tensor layout of the tests
+    else:
+        sub = _wide_sub(cfg, n_tx)
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
-    n_tx = int(txp.shape[0])
     nd = n_draws(max_depth, n_tx)
     use_prng = not interpret
     if use_prng:

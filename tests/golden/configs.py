@@ -156,8 +156,122 @@ def pulse_train_range_doppler():
             {"expected_doppler_bin": exp_bin})
 
 
+def _corner_scene(dy: float, v: float, fc: float, B: float, T: float,
+                  adc, R: float = 4.0):
+    """Tilted trihedral corner reflector + FMCW transceiver.  The corner
+    acts as a point reflection through the apex (the classic radar
+    calibration target): the echo is a pure MULTI-BOUNCE specular path
+    (three mirror bounces -> direct transmitter hit), the path class the
+    reference's comments build the MMW chain around
+    (`integrator.cpp:1011-1109`).  `dy` displaces the corner along +y
+    (toward the radar) for quasistatic slow time."""
+    import beifong_tpu as bt
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import conductor
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import linfmcw, wigner_transmitter, wigner_receiver
+
+    band = Band.from_freq(C_SOUND, fc, 4 * B)
+    s = sc.Scene(band=band)
+    s.add(conductor("m", eta=0.2, k=3.0, twosided=True))
+    wf = linfmcw(f_centre=fc, crf=1.0 / T, chirp_len=T, freq_sweep=B,
+                 is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    aim = np.asarray(tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                                 tfm.scale([0.8, 0.8, 1.0])))
+    s.add(sh.rectangle(to_world=aim, transmitter="tx"))
+    rx = wigner_receiver("rx", adc, receive_type="mix_resample",
+                         lo_waveform=wf)
+    s.add(rx)
+    rx_pos = np.array([0.0, -0.1, 0.0])
+    apex = np.array([0.0, -R + dy, 0.0])
+    aim_rx = np.asarray(tfm.compose(tfm.look_at(rx_pos, apex),
+                                    tfm.scale([0.02, 0.02, 1.0])))
+    s.add(sh.rectangle(to_world=aim_rx, receiver="rx"))
+    vel = np.array([0.0, v, 0.0], np.float32)
+    for f in sh.trihedral(apex, rx_pos - apex, bsdf="m", velocity=vel):
+        s.add(f)
+    return s, rx, apex
+
+
+def fmcw_dechirp_chain():
+    """Config 4 — the end-to-end FMCW dechirp chain the reference's MMW
+    design comments sketch (`/root/reference/src/librender/
+    integrator.cpp:1011-1109`): multi-bounce specular scene (trihedral
+    corner reflector) -> coherent `mix_resample` receive (stretch
+    processing: the fast-time I/Q series IS the dechirped beat signal at
+    the simulation rate) -> polyphase decimation to the ADC rate
+    (`dsp/resample.py`) -> 2-D range-Doppler FFT (`dsp/rangedoppler.py`).
+
+    Anchors: beat line at slope * tau (tau = two-way corner delay) on the
+    range axis; Doppler line at the slow-time phase progression of the
+    closing corner — both computed from the geometry alone."""
+    from beifong_tpu.dsp import resample, rangedoppler as rd, windows
+    from beifong_tpu.radar import ADCConfig
+    from beifong_tpu.receive import receive
+
+    fc, B, T = 40e3, 2e3, 90e-3
+    slope = B / T
+    n_pulses, prf = 16, 1.0 / T
+    # closing speed: aliased Doppler exactly on FFT bin 5 of 16 (fd = 2vf/c;
+    # the corner apex sits on the -y axis, so +y motion IS the LOS rate)
+    R = 4.0
+    rx_pos = np.array([0.0, -0.1, 0.0])
+    apex0 = np.array([0.0, -R, 0.0])
+    v = (5.0 / 16.0) * prf * C_SOUND / (2 * fc)
+
+    n_fast, window, t0 = 1024, 50e-3, 30e-3
+    q = 8                                     # decimation to ADC rate
+    fs_sim = n_fast / window
+    adc = ADCConfig(n_time=n_fast, n_freq=1, sampling_start=t0,
+                    sampling_time=window, freq_lo=0.0, freq_hi=1.5e3)
+
+    iq = []
+    for p in range(n_pulses):
+        s, rx, apex = _corner_scene(dy=v * p / prf, v=v, fc=fc, B=B, T=T,
+                                    adc=adc)
+        # common random numbers across the CPI (frozen speckle): the
+        # slow-time phase progression is then pure target motion
+        a, n = receive(s, receiver=rx, spp=1 << 16, max_depth=4, seed=13,
+                       coherent=True)
+        g = np.asarray(a)
+        iq.append((g[:, 0, 0] + 1j * g[:, 0, 1]) * (n_fast / max(n, 1)))
+    iq = np.stack(iq)                         # (pulses, fast time) beat I/Q
+
+    # dechirp convention: phi = wf.phase(t_emit) - lo.phase(t_recv) rotates
+    # at -slope*tau for a delayed up-chirp echo; conjugate so the beat line
+    # lands on the positive (range) axis.  Then decimate the
+    # simulation-rate beat signal to the ADC rate and run the 2-D FFT:
+    # fast time -> beat (range), slow time -> Doppler
+    dec = np.asarray(resample.decimate(np.conj(iq), q))
+    n_adc = dec.shape[-1]
+    rc = np.asarray(rd.range_fft(dec, window=np.asarray(
+        windows.hann(n_adc))))
+    rdm = np.asarray(rd.doppler_fft(rc, window=np.asarray(
+        windows.hann(n_pulses))))             # (doppler, range) complex
+
+    # analytic anchors from geometry alone
+    tau = 2 * np.linalg.norm(apex0 - rx_pos) / C_SOUND
+    f_beat = slope * tau
+    fs_adc = fs_sim / q
+    exp_range_bin = int(round(f_beat / fs_adc * n_adc)) % n_adc
+    # slow-time progression: phi_p = -2 pi fc tau_p (conjugated with the
+    # beat series above), FFT bin of the phasor
+    taus = [2 * np.linalg.norm(apex0 + [0, v * p / prf, 0] - rx_pos)
+            / C_SOUND for p in range(n_pulses)]
+    ph = np.exp(2j * np.pi * fc * np.asarray(taus))
+    exp_dop_bin = int(np.abs(np.fft.fftshift(np.fft.fft(ph))).argmax())
+    return ({"rd_map": rdm.astype(np.complex128)},
+            {"expected_range_bin": exp_range_bin,
+             "expected_doppler_bin": exp_dop_bin,
+             "f_beat_hz": f_beat, "fs_adc": fs_adc})
+
+
 CONFIGS = {
     "range_profile": range_profile,
     "fmcw_sonar": fmcw_sonar,
     "pulse_train_range_doppler": pulse_train_range_doppler,
+    "fmcw_dechirp_chain": fmcw_dechirp_chain,
 }

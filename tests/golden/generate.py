@@ -41,6 +41,14 @@ def main(argv):
         print(f"wrote {name}.npz: "
               + ", ".join(f"{k}{v.shape}" for k, v in arrays.items())
               + f"  meta={meta}")
+    # figure panels for configs not regenerated load the committed npz
+    for name in cfg_mod.CONFIGS:
+        path = os.path.join(here, name + ".npz")
+        if name not in results and os.path.exists(path):
+            z = np.load(path)
+            arrays = {k: z[k] for k in z.files if not k.startswith("meta_")}
+            meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+            results[name] = (arrays, meta)
     _figure(results, here)
     return 0
 
@@ -50,7 +58,7 @@ def _figure(results, here):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 3, figsize=(13, 3.4))
+    fig, axes = plt.subplots(1, 4, figsize=(17, 3.4))
     if "range_profile" in results:
         prof = results["range_profile"][0]["profile"]
         r = (np.arange(len(prof)) + 0.5) * 0.5e-9 * 3e8
@@ -74,6 +82,18 @@ def _figure(results, here):
                         lw=1, label="analytic 2v/lambda")
         axes[2].set(title="pulse-train Doppler line", xlabel="Doppler bin")
         axes[2].legend()
+    if "fmcw_dechirp_chain" in results:
+        arrays, meta = results["fmcw_dechirp_chain"]
+        mag = np.abs(arrays["rd_map"])
+        db = 20 * np.log10(np.maximum(mag / max(mag.max(), 1e-30), 1e-6))
+        im = axes[3].imshow(db, aspect="auto", origin="lower", vmin=-50,
+                            cmap="viridis")
+        axes[3].plot(meta["expected_range_bin"], meta["expected_doppler_bin"],
+                     "r+", ms=12, label="analytic cell")
+        axes[3].set(title="FMCW dechirp chain RD map", xlabel="range bin",
+                    ylabel="Doppler bin")
+        axes[3].legend()
+        fig.colorbar(im, ax=axes[3], label="dB")
     fig.tight_layout()
     out = os.path.join(here, "..", "..", "docs", "figures")
     os.makedirs(out, exist_ok=True)
