@@ -7,14 +7,14 @@ import numpy as np
 
 
 def design_lowpass(n_taps: int, cutoff: float, window: str = 'hamming'):
-    """Windowed-sinc lowpass; cutoff as fraction of Nyquist (0..1)."""
+    """Windowed-sinc lowpass; cutoff as fraction of Nyquist (0..1).
+    Pure jnp so callers can sit under jit (the taps are constant-folded
+    at trace time — n_taps/cutoff are static)."""
     from . import windows
     m = n_taps - 1
-    k = np.arange(n_taps) - m / 2.0
-    h = np.sinc(cutoff * k)
-    w = np.asarray(windows.get(window, n_taps))
-    h = h * w
-    return jnp.asarray(h / h.sum(), jnp.float32)
+    k = jnp.arange(n_taps, dtype=jnp.float32) - m / 2.0
+    h = jnp.sinc(cutoff * k) * windows.get(window, n_taps)
+    return (h / h.sum()).astype(jnp.float32)
 
 
 def lfm_chirp(n: int, fs: float, f0: float, bandwidth: float, duration: float,

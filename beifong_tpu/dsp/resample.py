@@ -28,13 +28,10 @@ def resample_poly(x, up: int, down: int, taps_per_phase: int = 16):
         return x
     n_taps = taps_per_phase * up
     cutoff = 1.0 / max(up, down)
-    h = np.asarray(design_lowpass(n_taps, cutoff)) * up
-    # polyphase decomposition: bank[p, k] = h[k*up + p]
-    bank = np.zeros((up, taps_per_phase), np.float32)
-    for p in range(up):
-        hk = h[p::up]
-        bank[p, :hk.shape[0]] = hk
-    bank = jnp.asarray(bank)
+    h = design_lowpass(n_taps, cutoff) * up
+    # polyphase decomposition: bank[p, k] = h[k*up + p] (pure jnp — this
+    # function is jit-safe; up/down/taps are static)
+    bank = h.reshape(taps_per_phase, up).T
 
     n = x.shape[-1]
     n_out = int(np.ceil(n * up / down))

@@ -184,7 +184,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                cnt_ref,     # (1, 1) total events
                ms_t_ref,    # VMEM scratch: mesh hit state (t, normal, refl,
                ms_nx_ref, ms_ny_ref, ms_nz_ref, ms_rf_ref,
-               ms_sid_ref):  # ... owning-shape row)
+               ms_sid_ref,  # ... owning-shape row)
+               w1_b0_ref,   # VMEM scratch: factorized 1-D splat row stage
+               w1_fr_ref, w1_v0_ref, w1_v1_ref, w1_v2_ref, w1_v3_ref):
         tile_id = pl.program_id(0)
 
         @pl.when(tile_id == 0)
@@ -528,24 +530,24 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             dop = 1.0 + (dx * sp(23) + dy * sp(24) + dz * sp(25)) / sp(1)
         else:
             dop = 1.0
-        acc = jnp.zeros((n_time, n_freq), jnp.float32)
-        acc_q = jnp.zeros((n_time, n_freq), jnp.float32)
-        acc_s2 = jnp.zeros((n_time, n_freq), jnp.float32)
-        acc_s3 = jnp.zeros((n_time, n_freq), jnp.float32)
+        # Large fast-time-only grids: factorize the time axis as a
+        # (n_time/128, 128) grid and splat with the SAME MXU dot_general
+        # the 2-D path uses — the exact tent becomes two one-hot box
+        # splats at floor/ceil bins with linear weights.  A flat
+        # (n_time, LANE) tent formulation keeps O(n_time * LANE)
+        # temporaries live per term and either spills Mosaic's register
+        # allocator (485 MB on a depth-4 corner scene at n_time=1024) or,
+        # as a running FMA tile, burns O(n_time * LANE) VMEM traffic per
+        # ray row; the factorized tiles are (n_time/128, LANE) — 32 KB at
+        # 8192 bins — and the dot contracts on the MXU.  The accumulators
+        # and output refs are (n_time/128, 128); _run reshapes back.
+        wide_1d = _is_wide_1d(n_time, n_freq, len(txs))
+        acc_shape = (n_time // LANE, LANE) if wide_1d else (n_time, n_freq)
+        acc = jnp.zeros(acc_shape, jnp.float32)
+        acc_q = jnp.zeros(acc_shape, jnp.float32)
+        acc_s2 = jnp.zeros(acc_shape, jnp.float32)
+        acc_s3 = jnp.zeros(acc_shape, jnp.float32)
         n_events = jnp.zeros(shape)
-        # Large fast-time-only grids accumulate into a LANE-wide tile and
-        # lane-reduce ONCE after the depth loop: reducing every splat
-        # contribution separately keeps a fresh (n_time, LANE) tent
-        # temporary live per term and Mosaic's register allocator spills
-        # (485 MB of spill slots on a depth-4 corner-reflector scene with
-        # n_time=1024, coherent); the running-tile FMA form has exactly
-        # n_ch wide values live.
-        wide_1d = (n_freq == 1 and _ABLATE != 'nosplat'
-                   and not (n_time <= MAX_ADC_CELLS
-                            and n_time * max(len(txs), 1)
-                            <= MAX_SPLAT_TERMS))
-        acc_w = ([jnp.zeros((n_time, LANE), jnp.float32)
-                  for _ in range(n_ch)] if wide_1d else None)
 
         def intersect(ox, oy, oz, dx, dy, dz, live=None):
             """Closest hit over prims: returns t, n(xyz), per-lane BSDF
@@ -1360,6 +1362,56 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 for ch in range(n_ch):
                     accs[ch] = accs[ch] + jnp.stack(
                         cells_ch[ch]).reshape(n_time, n_freq)
+            elif wide_1d:
+                # large fast-time-only grids: (n_time/128, 128) factorized
+                # one-hot splat on the MXU (see acc_shape above).  The tent
+                # is exact — two box splats at floor/ceil bins with linear
+                # weights:  C[q, r] += w * v * 1{q = b//128} 1{r = b%128}
+                # = dot_general((Aq * w * v), Ar) contracting the lane axis
+                t_rows = n_time // LANE
+                iota_q = jax.lax.broadcasted_iota(
+                    jnp.int32, (t_rows, LANE), 0).astype(jnp.float32)
+                iota_r = jax.lax.broadcasted_iota(
+                    jnp.int32, (LANE, LANE), 0).astype(jnp.float32)
+                dnum = (((1,), (1,)), ((), ()))
+                inv_l = 1.0 / float(LANE)
+                w1_v_refs = (w1_v0_ref, w1_v1_ref, w1_v2_ref, w1_v3_ref)
+                for vals, yb, xb in contribs:
+                    # stage the tile through VMEM scratch: the sublane-row
+                    # loop below is a lax.fori_loop, NOT a python unroll —
+                    # Mosaic's scoped-VMEM stack does not reuse slots
+                    # across a straight-line sequence of dot_generals
+                    # (SUB x contribs x 2 terms of (T_R+LANE, LANE) tiles
+                    # = 74 MB against the 16 MB stack); the rolled loop
+                    # keeps ONE term's tiles live.  Values can't be
+                    # dynamically row-sliced in Mosaic, refs can
+                    # (pl.dslice), hence the staging stores.
+                    w1_b0_ref[:] = jnp.floor(yb)
+                    w1_fr_ref[:] = yb - jnp.floor(yb)
+                    for ch in range(n_ch):
+                        w1_v_refs[ch][:] = vals[ch]
+
+                    def _row_splat(i, accs_c):
+                        acc_u = list(accs_c)
+                        rows = (pl.dslice(i, 1), slice(None))
+                        b0r = w1_b0_ref[rows]
+                        fr_r = w1_fr_ref[rows]
+                        for bf, wt in ((b0r, 1.0 - fr_r), (b0r + 1.0, fr_r)):
+                            qf = jnp.floor(bf * inv_l)
+                            rf = bf - float(LANE) * qf
+                            # integer operands: the tent IS a one-hot
+                            # (1 at equality, 0 at |diff| >= 1)
+                            aq = jnp.maximum(1.0 - jnp.abs(qf - iota_q), 0.0)
+                            ar = jnp.maximum(1.0 - jnp.abs(rf - iota_r), 0.0)
+                            for ch in range(n_ch):
+                                acc_u[ch] = acc_u[ch] + jax.lax.dot_general(
+                                    aq * (wt * w1_v_refs[ch][rows]), ar,
+                                    dnum,
+                                    preferred_element_type=jnp.float32)
+                        return tuple(acc_u)
+
+                    accs[:n_ch] = jax.lax.fori_loop(
+                        0, SUB, _row_splat, tuple(accs[:n_ch]))
             else:
                 # 2-D (fast-time x frequency) grids splat on the MXU:
                 #   C[bt, bf] = sum_lane v * tent(yb - bt) * tent(xb - bf)
@@ -1379,22 +1431,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     for s_r in range(SUB):
                         A = jnp.maximum(
                             1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
-                        if n_freq == 1:
-                            # single freq bin catches everything (the
-                            # unrolled path applies no freq tent either):
-                            # FMA into the LANE-wide running tile, reduced
-                            # once after the depth loop (see acc_w above)
-                            for ch in range(n_ch):
-                                acc_w[ch] = (acc_w[ch]
-                                             + A * vals[ch][s_r:s_r + 1, :])
-                        else:
-                            B = jnp.maximum(
-                                1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f),
-                                0.0)
-                            for ch in range(n_ch):
-                                accs[ch] = accs[ch] + jax.lax.dot_general(
-                                    A * vals[ch][s_r:s_r + 1, :], B, dnum,
-                                    preferred_element_type=jnp.float32)
+                        B = jnp.maximum(
+                            1.0 - jnp.abs(xb[s_r:s_r + 1, :] - iota_f),
+                            0.0)
+                        for ch in range(n_ch):
+                            accs[ch] = accs[ch] + jax.lax.dot_general(
+                                A * vals[ch][s_r:s_r + 1, :], B, dnum,
+                                preferred_element_type=jnp.float32)
 
             acc, acc_q, acc_s2, acc_s3 = accs
 
@@ -1498,17 +1541,6 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             cyv = hy + 1e-4 * fy
             cz = hz + 1e-4 * fz
 
-        if wide_1d:
-            # one lane reduction per channel for the whole tile
-            # (NOT a ones-vector dot_general: Mosaic rejects fusing the
-            # running acc as a matmul init — "only constant accumulators
-            # supported", v5e; the keepdims lane-sum has a constant zero
-            # init and the acc add stays a separate vector op)
-            accs = [acc, acc_q, acc_s2, acc_s3]
-            for ch in range(n_ch):
-                accs[ch] = accs[ch] + jnp.sum(acc_w[ch], axis=1,
-                                              keepdims=True)
-            acc, acc_q, acc_s2, acc_s3 = accs
         out_ref[:] = out_ref[:] + acc
         q_ref[:] = q_ref[:] + acc_q
         s2_ref[:] = s2_ref[:] + acc_s2
@@ -1865,6 +1897,10 @@ MAX_ADC_CELLS_MXU = 131072
 # the MXU splat materialises (n_time, LANE) tent + iota tiles in VMEM;
 # bound the fast-time extent so they stay a few MB (8192*128*4B = 4 MB each)
 MAX_SPLAT_ROWS = 8192
+# factorized 1-D splat: tiles are (n_time/128, LANE), so the extent bound
+# is 128x the 2-D row bound — 65536 covers the reference's MMW design scale
+# (62.5k samples/chirp) in a single dispatch
+MAX_1D_ROWS = 65536
 # measured on v5e (depth 2, 1M lanes): 24 prims -> 9.6s compile / 98M
 # samples/s, 40 -> 13.6s / 84M, 64 -> 21s / 75M — linear compile growth,
 # still ~30x the jnp fallback at the cap
@@ -1873,19 +1909,17 @@ MAX_TX = 4
 MAX_SPLAT_TERMS = 1024   # cells * n_tx budget (unrolled n_freq == 1 path)
 
 
-def _wide_sub(cfg, n_tx: int) -> int:
-    """Tile height for large fast-time-only grids (the `wide_1d` splat in
-    the kernel): every sublane row FMAs an (n_time, LANE) tent tile into
-    the LANE-wide accumulator, and Mosaic's scoped-VMEM stack (16 MB on
-    v5e) holds a few of those temporaries in flight — shrink the tile
-    height so the per-tile live set stays inside the stack (a 64-row tile
-    at n_time=1024 spilled 35 MB; 8 rows compile and run).  Interpret mode
-    keeps the default height so test uniform tensors are layout-stable."""
-    if (cfg.n_freq == 1
-            and not (cfg.n_time <= MAX_ADC_CELLS
-                     and cfg.n_time * max(n_tx, 1) <= MAX_SPLAT_TERMS)):
-        return max(1, min(SUB, 8192 // cfg.n_time))
-    return SUB
+def _is_wide_1d(n_time: int, n_freq: int, n_tx: int) -> bool:
+    """Does this ADC grid take the factorized (n_time/128, 128) MXU splat?
+    True for fast-time-only grids past the per-cell unroll budget whose
+    extent tiles the 128-lane axis.  Large 1-D grids that do NOT divide by
+    128 have no kernel splat (supported() gates them to the jnp fallback:
+    the flat (n_time, LANE) tent either spills Mosaic's register allocator
+    or, as an n_freq==1 dot_general, trips its fused-accumulator
+    rejection)."""
+    return (n_freq == 1 and n_time % LANE == 0
+            and not (n_time <= MAX_ADC_CELLS
+                     and n_time * max(n_tx, 1) <= MAX_SPLAT_TERMS))
 # bitmap textures: each gather is SUB (H,Wp)x(Wp,LANE) matmuls per depth,
 # so texel count is a direct FLOP/VMEM cost (Wp pads to a 128 multiple)
 MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
@@ -2009,9 +2043,21 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
     if rx.adc.n_freq == 1 and cells <= MAX_ADC_CELLS \
             and cells * tx.n <= MAX_SPLAT_TERMS:
         pass  # small fast-time-only grids: unrolled per-cell reduce splat
+    elif rx.adc.n_freq == 1:
+        # large fast-time-only grids use the factorized (n_time/128, 128)
+        # one-hot MXU splat — the extent must tile the lane axis and the
+        # row-tile bound applies to n_time/128 (so the cap is 128x the 2-D
+        # tent bound; covers the reference's 62.5k samples/chirp in one
+        # dispatch, `integrator.cpp:1011-1109`)
+        if rx.adc.n_time % 128 != 0:
+            return no(f'1-D ADC extent {rx.adc.n_time} not a multiple of '
+                      f'128 (factorized MXU splat)')
+        if rx.adc.n_time > MAX_1D_ROWS:
+            return no(f'1-D ADC extent {rx.adc.n_time} > {MAX_1D_ROWS} '
+                      f'(factorized MXU splat VMEM bound)')
     else:
-        # everything else splats via dot_general on the MXU — bounds are
-        # the VMEM accumulator and the (n_time, LANE) tent/iota tiles
+        # 2-D grids splat via dot_general on the MXU — bounds are the VMEM
+        # accumulator and the (n_time, LANE) tent/iota tiles
         if cells > MAX_ADC_CELLS_MXU:
             return no(f'ADC grid {rx.adc.n_time}x{rx.adc.n_freq} = {cells} '
                       f'cells > {MAX_ADC_CELLS_MXU} (MXU splat VMEM bound)')
@@ -2053,12 +2099,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          bmp_meta: tuple = (), layered: int = 0, tex=None, msh=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None):
     n_tx = int(txp.shape[0])
-    if has_mesh:
-        sub = MESH_SUB
-    elif interpret:
-        sub = SUB          # keep the uniform-tensor layout of the tests
-    else:
-        sub = _wide_sub(cfg, n_tx)
+    sub = MESH_SUB if has_mesh else SUB
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
     nd = n_draws(max_depth, n_tx)
@@ -2092,6 +2133,12 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           has_lo=has_lo, polarized=polarized,
                           bmp_meta=bmp_meta, layered=layered)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # factorized large 1-D grids accumulate/output as (n_time/128, 128)
+    # inside the kernel (see _is_wide_1d); reshape back after the call
+    if _is_wide_1d(cfg.n_time, cfg.n_freq, n_tx):
+        grid_shape = (cfg.n_time // LANE, LANE)
+    else:
+        grid_shape = (cfg.n_time, cfg.n_freq)
     out, out_q, out_s2, out_s3, cnt = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -2108,25 +2155,32 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
             smem, smem, smem,
         ],
         out_specs=[
-            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+            pl.BlockSpec(grid_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+            pl.BlockSpec(grid_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+            pl.BlockSpec(grid_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cfg.n_time, cfg.n_freq), lambda i: (0, 0),
+            pl.BlockSpec(grid_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.n_time, cfg.n_freq), jnp.float32),
+            jax.ShapeDtypeStruct(grid_shape, jnp.float32),
+            jax.ShapeDtypeStruct(grid_shape, jnp.float32),
+            jax.ShapeDtypeStruct(grid_shape, jnp.float32),
+            jax.ShapeDtypeStruct(grid_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            pltpu.VMEM((sub, LANE), jnp.float32),
+            # factorized 1-D splat row staging (w1_*: b0, frac, 4 channels)
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((sub, LANE), jnp.float32),
             pltpu.VMEM((sub, LANE), jnp.float32),
@@ -2137,6 +2191,11 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(params, prim, txp, php, rph, msh, uniforms, tex, bvh_bbox, bvh_links,
       bvh_leaves)
+    if grid_shape != (cfg.n_time, cfg.n_freq):
+        out = out.reshape(cfg.n_time, cfg.n_freq)
+        out_q = out_q.reshape(cfg.n_time, cfg.n_freq)
+        out_s2 = out_s2.reshape(cfg.n_time, cfg.n_freq)
+        out_s3 = out_s3.reshape(cfg.n_time, cfg.n_freq)
     return out, out_q, out_s2, out_s3, cnt
 
 

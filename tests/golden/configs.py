@@ -269,9 +269,96 @@ def fmcw_dechirp_chain():
              "f_beat_hz": f_beat, "fs_adc": fs_adc})
 
 
+def micro_doppler_cpi():
+    """Config 5 of the golden ladder — BASELINE-scale CPI with
+    micro-Doppler: a 64-pulse coherent train over an `AnimatedTransform`-
+    orbiting scatterer (the framework's declarative animation replacing
+    the reference's per-frame reload loop,
+    `python_scripts/animated_trans_rad.py:307-373`; slow-time cube design
+    comments at `integrator.cpp:920-945`).
+
+    A scatterer orbiting at radius r with rotation rate f_rot phase-
+    modulates the echo: phi_p = a sin(2 pi f_rot t_p) with modulation
+    index a = 4 pi r / lambda.  The slow-time spectrum is then the Bessel
+    comb sum_k J_k(a) delta(f - k f_rot) — micro-Doppler sidebands at
+    exact multiples of the rotation rate.  f_rot is placed on FFT bin 4
+    and a = 3, so J_0..J_4 lines all stand clear of the floor."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tf
+    from beifong_tpu.core.transform import AnimatedTransform
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (cw, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.receive import receive_cpi
+
+    fc = 40e3
+    lam = C_SOUND / fc
+    n_pulses, prf = 64, 400.0
+    m_rot = 4                                  # sidebands on bins +-4, +-8…
+    f_rot = prf * m_rot / n_pulses             # 25 Hz rotation rate
+    a_mod = 3.0                                # modulation index
+    r_orb = a_mod * lam / (4 * np.pi)          # ~2 mm orbit
+    R0 = 4.0
+
+    band = Band.from_freq(C_SOUND, fc, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    s.add(wigner_transmitter("tx", cw(f_centre=fc), resample_freq=True))
+    s.add(sh.rectangle(to_world=np.asarray(
+        tf.compose(tf.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                   tf.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+    adc = ADCConfig(n_time=8, n_freq=1, sampling_start=0.0,
+                    sampling_time=2e-3, freq_lo=fc - 2e3, freq_hi=fc + 2e3)
+    rx = wigner_receiver("rx", adc, receive_type="raw")
+    s.add(rx)
+    s.add(sh.rectangle(to_world=np.asarray(
+        tf.compose(tf.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                   tf.scale([0.05, 0.05, 1.0]))), receiver="rx"))
+
+    # orbiting scatterer: keyframes at every pulse time, radial component
+    # R(t) = R0 + r sin(2 pi f_rot t) along the -y LOS
+    tgt = sh.rectangle(bsdf="mat")
+    frames = []
+    for p in range(n_pulses + 1):
+        t_p = p / prf
+        psi = 2 * np.pi * f_rot * t_p
+        pos = [r_orb * np.cos(psi), -(R0 + r_orb * np.sin(psi)), 0.0]
+        frames.append((t_p, np.asarray(
+            tf.compose(tf.look_at(pos, [0.0, 0.0, 0.0]), tf.scale(0.3)))))
+    tgt.to_world = AnimatedTransform.from_keyframes(frames)
+    s.add(tgt)
+
+    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=11,
+                          coherent=True, spp=1 << 13, max_depth=1,
+                          time_sampling='gate')
+    g = np.asarray(cube)
+    iq = (g[..., 0] + 1j * g[..., 1]).sum(axis=(1, 2)) / max(n, 1)
+    spec = np.abs(np.fft.fftshift(np.fft.fft(iq))) ** 2
+
+    # analytic anchor: the Bessel comb J_k(3) at bins 32 + 4k
+    try:
+        from scipy.special import jv
+        jk = [float(jv(k, a_mod)) ** 2 for k in range(5)]
+    except ImportError:     # series fallback (a=3, k<=4 converges fast)
+        import math
+        def _jv(k, x, terms=30):
+            return sum((-1) ** m_ / (math.factorial(m_)
+                                     * math.factorial(m_ + k))
+                       * (x / 2) ** (2 * m_ + k) for m_ in range(terms))
+        jk = [float(_jv(k, a_mod)) ** 2 for k in range(5)]
+    comb_bins = sorted({(n_pulses // 2 + m_rot * k) % n_pulses
+                        for k in range(-4, 5)})
+    return ({"iq": iq.astype(np.complex128), "spectrum": spec},
+            {"comb_bins": np.asarray(comb_bins), "m_rot": m_rot,
+             "bessel_a": a_mod, "j_sq": np.asarray(jk)})
+
+
 CONFIGS = {
     "range_profile": range_profile,
     "fmcw_sonar": fmcw_sonar,
     "pulse_train_range_doppler": pulse_train_range_doppler,
     "fmcw_dechirp_chain": fmcw_dechirp_chain,
+    "micro_doppler_cpi": micro_doppler_cpi,
 }

@@ -58,7 +58,7 @@ def _figure(results, here):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 4, figsize=(17, 3.4))
+    fig, axes = plt.subplots(1, 5, figsize=(21, 3.4))
     if "range_profile" in results:
         prof = results["range_profile"][0]["profile"]
         r = (np.arange(len(prof)) + 0.5) * 0.5e-9 * 3e8
@@ -94,6 +94,15 @@ def _figure(results, here):
                     ylabel="Doppler bin")
         axes[3].legend()
         fig.colorbar(im, ax=axes[3], label="dB")
+    if "micro_doppler_cpi" in results:
+        arrays, meta = results["micro_doppler_cpi"]
+        spec = arrays["spectrum"]
+        db = 10 * np.log10(np.maximum(spec / max(spec.max(), 1e-30), 1e-12))
+        axes[4].stem(np.arange(len(spec)), np.maximum(db, -30))
+        for b in np.asarray(meta["comb_bins"]).tolist():
+            axes[4].axvline(b, color="r", ls=":", lw=0.7)
+        axes[4].set(title="micro-Doppler Bessel comb (64-pulse CPI)",
+                    xlabel="Doppler bin", ylabel="dB", ylim=(-30, 2))
     fig.tight_layout()
     out = os.path.join(here, "..", "..", "docs", "figures")
     os.makedirs(out, exist_ok=True)

@@ -148,10 +148,18 @@ def test_supported_gates():
     import dataclasses as dc
     big = dc.replace(rx, adc=dc.replace(rx.adc, n_time=1024, n_freq=1))
     assert supported(sd, big)     # 1-D past 512 now rides the MXU splat
-    big1b = dc.replace(rx, adc=dc.replace(rx.adc, n_time=16384, n_freq=1))
+    # factorized 1-D splat reaches the reference's 62.5k samples/chirp...
+    big1b = dc.replace(rx, adc=dc.replace(rx.adc, n_time=65536, n_freq=1))
+    assert supported(sd, big1b)
+    # ...but not past it, and the extent must tile the 128-lane axis
+    big1c = dc.replace(rx, adc=dc.replace(rx.adc, n_time=131072, n_freq=1))
     why = []
-    assert not supported(sd, big1b, why)
-    assert any('fast-time extent' in w for w in why)
+    assert not supported(sd, big1c, why)
+    assert any('1-D ADC extent' in w for w in why)
+    odd1d = dc.replace(rx, adc=dc.replace(rx.adc, n_time=600, n_freq=1))
+    why = []
+    assert not supported(sd, odd1d, why)
+    assert any('multiple of 128' in w for w in why)
     # at the cap: 512x256 = 131072 cells verified on v5e hardware
     atcap = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
     assert supported(sd, atcap)
@@ -767,9 +775,12 @@ def test_megakernel_rect_demotion():
     tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
     assert tp.sum() > 0
     # main target peak identical; clutter band populated in both paths
+    # (presence of contributions, not their signed sum — the MIS beam
+    # lobe sends few lanes at off-boresight clutter, whose signed WDF
+    # weights can sum arbitrarily close to zero at this spp)
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
     far = np.arange(64) > int(tj.argmax()) + 4
-    assert tp[far].sum() > 0 and tj[far].sum() > 0
+    assert np.abs(tp[far]).sum() > 0 and np.abs(tj[far]).sum() > 0
     pk = int(tj.argmax())
     lo, hi = max(pk - 3, 0), pk + 4
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
