@@ -121,3 +121,35 @@ def test_receive_sharded_matches_unsharded_stats(mesh8):
     pk = int(sig_u.argmax())
     lo, hi = max(pk - 3, 0), pk + 4
     assert sig_sh[lo:hi].sum() == pytest.approx(sig_u[lo:hi].sum(), rel=0.5)
+
+
+def test_dryrun_multichip_wall_time():
+    """The driver's 8-device dry run must complete well inside its budget
+    (<5 min wall on a 4-core CPU host — VERDICT r3 #1; measured ~25 s).
+    Run it exactly as the driver does: a fresh subprocess with 8 virtual
+    CPU devices, killed hard at the budget so a compile-bomb regression
+    fails fast instead of hanging the suite."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS")
+           and not k.startswith("PALLAS_AXON")}
+    code = (
+        "import os;"
+        "os.environ['JAX_PLATFORMS']='cpu';"
+        "os.environ['XLA_FLAGS']='--xla_force_host_platform_device_count=8';"
+        "import jax;jax.config.update('jax_platforms','cpu');"
+        f"import sys;sys.path.insert(0,{here!r});"
+        "import __graft_entry__ as g;"
+        "g.dryrun_multichip(8)")
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=300)
+    except subprocess.TimeoutExpired:
+        pytest.fail("dryrun_multichip(8) exceeded the 300 s budget "
+                    "(compile-bomb regression — see VERDICT r3 weak #1)")
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "dryrun_multichip OK" in out.stdout
