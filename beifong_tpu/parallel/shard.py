@@ -89,7 +89,7 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     else:
         rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
-    tile = (MESH_SUB * LANE) if has_mesh else TILE
+    tile = (MESH_SUB * LANE) if (has_mesh or interpret) else TILE
     n_lanes = max(tile, (spp_per_device // tile) * tile)
     mesh_kw = {}
     if has_mesh:
@@ -212,6 +212,87 @@ def make_mimo_mesh(chan: int, ray: int | None = None, devices=None) -> Mesh:
     assert chan * ray == n, f"mesh {chan}x{ray} != {n} devices"
     import numpy as np
     return Mesh(np.asarray(devices).reshape(chan, ray), ('chan', 'ray'))
+
+
+def receive_mimo_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
+                                spp_per_device: int, seed: int = 0,
+                                max_depth: int = 3,
+                                time_sampling: str = 'gate',
+                                interpret: bool = False):
+    """Megakernel MIMO receive (BASELINE config 5 at kernel rate) over a
+    ('chan', 'ray') mesh: every device traces the SAME rays (the seed folds
+    on the ray index only) but splats only its own element subset's 2E_loc
+    I/Q channels in-kernel; ray shards psum-merge.  A chan-only mesh is
+    bit-identical to dense `receive_pallas(..., mimo=True)` — each output
+    channel column accumulates the same products in the same order.
+
+    Returns (iq (E, n_time, n_freq, 2), total_samples), sharded over
+    'chan' on axis 0 like `receive_mimo_sharded`."""
+    from ..integrators.pallas_receive import (_pack_scene, _run, LANE, SUB,
+                                              supported)
+    from ..radar.endpoints import rx_elem_offsets
+    import numpy as _np
+    assert supported(scene_data, rx, mimo=True), \
+        "scene outside megakernel MIMO scope"
+    shape_idx = scene_host.shape_index_of_endpoint('receiver', rx.id)
+    (params, prim, txp, php, rxph, msh, mesh_types, tex, bmp_meta,
+     mesh_pack) = _pack_scene(scene_data, rx, shape_idx)
+    assert mesh_pack is None, "MIMO kernel mode covers analytic prims"
+    prim_kinds = tuple(int(k) for k in prim[:, 0])
+    prim_tx = tuple(int(f) for f in prim[:, 14])
+    prim_bsdf = tuple(int(f) for f in prim[:, 18])
+    prim_tex = tuple(int(f) for f in prim[:, 26])
+    moving = bool(_np.abs(prim[:, 19:22]).max() > 0.0
+                  or _np.abs(txp[:, 24:27]).max() > 0.0
+                  or _np.abs(params[23:26]).max() > 0.0)
+    absorbing = bool(params[29] > 0.0)
+    layered = int(params[42])
+    tx_kinds = tuple(int(f) for f in _np.asarray(txp)[:, 27])
+    offs = _np.asarray(rx_elem_offsets(scene_data, rx, shape_idx),
+                       _np.float32)
+    n_e = offs.shape[0]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_chan = sizes['chan']
+    assert n_e % n_chan == 0, f"{n_e} elements not divisible by {n_chan}"
+    e_loc = n_e // n_chan
+    from ..integrators.pallas_receive import MESH_SUB
+    tile = (MESH_SUB if interpret else SUB) * LANE
+    n_lanes = max(tile, (spp_per_device // tile) * tile)
+    params = params.copy()
+    params[0] = float(seed * 1_000_003 % (1 << 30))
+    cfg = rx.adc
+
+    # per-ray-shard keys, precomputed so shard 0 holds the EXACT dense key
+    # (bit-identical chan-only parity with receive_pallas(mimo=True) in
+    # both PRNG modes: in-kernel seeds add 7919*ridx = +0 at shard 0)
+    base = jax.random.key(seed)
+    key_rows = jnp.stack(
+        [jax.random.key_data(base if r == 0 else jax.random.fold_in(base, r))
+         for r in range(sizes['ray'])])
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(), P(), P(), P(), P(), P('chan'),
+                                 P('ray')),
+                       out_specs=P('chan'), check_vma=False)
+    def run(params_r, prim_r, txp_r, php_r, rxph_r, offs_local, key_local):
+        ridx = jax.lax.axis_index('ray')
+        p2 = params_r.at[0].add(ridx.astype(jnp.float32) * 7919.0)
+        k = jax.random.wrap_key_data(key_local[0])
+        out = _run(p2, prim_r, txp_r, php_r, rxph_r, k, prim_kinds, prim_tx,
+                   prim_bsdf, prim_tex, cfg, rx.receive_type,
+                   time_sampling, max_depth, 'phased', n_lanes, interpret,
+                   False, moving=moving, absorbing=absorbing,
+                   tx_kinds=tx_kinds, has_lo=rx.lo_waveform is not None,
+                   bmp_meta=bmp_meta, layered=layered,
+                   mimo_e=e_loc, eoff=offs_local)[0]
+        out = jax.lax.psum(out, 'ray')
+        iq = out.reshape(cfg.n_time, cfg.n_freq, e_loc, 2)
+        return jnp.moveaxis(iq, 2, 0)          # (e_loc, n_time, n_freq, 2)
+
+    iq = run(jnp.asarray(params), jnp.asarray(prim), jnp.asarray(txp),
+             jnp.asarray(php), jnp.asarray(rxph), jnp.asarray(offs),
+             key_rows)
+    return iq, n_lanes * sizes['ray']
 
 
 def receive_mimo_sharded(scene_host, scene_data, rx, mesh: Mesh,

@@ -472,18 +472,62 @@ def render_binned(scene: Scene, scene_data: SceneData | None = None,
     return grid, lanes * n_pass
 
 
+@functools.partial(jax.jit, static_argnames=(
+    'rx', 'shape_idx', 'n_lanes', 'n_pass', 'max_depth', 'coherent',
+    'sampler', 'n_total_log2', 'time_sampling', 'polarized'))
+def _cpi_scan(sd_stack, rx, shape_idx: int, lo_wf, key_rows,
+              n_lanes: int, n_pass: int, max_depth: int, coherent: bool,
+              sampler: str, n_total_log2: int, time_sampling: str,
+              polarized: bool):
+    """ONE compiled program for the whole CPI: `lax.scan` over the pulse
+    axis of the stacked per-pulse SceneData (rigid motion = per-pulse
+    to_world/velocity arrays, same topology), each step an ordinary
+    `_receive_pass`.  Replaces n_pulses separate dispatches + host
+    round-trips — on TPU the whole pulse train is a single launch."""
+    cfg = rx.adc
+    n_ch = 4 if polarized else (2 if coherent else 1)
+
+    def one(carry, inp):
+        sd_p, kd = inp
+        k = jax.random.wrap_key_data(kd)
+        adc = film_mod.film_new(cfg.n_time, cfg.n_freq, n_ch)
+        for p in range(n_pass):
+            adc = _receive_pass(sd_p, rx, shape_idx, lo_wf, k,
+                                jnp.uint32(p), adc, n_lanes, max_depth,
+                                coherent, sampler, n_total_log2,
+                                time_sampling, polarized)
+        return carry, adc
+
+    _, cube = jax.lax.scan(one, 0, (sd_stack, key_rows))
+    return cube
+
+
+# receive() kwargs the scanned CPI supports; anything else (checkpointing,
+# use_pallas routing, timeouts) falls back to the per-pulse loop
+_CPI_SCAN_KW = {'spp', 'max_depth', 'sampler', 'time_sampling', 'polarized',
+                'lanes_per_pass'}
+
+
 def receive_cpi(scene: Scene, receiver_id: str | None = None,
                 n_pulses: int = 16, prf: float = 1000.0, t0: float = 0.0,
                 seed: int = 0, coherent: bool = True,
-                common_random_numbers: bool = True, **receive_kw):
+                common_random_numbers: bool = True, engine: str = 'scan',
+                **receive_kw):
     """Coherent processing interval over an animated scene.
 
-    Runs one `receive()` per pulse at t = t0 + p / prf, snapshotting any
-    `AnimatedTransform` motion via `Scene.at_time` (quasistatic slow time —
-    the framework version of the reference's per-frame reload loop,
-    `python_scripts/animated_trans_rad.py:307-373`), and stacks the
-    per-pulse ADC grids into a (n_pulses, n_time, n_freq, C) cube ready for
+    Snapshots any `AnimatedTransform` motion at t = t0 + p / prf via
+    `Scene.at_time` (quasistatic slow time — the framework version of the
+    reference's per-frame reload loop,
+    `python_scripts/animated_trans_rad.py:307-373`), and returns the
+    per-pulse ADC grids as a (n_pulses, n_time, n_freq, C) cube ready for
     `dsp.rangedoppler.doppler_fft`.
+
+    engine='scan' (default) stacks the per-pulse SceneData snapshots and
+    runs the WHOLE train as one jitted `lax.scan` (`_cpi_scan`) — one
+    compile, one device launch, no per-pulse host round-trips; bit-exact
+    with the legacy loop.  engine='loop' runs one `receive()` per pulse
+    (also used automatically when `receive_kw` carries loop-only options
+    like checkpointing or `use_pallas`).
 
     Returns (cube, samples_per_pulse).  Intra-pulse Doppler comes from the
     velocity fields the animation derivative fills in; inter-pulse phase
@@ -495,6 +539,31 @@ def receive_cpi(scene: Scene, receiver_id: str | None = None,
     samples per pulse.  Unbiased per pulse either way; set False for
     independent pulses (e.g. when averaging magnitude spectra).
     """
+    if engine == 'scan' and set(receive_kw) <= _CPI_SCAN_KW:
+        spp = receive_kw.get('spp', 4096)
+        max_depth = receive_kw.get('max_depth', 3)
+        sampler = receive_kw.get('sampler', 'independent')
+        time_sampling = receive_kw.get('time_sampling', 'fixed')
+        polarized = receive_kw.get('polarized', False)
+        lanes_per_pass = receive_kw.get('lanes_per_pass', 1 << 17)
+        snaps = [scene.at_time(t0 + p / prf) for p in range(n_pulses)]
+        rxs = snaps[0].receivers
+        rx = rxs[0] if receiver_id is None else next(
+            r for r in rxs if r.id == receiver_id)
+        shape_idx = snaps[0].shape_index_of_endpoint('receiver', rx.id)
+        sds = [scene_mono(sn.compile()) for sn in snaps]
+        sd_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *sds)
+        n_pass = max(1, (spp + lanes_per_pass - 1) // lanes_per_pass)
+        lanes = min(spp, lanes_per_pass)
+        n_total_log2 = max(1, (lanes * n_pass - 1).bit_length())
+        key_rows = jnp.stack([jax.random.key_data(jax.random.key(
+            seed if common_random_numbers else seed + 7919 * p))
+            for p in range(n_pulses)])
+        cube = _cpi_scan(sd_stack, _HashableRx(rx), shape_idx,
+                         rx.lo_waveform, key_rows, lanes, n_pass, max_depth,
+                         coherent, sampler, n_total_log2, time_sampling,
+                         polarized)
+        return cube, lanes * n_pass
     cube = []
     n = 0
     for p in range(n_pulses):

@@ -59,6 +59,16 @@ def expected_peak(rx, R=4.0):
     return int(round(tau / rx.adc.sampling_time * rx.adc.n_time - 0.5))
 
 
+def smear_bins(rx, pulse_len=2e-3):
+    """Gate-mode emission time is uniform over the pulse support, so the
+    echo occupies [tau, tau + pulse_len]: at 64 bins that is ~2 bins and
+    the +-2 peak tolerance hides it, at 1024 bins it is ~34 bins and the
+    peak (WDF-weighted, at the pulse centre) must be allowed to sit
+    anywhere in the smear window."""
+    import math
+    return math.ceil(pulse_len / rx.adc.sampling_time * rx.adc.n_time)
+
+
 def run(tag, s, rx, **kw):
     sd = s.compile()
     why = []
@@ -74,10 +84,12 @@ def run(tag, s, rx, **kw):
     # weight is marginal — the time profile is what the peak test pins
     pk = int(prof.sum(axis=1).argmax())
     exp = expected_peak(rx)
-    print(f"{tag}: compile+run {dt:.1f}s  peak bin {pk} (expect ~{exp})  "
-          f"finite={np.isfinite(a).all()}", flush=True)
+    hi = exp + smear_bins(rx)
+    print(f"{tag}: compile+run {dt:.1f}s  peak bin {pk} "
+          f"(expect in [{exp}, {hi}])  finite={np.isfinite(a).all()}",
+          flush=True)
     assert np.isfinite(a).all(), tag
-    assert abs(pk - exp) <= 2, (tag, pk, exp)
+    assert exp - 2 <= pk <= hi + 2, (tag, pk, exp, hi)
     return a
 
 
@@ -174,5 +186,66 @@ s, rx, _ = base_scene()
 rx = dc.replace(rx, adc=dc.replace(rx.adc, n_time=512, n_freq=256))
 s.receivers[0] = rx
 run("adc512x256", s, rx)
+
+# 10) MIMO per-element channels (BASELINE config 5 at kernel rate):
+# 8-element lambda/2 ULA, one dot_general splats all 16 I/Q channels;
+# DAS beamforming on the hardware cube recovers the target azimuth
+from beifong_tpu.radar import phased_receiver
+from beifong_tpu.radar.endpoints import rx_elem_offsets
+from beifong_tpu.dsp import beamform as bf
+
+az_true, R_m = 15.0, 4.0
+band_m = Band.from_freq(340.0, 40e3, 1e3)
+wl_m = band_m.wavelength_centre
+s = sc.Scene(band=band_m)
+s.add(diffuse("mat", reflectance=1.0, twosided=True))
+wf_m = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=1e3,
+             is_delta=True)
+s.add(wigner_transmitter("tx", wf_m, resample_freq=True))
+s.add(sh.rectangle(to_world=np.asarray(
+    tf.compose(tf.look_at([0.1, 0, 0], [0.1, -1, 0]),
+               tf.scale([0.004, 0.004, 1.0]))), transmitter="tx"))
+adc_m = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                  sampling_time=0.06, freq_lo=39.5e3, freq_hi=40.5e3)
+rx_m = phased_receiver("rx", adc_m, n_elems=8, elem_spacing=wl_m / 2,
+                       elem_wid=(wl_m / 4, wl_m / 4), receive_type='raw')
+s.add(rx_m)
+s.add(sh.rectangle(to_world=np.asarray(
+    tf.compose(tf.look_at([0.0, 0, 0], [0.0, -1, 0]),
+               tf.scale([1e-4, 1e-4, 1.0]))), receiver="rx"))
+tx_t = R_m * np.sin(np.radians(az_true))
+ty_t = -R_m * np.cos(np.radians(az_true))
+s.add(sh.rectangle(to_world=np.asarray(
+    tf.compose(tf.look_at([tx_t, ty_t, 0], [0, 0, 0]), tf.scale(0.2))),
+    bsdf="mat"))
+sd_m = s.compile()
+why = []
+assert supported(sd_m, rx_m, why, mimo=True), why
+t0 = time.perf_counter()
+sig_m, n_m = receive_pallas(s, sd_m, rx_m, spp=1 << 20, seed=3, max_depth=2,
+                            time_sampling='gate', mimo=True)
+jax.block_until_ready(sig_m)
+dt = time.perf_counter() - t0
+sig_m = np.asarray(sig_m)
+assert sig_m.shape == (64, 1, 16) and np.isfinite(sig_m).all()
+cube_m = np.moveaxis((sig_m[..., 0::2] + 1j * sig_m[..., 1::2])
+                     * (64.0 / n_m), -1, 0)
+offs_m = np.asarray(rx_elem_offsets(sd_m, rx_m,
+                                    s.shape_index_of_endpoint('receiver',
+                                                              rx_m.id)))
+az_grid = np.radians(np.linspace(-40.0, 40.0, 81))
+dirs_m = np.asarray(bf.ula_directions(az_grid, axis=(1, 0, 0),
+                                      normal=(0, -1, 0)))
+# DAS on host (numpy): the kernel under test is the receive, not the tiny
+# beamform matmul (which the axon backend rejects for host-resident f64)
+a_m = np.exp(2j * np.pi * 40e3 / 340.0 * (dirs_m @ offs_m.T))     # (A, E)
+B_m = np.einsum('ae,etf->atf', np.conj(a_m), cube_m) / offs_m.shape[0]
+p_m = (np.abs(B_m) ** 2).sum(axis=(1, 2))
+pk_az = float(np.degrees(az_grid[p_m.argmax()]))
+rate = n_m / dt
+print(f"mimo8: compile+run {dt:.1f}s  DAS peak az {pk_az:.1f} "
+      f"(expect ~{az_true})  {rate / 1e6:.1f}M samples/s incl compile",
+      flush=True)
+assert abs(pk_az - az_true) <= 2.0, pk_az
 
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)

@@ -40,18 +40,19 @@ from beifong_tpu.core import transform as tf
 from beifong_tpu.core.config import Band
 from beifong_tpu.radar import (linfmcw, wigner_transmitter, wigner_receiver,
                                ADCConfig)
-from beifong_tpu.receive import receive
+from beifong_tpu.core.transform import AnimatedTransform
+from beifong_tpu.receive import receive_cpi
 from beifong_tpu.dsp import resample, rangedoppler as rd, windows
 
 C = 340.0
 FC, B, T = 40e3, 2e3, 90e-3          # sonar FMCW (reference Render.py band)
-N_PULSES, PRF = 16, 1.0 / T
+N_PULSES, PRF = 64, 1.0 / T
 R = 4.0                               # corner apex range
 N_FAST, WINDOW, T0 = 1024, 50e-3, 30e-3
 Q = 8                                 # decimation factor to ADC rate
 
 
-def make_scene(dy, v):
+def make_scene(v):
     band = Band.from_freq(C, FC, 4 * B)
     s = sc.Scene(band=band)
     s.add(conductor("m", eta=0.2, k=3.0, twosided=True))
@@ -67,32 +68,46 @@ def make_scene(dy, v):
                          lo_waveform=wf)
     s.add(rx)
     rx_pos = np.array([0.0, -0.1, 0.0])
-    apex = np.array([0.0, -R + dy, 0.0])
+    apex = np.array([0.0, -R, 0.0])
     s.add(sh.rectangle(to_world=np.asarray(
         tf.compose(tf.look_at(rx_pos, apex), tf.scale([0.02, 0.02, 1.0]))),
         receiver="rx"))
+    # the corner's rigid translation is DECLARED, not re-built per pulse:
+    # AnimatedTransform keyframes carry the slow-time poses, the velocity
+    # field the intra-pulse Doppler — one scene serves the whole CPI
     for f in sh.trihedral(apex, rx_pos - apex, bsdf="m",
                           velocity=np.array([0, v, 0], np.float32)):
+        base = np.asarray(f.to_world)
+        f.to_world = AnimatedTransform.from_keyframes(
+            [(p / PRF, np.asarray(tf.compose(
+                tf.translate([0.0, v * p / PRF, 0.0]), base)))
+             for p in range(N_PULSES + 1)])
         s.add(f)
     return s, rx, apex, rx_pos
 
 
 def main():
-    # closing speed for a clean Doppler bin: fd = 2 v FC / C on bin 5/16
-    v = (5.0 / 16.0) * PRF * C / (2 * FC)
+    import time
+    # closing speed for a clean Doppler bin: fd = 2 v FC / C on bin 20/64
+    v = (20.0 / 64.0) * PRF * C / (2 * FC)
     slope = B / T
 
-    iq = []
-    for p in range(N_PULSES):
-        s, rx, apex, rx_pos = make_scene(dy=v * p / PRF, v=v)
-        # common random numbers across the CPI: slow-time phase progression
-        # is then pure target motion (frozen speckle)
-        a, n = receive(s, receiver=rx, spp=1 << 16, max_depth=4, seed=13,
-                       coherent=True)
-        g = np.asarray(a)
-        iq.append((g[:, 0, 0] + 1j * g[:, 0, 1]) * (N_FAST / max(n, 1)))
-        print(f"pulse {p + 1}/{N_PULSES}", flush=True)
-    iq = np.stack(iq)
+    s, rx, apex, rx_pos = make_scene(v=v)
+    # ONE jitted lax.scan over the pulse axis (receive_cpi engine='scan'):
+    # no per-pulse scene rebuilds or device dispatches.  Common random
+    # numbers across the CPI: slow-time phase progression is then pure
+    # target motion (frozen speckle).
+    t0 = time.perf_counter()
+    cube, n = receive_cpi(s, n_pulses=N_PULSES, prf=PRF, seed=13,
+                          coherent=True, common_random_numbers=True,
+                          spp=1 << 16, max_depth=4)
+    cube.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"CPI: {N_PULSES} pulses x {n} samples in {dt:.2f} s "
+          f"({N_PULSES / dt:.1f} pulses/s, "
+          f"{N_PULSES * n / dt / 1e6:.2f} M samples/s)", flush=True)
+    g = np.asarray(cube)
+    iq = (g[:, :, 0, 0] + 1j * g[:, :, 0, 1]) * (N_FAST / max(n, 1))
 
     # conjugate (dechirp sign convention) -> decimate -> 2-D FFT
     dec = np.asarray(resample.decimate(np.conj(iq), Q))
@@ -109,7 +124,9 @@ def main():
     pk = np.unravel_index(mag.argmax(), mag.shape)
     r_axis = np.asarray(rd.range_axis_fmcw(n_adc, fs_adc, slope, C))
     d_axis = np.asarray(rd.doppler_axis(N_PULSES, PRF))
-    v_est = d_axis[pk[0]] * C / (2 * FC)
+    # the conj() that puts the beat line on the positive range axis also
+    # negates the slow-time phasor, so Doppler reads sign-flipped
+    v_est = -d_axis[pk[0]] * C / (2 * FC)
     print(f"corner at range {r_axis[pk[1]]:.2f} m (true ~{tau * C / 2:.2f}), "
           f"closing {v_est * 1e3:.1f} mm/s (true {v * 1e3:.1f} mm/s)")
     print(f"peak cell (doppler, range) = {pk}, analytic range bin "

@@ -58,7 +58,7 @@ def _figure(results, here):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 5, figsize=(21, 3.4))
+    fig, axes = plt.subplots(1, 6, figsize=(25, 3.4))
     if "range_profile" in results:
         prof = results["range_profile"][0]["profile"]
         r = (np.arange(len(prof)) + 0.5) * 0.5e-9 * 3e8
@@ -103,6 +103,19 @@ def _figure(results, here):
             axes[4].axvline(b, color="r", ls=":", lw=0.7)
         axes[4].set(title="micro-Doppler Bessel comb (64-pulse CPI)",
                     xlabel="Doppler bin", ylabel="dB", ylim=(-30, 2))
+    if "mimo_beamform" in results:
+        arrays, meta = results["mimo_beamform"]
+        az = np.asarray(meta["az_deg"])
+        for key, style in (("das", "-"), ("mvdr", "--")):
+            y = arrays[key]
+            axes[5].plot(az, 10 * np.log10(np.maximum(
+                y / max(y.max(), 1e-30), 1e-6)), style, lw=1.2,
+                label=key.upper())
+        axes[5].axvline(float(meta["az_true_deg"]), color="r", ls=":",
+                        lw=1, label="true azimuth")
+        axes[5].set(title="MIMO digital beamforming", xlabel="azimuth [deg]",
+                    ylabel="dB", ylim=(-40, 2))
+        axes[5].legend()
     fig.tight_layout()
     out = os.path.join(here, "..", "..", "docs", "figures")
     os.makedirs(out, exist_ok=True)

@@ -197,3 +197,85 @@ def test_steering_matrix_matches_trace_phases():
     a = np.asarray(bf.steering_matrix(offs, d[None], 40e3, C))[0]
     err = np.abs(np.angle(a * np.conj(ph_trace))) / (2 * np.pi)
     assert err.max() < 0.02
+
+
+@pytest.mark.slow
+def test_mimo_megakernel_azimuth_and_jnp_agreement():
+    """The megakernel's per-element MIMO mode (interpret): DAS over the
+    kernel cube recovers the target azimuth and the beamformed time
+    profile peaks at the 2R/c delay; the azimuth spectrum agrees with the
+    jnp `_receive_mimo_pass` estimator (different sampling, so statistical
+    agreement on the beamformed observables, the quantities config 5 is
+    for)."""
+    from beifong_tpu.integrators.pallas_receive import (receive_pallas,
+                                                        supported)
+    az_true = 15.0
+    s, rx = _mimo_scene(az_true)
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why, mimo=True), why
+    spp = 1 << 12
+    sig, n = receive_pallas(s, sd, rx, spp=spp, seed=3, max_depth=2,
+                            time_sampling='gate', interpret=True, mimo=True)
+    sig = np.asarray(sig)
+    assert sig.shape == (rx.adc.n_time, 1, 2 * E)
+    cube_k = np.moveaxis((sig[..., 0::2] + 1j * sig[..., 1::2])
+                         * (rx.adc.n_time / n), -1, 0)
+    sidx = s.shape_index_of_endpoint('receiver', rx.id)
+    offs = np.asarray(rx_elem_offsets(sd, rx, sidx))
+    az_grid, dirs = _az_scan()
+    B = bf.delay_and_sum(jnp.asarray(cube_k), offs, dirs, 40e3, C)
+    p = np.asarray(jnp.sum(jnp.abs(B) ** 2, axis=(1, 2)))
+    assert abs(np.degrees(az_grid[p.argmax()]) - az_true) <= 2.0
+    assert p.max() / np.median(p) > 5.0
+    y = np.asarray(jnp.abs(B[p.argmax()][:, 0]) ** 2)
+    t_pk = (y.argmax() + 0.5) / rx.adc.n_time * rx.adc.sampling_time
+    assert t_pk == pytest.approx(2 * 4.0 / C, abs=2 * 0.06 / 64)
+
+    adc_j, nj = receive_mimo(s, sd, rx, spp=spp, max_depth=2, seed=3,
+                             time_sampling='gate')
+    cube_j = develop_mimo(adc_j, nj, rx.adc)
+    Bj = bf.delay_and_sum(cube_j, offs, dirs, 40e3, C)
+    pj = np.asarray(jnp.sum(jnp.abs(Bj) ** 2, axis=(1, 2)))
+    # same mainlobe: normalized azimuth spectra strongly correlated
+    cn = np.corrcoef(p / p.max(), pj / pj.max())[0, 1]
+    assert cn > 0.9, cn
+
+
+@pytest.mark.slow
+def test_mimo_megakernel_sharded_channel_parity():
+    """Channel-sharded megakernel MIMO (chan=2, ray=1) is BIT-IDENTICAL to
+    the dense kernel cube; a ('chan','ray') mesh psum-merges ray shards to
+    a statistically consistent cube (the kernel-rate form of
+    `test_mimo_sharded_channel_parity`).  Meshes stay at 2-4 devices:
+    interpret-mode pallas under shard_map scales poorly past that on a
+    4-core host (the jnp-path sharding tests cover the full 8-device
+    mesh)."""
+    from beifong_tpu.integrators.pallas_receive import receive_pallas
+    from beifong_tpu.parallel.shard import (make_mimo_mesh,
+                                            receive_mimo_sharded_pallas)
+    s, rx = _mimo_scene(15.0)
+    sd = s.compile()
+    spp = 1 << 12
+    sig_d, n_d = receive_pallas(s, sd, rx, spp=spp, seed=3, max_depth=2,
+                                time_sampling='gate', interpret=True,
+                                mimo=True)
+    sig_d = np.asarray(sig_d)
+    cube_d = np.moveaxis(np.stack([sig_d[..., 0::2], sig_d[..., 1::2]], -1),
+                         2, 0)                 # (E, n_time, n_freq, 2)
+
+    mesh = make_mimo_mesh(chan=2, ray=1, devices=jax.devices()[:2])
+    iq_s, n_s = receive_mimo_sharded_pallas(s, sd, rx, mesh,
+                                            spp_per_device=spp, seed=3,
+                                            max_depth=2, interpret=True)
+    assert n_s == n_d
+    np.testing.assert_array_equal(cube_d, np.asarray(iq_s))
+
+    mesh2 = make_mimo_mesh(chan=2, ray=2, devices=jax.devices()[:4])
+    iq_2, n_2 = receive_mimo_sharded_pallas(s, sd, rx, mesh2,
+                                            spp_per_device=spp, seed=3,
+                                            max_depth=2, interpret=True)
+    assert n_2 == 2 * spp
+    e1 = np.abs(cube_d).sum() / n_d
+    e2 = np.abs(np.asarray(iq_2)).sum() / n_2
+    assert e2 == pytest.approx(e1, rel=0.5)

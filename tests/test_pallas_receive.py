@@ -465,12 +465,19 @@ def test_megakernel_rough_conductor():
     sd = s.compile()
     why = []
     assert supported(sd, rx, why), why
-    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
-                            time_sampling='gate', interpret=True)
-    tp = np.asarray(out)[:, 0] / n * rx.adc.n_time
-    a, n2 = receive(s, sd, rx, seed=7, spp=1 << 14, max_depth=2,
-                    time_sampling='gate')
-    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    # heavy-tailed estimator (signed WDF weights): average a few seeds on
+    # each side before comparing energies
+    tp = 0.0
+    tj = 0.0
+    seeds = 3
+    for seed in range(seeds):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * rx.adc.n_time / seeds
+        a, n2 = receive(s, sd, rx, seed=7 + seed, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / seeds
     assert tp.sum() > 0 and tj.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
     pk = int(tj.argmax())
@@ -972,12 +979,17 @@ def test_megakernel_checkerboard_texture():
     sd = s.compile()
     why = []
     assert supported(sd, rx, why), why
-    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
-                            time_sampling='gate', interpret=True)
-    tp = np.asarray(out)[:, 0] / n * 64
-    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 14, max_depth=2,
-                    time_sampling='gate')
-    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    tp = 0.0
+    tj = 0.0
+    seeds = 3
+    for seed in range(seeds):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * 64 / seeds
+        a, n2 = receive(s, sd, rx, seed=5 + seed, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / seeds
     assert tp.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
     pk = int(tj.argmax())
@@ -1019,12 +1031,17 @@ def test_megakernel_bitmap_texture():
     sd = s.compile()
     why = []
     assert supported(sd, rx, why), why
-    out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=0, max_depth=2,
-                            time_sampling='gate', interpret=True)
-    tp = np.asarray(out)[:, 0] / n * 64
-    a, n2 = receive(s, sd, rx, seed=5, spp=1 << 14, max_depth=2,
-                    time_sampling='gate')
-    tj = np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0]
+    tp = 0.0
+    tj = 0.0
+    seeds = 3
+    for seed in range(seeds):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 14, seed=seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * 64 / seeds
+        a, n2 = receive(s, sd, rx, seed=5 + seed, spp=1 << 14, max_depth=2,
+                        time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / seeds
     assert tp.sum() > 0
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
     pk = int(tj.argmax())
@@ -1097,11 +1114,20 @@ def test_megakernel_ambient_absorption():
     ratio = p1[pk] / p0[pk]
     assert ratio == pytest.approx(np.exp(-sigma * path), rel=0.1), (
         ratio, np.exp(-sigma * path))
-    # jnp parity
-    a, n2 = receive(s1, sd1, rx1, seed=7, spp=1 << 13, max_depth=2,
-                    time_sampling='gate')
-    tj = np.asarray(develop_signal(a, n2, rx1.adc))[:, 0, 0]
+    # jnp parity (seed-averaged: the estimator is heavy-tailed)
     tp = p1 / n * 64
+    tj = 0.0
+    seeds = 3
+    for seed in range(1, seeds):
+        o_s, _ = receive_pallas(s1, sd1, rx1, spp=1 << 13, seed=2 + seed,
+                                max_depth=2, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(o_s)[:, 0] / n * 64
+    tp = tp / seeds
+    for seed in range(seeds):
+        a, n2 = receive(s1, sd1, rx1, seed=7 + seed, spp=1 << 13,
+                        max_depth=2, time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx1.adc))[:, 0, 0] / seeds
     assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
     lo, hi = max(pk - 3, 0), pk + 4
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
@@ -1329,14 +1355,26 @@ def test_megakernel_raw_resample_lo():
     sd = s.compile()
     why = []
     assert supported(sd, rx, why), why
-    out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=1, max_depth=2,
-                            time_sampling='fixed', interpret=True)
-    tp = np.asarray(out).sum(axis=0)
-    a, n2 = receive(s, sd, rx, seed=6, spp=1 << 13, max_depth=2,
-                    time_sampling='fixed')
-    tj = np.asarray(develop_signal(a, n2, rx.adc)).sum(axis=0)[:, 0]
+    tp = 0.0
+    tj = 0.0
+    for seed in range(3):
+        out, n = receive_pallas(s, sd, rx, spp=1 << 13, seed=1 + seed,
+                                max_depth=2, time_sampling='fixed',
+                                interpret=True)
+        tp = tp + np.asarray(out).sum(axis=0)
+        a, n2 = receive(s, sd, rx, seed=6 + seed, spp=1 << 13, max_depth=2,
+                        time_sampling='fixed')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc)).sum(axis=0)[:, 0]
     assert tp.sum() > 0 and tj.sum() > 0
-    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 2
+    # the LO chirp fills a broad ramp of frequency bins, so argmax is
+    # fragile; compare the occupied support and the spectral centroid
+    sup_p = np.nonzero(tp > 0.2 * tp.max())[0]
+    sup_j = np.nonzero(tj > 0.2 * tj.max())[0]
+    assert abs(int(sup_p[0]) - int(sup_j[0])) <= 2
+    assert abs(int(sup_p[-1]) - int(sup_j[-1])) <= 2
+    cen_p = (tp * np.arange(len(tp))).sum() / tp.sum()
+    cen_j = (tj * np.arange(len(tj))).sum() / tj.sum()
+    assert abs(cen_p - cen_j) <= 2.0
 
 
 @pytest.mark.slow
