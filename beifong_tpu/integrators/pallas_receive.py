@@ -31,9 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-from ..geometry.shapes import RECTANGLE, SPHERE
+from ..geometry.shapes import RECTANGLE, SPHERE, DISK, CYLINDER
 from ..geometry import pallas_bvh as pbvh
-from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
+from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
+                           DIELECTRIC, THIN_DIELECTRIC)
 from ..radar.waveform import CW, PULSE, LINFMCW
 from ..radar.endpoints import (WIGNER as TX_WIGNER, PHASED as TX_PHASED,
                                AREA as TX_AREA)
@@ -42,10 +43,21 @@ _ABLATE = os.environ.get("BF_ABLATE", "")  # dev knob: skip kernel stages
 
 SUB, LANE = 64, 128
 TILE = SUB * LANE          # rays per grid step (analytic scenes)
-# Mesh scenes run narrow (8,128) tiles: the speculative BVH walk
+# Mesh scenes run narrow (8,128) WALK tiles: the speculative BVH walk
 # (geometry/pallas_bvh.py) prunes by the any-lane reduction, and narrow
 # tiles keep the per-tile direction cone tight (coherence by construction).
 MESH_SUB = 8
+# The walk's cost is per-STEP overhead, not compute: with stratified
+# tiles a depth-1 walk is only ~45 node steps + 16 leaf visits, yet costs
+# ~250 ns per leaf-equivalent step (benchmarks/mesh_roofline.py) — the
+# scalar-unit chain (SMEM loads -> slab -> any-lane reduce -> branch)
+# plus Mosaic while-iteration overhead.  MESH_STREAMS > 1 interleaves
+# independent 8-row walks per block to try to hide that chain; MEASURED
+# on v5e (9.8k tris): S=2 is 0.76x of S=1 — the streams' scalar work
+# serializes and the loop pads to the slowest stream, so interleaving
+# LOSES.  Default stays 1 (identical to the plain walk); the knob remains
+# for ablation on other TPU generations.
+MESH_STREAMS = int(os.environ.get("BF_MESH_STREAMS", "1"))
 # Direction strata: the unit square of the cosine-hemisphere draw is cut
 # into PATCH_P^2 cells; each mesh tile samples ONE cell (+ jitter), so a
 # tile's rays form a narrow beam.  Unbiased: tiles cover all cells evenly.
@@ -179,8 +191,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     # is_delta — specular flash / corner-reflector chains)
     mirror = (CONDUCTOR in set(prim_bsdf)
               or CONDUCTOR in set(mesh_types))
-    # lanes need per-prim eta/k (conductor Fresnel) for either lobe family
-    need_fres = ggx or mirror
+    # smooth dielectric / thin dielectric: delta reflect+refract lobes;
+    # same delta-chain machinery as mirrors (direct tx hits at every
+    # depth), plus refraction continuations (bsdf/eval.py:277-347)
+    diel = (DIELECTRIC in set(prim_bsdf)
+            or DIELECTRIC in set(mesh_types))
+    thin = (THIN_DIELECTRIC in set(prim_bsdf)
+            or THIN_DIELECTRIC in set(mesh_types))
+    delta_any = mirror or diel or thin
+    # lanes need per-prim eta/k (conductor or dielectric Fresnel) for any
+    # of these lobe families
+    need_fres = ggx or delta_any
     any_bmp = any(t == 2 for t in prim_tex)
 
     def kernel(sp_ref,      # SMEM scalar params vector
@@ -489,20 +510,26 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             nzx, nzy, nzz = nzx * nn, nzy * nn, nzz * nn
             u3, u4 = draw(), draw()
             n_patches = PATCH_P * PATCH_P
-            if has_mesh and n_tiles % n_patches == 0:
-                # coherence by construction: this tile samples ONE stratum
-                # of the direction grid (+ per-lane jitter), so the BVH walk
-                # sees a narrow beam.  131 is coprime with PATCH_P^2, so any
-                # n_patches consecutive tiles cover every stratum exactly
-                # once — stratified, not biased.  (Small runs whose tile
-                # count doesn't tile the strata stay iid.)
-                patch = (tile_id * 131 + jnp.int32(sp_ref[0])) % n_patches
+            n_streams = SUB // MESH_SUB if has_mesh else 1
+            stratified = has_mesh and (n_tiles * n_streams) % n_patches == 0
+            if stratified:
+                # coherence by construction: each 8-row WALK STREAM samples
+                # ONE stratum of the direction grid (+ per-lane jitter), so
+                # its BVH walk sees a narrow beam.  131 is coprime with
+                # PATCH_P^2, so consecutive (tile, stream) indices cover
+                # every stratum exactly once — stratified, not biased.
+                # (Small runs whose stream count doesn't tile the strata
+                # stay iid.)
+                srow = jax.lax.broadcasted_iota(
+                    jnp.int32, (SUB, 1), 0) // MESH_SUB
+                patch = ((tile_id * n_streams + srow) * 131
+                         + jnp.int32(sp_ref[0])) % n_patches
                 px_f = (patch % PATCH_P).astype(jnp.float32)
                 py_f = (patch // PATCH_P).astype(jnp.float32)
                 u3 = (px_f + u3) * (1.0 / PATCH_P)
                 u4 = (py_f + u4) * (1.0 / PATCH_P)
             area = 4.0 * rx_wx * rx_wy
-            if has_mesh and n_tiles % n_patches == 0:
+            if stratified:
                 # stratified cosine hemisphere (beam-coherent BVH tiles):
                 # cos pdf, weight = pi * area
                 rr = jnp.sqrt(u3)
@@ -624,7 +651,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             else:
                 bub = bvb = bpid = None
             for p, kind in enumerate(prim_kinds):
-                if kind not in (RECTANGLE, SPHERE):
+                if kind not in (RECTANGLE, SPHERE, DISK, CYLINDER):
                     continue
                 m = [prim_ref[p, 1 + i] for i in range(12)]
                 oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
@@ -634,7 +661,49 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 ody = m[4] * dx + m[5] * dy + m[6] * dz
                 odz = m[8] * dx + m[9] * dy + m[10] * dz
                 tex_f = None
-                if kind == RECTANGLE:
+                if kind == DISK:
+                    # object plane z=0 clipped to the unit circle
+                    # (geometry/intersect.py::_t_disk); normal = the rect's
+                    denz = jnp.where(jnp.abs(odz) > 1e-12, odz, 1e-12)
+                    t_p = -ooz / denz
+                    px = oox + t_p * odx
+                    py = ooy + t_p * ody
+                    hit_p = ((jnp.abs(odz) > 1e-12)
+                             & (px * px + py * py <= 1.0))
+                    rnorm = jax.lax.rsqrt(jnp.maximum(
+                        m[8] * m[8] + m[9] * m[9] + m[10] * m[10], 1e-20))
+                    nxp = m[8] * rnorm
+                    nyp = m[9] * rnorm
+                    nzp = m[10] * rnorm
+                elif kind == CYLINDER:
+                    # object lateral surface x^2+y^2=1, z in [0,1]
+                    # (geometry/intersect.py::_t_cylinder); world normal
+                    # prop to M_obj^T (px, py, 0)
+                    a_s = odx * odx + ody * ody
+                    b_s = 2.0 * (oox * odx + ooy * ody)
+                    c_s = oox * oox + ooy * ooy - 1.0
+                    disc = b_s * b_s - 4.0 * a_s * c_s
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    a_sf = jnp.where(jnp.abs(a_s) > 1e-20, a_s, 1e-20)
+                    t0 = (-b_s - sq) / (2.0 * a_sf)
+                    t1 = (-b_s + sq) / (2.0 * a_sf)
+                    z0 = ooz + t0 * odz
+                    z1 = ooz + t1 * odz
+                    v0 = (disc >= 0.0) & (z0 >= 0.0) & (z0 <= 1.0) \
+                        & (t0 > 0.0)
+                    v1 = (disc >= 0.0) & (z1 >= 0.0) & (z1 <= 1.0) \
+                        & (t1 > 0.0)
+                    t_p = jnp.where(v0, t0, t1)
+                    hit_p = v0 | v1
+                    cpx = oox + t_p * odx
+                    cpy = ooy + t_p * ody
+                    snx = m[0] * cpx + m[4] * cpy
+                    sny = m[1] * cpx + m[5] * cpy
+                    snz = m[2] * cpx + m[6] * cpy
+                    nn = jax.lax.rsqrt(jnp.maximum(
+                        snx * snx + sny * sny + snz * snz, 1e-20))
+                    nxp, nyp, nzp = snx * nn, sny * nn, snz * nn
+                elif kind == RECTANGLE:
                     denz = jnp.where(jnp.abs(odz) > 1e-12, odz, 1e-12)
                     t_p = -ooz / denz
                     px = oox + t_p * odx
@@ -722,32 +791,41 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 ms_rf_ref[:] = jnp.zeros(shape)
                 ms_sid_ref[:] = jnp.zeros(shape)
                 tb_a = tb
+                n_walk = SUB // MESH_SUB   # interleaved 8-row walk streams
+
+                def _sl(s):
+                    if n_walk == 1:
+                        return (slice(None), slice(None))
+                    return (slice(s * MESH_SUB, (s + 1) * MESH_SUB),
+                            slice(None))
 
                 def minv(v):
                     tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
                     return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
 
                 def tbest(s):
-                    best = jnp.minimum(ms_t_ref[:], tb_a)
+                    r = _sl(s)
+                    best = jnp.minimum(ms_t_ref[r], tb_a[r])
                     if live is None:
                         return best
-                    return jnp.where(live, best, 0.0)
+                    return jnp.where(live[r], best, 0.0)
 
                 def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay, pay2):
+                    r = _sl(s)
                     e1x, e1y, e1z, e2x, e2y, e2z = edges
-                    better = hit_m & (tt < ms_t_ref[:]) & (tt > 1e-4)
+                    better = hit_m & (tt < ms_t_ref[r]) & (tt > 1e-4)
                     # geometric normal from the edge scalars
                     gnx = e1y * e2z - e1z * e2y
                     gny = e1z * e2x - e1x * e2z
                     gnz = e1x * e2y - e1y * e2x
                     rn = jax.lax.rsqrt(jnp.maximum(
                         gnx * gnx + gny * gny + gnz * gnz, 1e-20))
-                    ms_nx_ref[:] = jnp.where(better, gnx * rn, ms_nx_ref[:])
-                    ms_ny_ref[:] = jnp.where(better, gny * rn, ms_ny_ref[:])
-                    ms_nz_ref[:] = jnp.where(better, gnz * rn, ms_nz_ref[:])
-                    ms_rf_ref[:] = jnp.where(better, pay, ms_rf_ref[:])
-                    ms_sid_ref[:] = jnp.where(better, pay2, ms_sid_ref[:])
-                    ms_t_ref[:] = jnp.where(better, tt, ms_t_ref[:])
+                    ms_nx_ref[r] = jnp.where(better, gnx * rn, ms_nx_ref[r])
+                    ms_ny_ref[r] = jnp.where(better, gny * rn, ms_ny_ref[r])
+                    ms_nz_ref[r] = jnp.where(better, gnz * rn, ms_nz_ref[r])
+                    ms_rf_ref[r] = jnp.where(better, pay, ms_rf_ref[r])
+                    ms_sid_ref[r] = jnp.where(better, pay2, ms_sid_ref[r])
+                    ms_t_ref[r] = jnp.where(better, tt, ms_t_ref[r])
 
                 st_closest = dict(tbest=tbest, leaf_hit=leaf_hit,
                                   live=lambda: jnp.float32(1.0))
@@ -763,7 +841,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
                     st_closest,
-                    anyhit=False, streams=1, sub=SUB, stride=96)
+                    anyhit=False, streams=n_walk, sub=MESH_SUB, stride=96)
                 m_closer = ms_t_ref[:] < tb
                 tb = jnp.where(m_closer, ms_t_ref[:], tb)
                 nx = jnp.where(m_closer, ms_nx_ref[:], nx)
@@ -808,7 +886,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             for p, kind in enumerate(prim_kinds):
                 # the target transmitter never occludes its own NEE (other
                 # transmitters' shapes DO block, like any geometry)
-                if p == skip_prim or kind not in (RECTANGLE, SPHERE):
+                if p == skip_prim \
+                        or kind not in (RECTANGLE, SPHERE, DISK, CYLINDER):
                     continue
                 m = [prim_ref[p, 1 + i] for i in range(12)]
                 oox = m[0] * ox + m[1] * oy + m[2] * oz + m[3]
@@ -817,13 +896,35 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 odx = m[0] * dx + m[1] * dy + m[2] * dz
                 ody = m[4] * dx + m[5] * dy + m[6] * dz
                 odz = m[8] * dx + m[9] * dy + m[10] * dz
-                if kind == RECTANGLE:
+                if kind in (RECTANGLE, DISK):
                     denz = jnp.where(jnp.abs(odz) > 1e-12, odz, 1e-12)
                     t_p = -ooz / denz
                     px = oox + t_p * odx
                     py = ooy + t_p * ody
-                    hit_p = ((jnp.abs(odz) > 1e-12) & (jnp.abs(px) <= 1.0)
-                             & (jnp.abs(py) <= 1.0))
+                    if kind == DISK:
+                        hit_p = ((jnp.abs(odz) > 1e-12)
+                                 & (px * px + py * py <= 1.0))
+                    else:
+                        hit_p = ((jnp.abs(odz) > 1e-12)
+                                 & (jnp.abs(px) <= 1.0)
+                                 & (jnp.abs(py) <= 1.0))
+                elif kind == CYLINDER:
+                    a_s = odx * odx + ody * ody
+                    b_s = 2.0 * (oox * odx + ooy * ody)
+                    c_s = oox * oox + ooy * ooy - 1.0
+                    disc = b_s * b_s - 4.0 * a_s * c_s
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    a_sf = jnp.where(jnp.abs(a_s) > 1e-20, a_s, 1e-20)
+                    t0 = (-b_s - sq) / (2.0 * a_sf)
+                    t1 = (-b_s + sq) / (2.0 * a_sf)
+                    z0 = ooz + t0 * odz
+                    z1 = ooz + t1 * odz
+                    v0 = (disc >= 0.0) & (z0 >= 0.0) & (z0 <= 1.0) \
+                        & (t0 > 0.0)
+                    v1 = (disc >= 0.0) & (z1 >= 0.0) & (z1 <= 1.0) \
+                        & (t1 > 0.0)
+                    t_p = jnp.where(v0, t0, t1)
+                    hit_p = v0 | v1
                 else:
                     a_s = odx * odx + ody * ody + odz * odz
                     b_s = 2.0 * (oox * odx + ooy * ody + ooz * odz)
@@ -847,18 +948,27 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 if live is not None:
                     # dead lanes never block: zero limit prunes their walk
                     limit = jnp.where(live, limit, 0.0)
+                n_walk = SUB // MESH_SUB
+
+                def _sl(s):
+                    if n_walk == 1:
+                        return (slice(None), slice(None))
+                    return (slice(s * MESH_SUB, (s + 1) * MESH_SUB),
+                            slice(None))
 
                 def minv(v):
                     tiny = jnp.where(v >= 0.0, 1e-12, -1e-12)
                     return 1.0 / jnp.where(jnp.abs(v) > 1e-12, v, tiny)
 
                 def tbest(s):
-                    done = occ_a | (ms_t_ref[:] > 0.0)
-                    return jnp.where(done, 0.0, limit)
+                    r = _sl(s)
+                    done = occ_a[r] | (ms_t_ref[r] > 0.0)
+                    return jnp.where(done, 0.0, limit[r])
 
                 def leaf_hit(s, hit_m, tt, uu, vv, tri, edges, pay, pay2):
-                    blocked = hit_m & (tt < limit)
-                    ms_t_ref[:] = jnp.where(blocked, 1.0, ms_t_ref[:])
+                    r = _sl(s)
+                    blocked = hit_m & (tt < limit[r])
+                    ms_t_ref[r] = jnp.where(blocked, 1.0, ms_t_ref[r])
 
                 st_any = dict(tbest=tbest, leaf_hit=leaf_hit,
                               live=lambda: jnp.float32(1.0))
@@ -874,7 +984,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     bvh_bbox_ref, bvh_links_ref, bvh_leaf_ref,
                     (ox, oy, oz, dx, dy, dz, minv(dx), minv(dy), minv(dz)),
                     st_any,
-                    anyhit=True, streams=1, sub=SUB, stride=96)
+                    anyhit=True, streams=n_walk, sub=MESH_SUB, stride=96)
                 occ = occ | (ms_t_ref[:] > 0.0)
             return occ
 
@@ -979,11 +1089,19 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             ci = ci_raw * sg
             co = wox * fx + woy * fy + woz * fz
             f_d = rb * (1.0 / np.pi) * jnp.maximum(co, 0.0)
-            if not ggx:
+
+            def _zero_delta(out):
+                # delta lobes: NEE density is zero on mirror / dielectric
                 if mirror:
-                    # delta lobe: NEE density is zero on a mirror
-                    return jnp.where(kb == float(CONDUCTOR), 0.0, f_d)
-                return f_d
+                    out = jnp.where(kb == float(CONDUCTOR), 0.0, out)
+                if diel:
+                    out = jnp.where(kb == float(DIELECTRIC), 0.0, out)
+                if thin:
+                    out = jnp.where(kb == float(THIN_DIELECTRIC), 0.0, out)
+                return out
+
+            if not ggx:
+                return _zero_delta(f_d)
             hx = wix + wox
             hy = wiy + woy
             hz = wiz + woz
@@ -1002,9 +1120,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             f_rc = rb * F * D * G / jnp.maximum(4.0 * ci, 1e-8)
             f_rc = jnp.where((co > 0.0) & (ci > 0.0), f_rc, 0.0)
             out = jnp.where(kb == float(ROUGH_CONDUCTOR), f_rc, f_d)
-            if mirror:
-                out = jnp.where(kb == float(CONDUCTOR), 0.0, out)
-            return out
+            return _zero_delta(out)
 
         cx, cyv, cz = ox, oy, oz
         ddx, ddy, ddz = dx, dy, dz
@@ -1223,7 +1339,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             # ---- direct transmitter hits (depth 0 only: NEE covers the
             #      rest of the paths; adding deeper hits would double count)
             u_dh = draw()
-            if depth == 0 or mirror:
+            if depth == 0 or delta_any:
                 for t, tx in enumerate(txs):
                     txm = tx['m']
                     cos_dh = -(ddx * tx['nx'] + ddy * tx['ny']
@@ -1371,6 +1487,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     nee_live = active & (txc < 0.0) & (cos_tx > 1e-6)
                     if mirror:
                         nee_live = nee_live & (kb != float(CONDUCTOR))
+                    if diel:
+                        nee_live = nee_live & (kb != float(DIELECTRIC))
+                    if thin:
+                        nee_live = nee_live & (kb != float(THIN_DIELECTRIC))
                     occ = occluded(hx + 1e-4 * jnp.sign(cos_s) * nx,
                                    hy + 1e-4 * jnp.sign(cos_s) * ny,
                                    hz + 1e-4 * jnp.sign(cos_s) * nz,
@@ -1613,6 +1733,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             else:
                 ndx, ndy, ndz = wdx, wdy, wdz
                 w_b = w_d
+            new_wdel = jnp.zeros(shape) != 0.0
             if mirror:
                 # smooth conductor: specular reflect about the flipped
                 # normal, weight = refl * conductor Fresnel (delta lobe)
@@ -1626,7 +1747,62 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 ndy = jnp.where(is_m, my_, ndy)
                 ndz = jnp.where(is_m, mz_, ndz)
                 w_b = jnp.where(is_m, refl * F_m, w_b)
-                wdel = is_m
+                new_wdel = new_wdel | is_m
+            if diel or thin:
+                # smooth (thin) dielectric: delta reflect/refract chosen by
+                # the dielectric Fresnel (mirrors bsdf/eval.py:277-347; the
+                # bounce uniform u8 doubles as the lobe selector — diffuse
+                # lanes consumed it differently, lane types are disjoint).
+                # Signed cosine wrt the UNFLIPPED geometric normal handles
+                # both sides (entering/leaving).
+                ci_u = -(ddx * nx + ddy * ny + ddz * nz)
+                out_s = ci_u >= 0.0
+                eta_s = jnp.maximum(etac, 1e-6)
+                eta_it = jnp.where(out_s, eta_s, 1.0 / eta_s)
+                c2t = 1.0 - (1.0 - ci_u * ci_u) / (eta_it * eta_it)
+                tirm = c2t <= 0.0          # total internal reflection
+                cos_t = jnp.sqrt(jnp.maximum(c2t, 0.0))
+                aci = jnp.abs(ci_u)
+                rs_ = (aci - eta_it * cos_t) \
+                    / jnp.maximum(aci + eta_it * cos_t, 1e-20)
+                rp_ = (eta_it * aci - cos_t) \
+                    / jnp.maximum(eta_it * aci + cos_t, 1e-20)
+                F_d = jnp.where(tirm, 1.0, 0.5 * (rs_ * rs_ + rp_ * rp_))
+                # reflect about n: d - 2(d.n)n = d + 2 ci_u n (both sides)
+                rxd = ddx + 2.0 * ci_u * nx
+                ryd = ddy + 2.0 * ci_u * ny
+                rzd = ddz + 2.0 * ci_u * nz
+                if diel:
+                    scl = 1.0 / eta_it
+                    sgn_c = jnp.where(ci_u >= 0.0, 1.0, -1.0)
+                    coef = scl * ci_u - sgn_c * cos_t
+                    txd = scl * ddx + coef * nx
+                    tyd = scl * ddy + coef * ny
+                    tzd = scl * ddz + coef * nz
+                    pick_r = u8 < F_d
+                    is_d = kb == float(DIELECTRIC)
+                    ndx = jnp.where(is_d, jnp.where(pick_r, rxd, txd), ndx)
+                    ndy = jnp.where(is_d, jnp.where(pick_r, ryd, tyd), ndy)
+                    ndz = jnp.where(is_d, jnp.where(pick_r, rzd, tzd), ndz)
+                    # refraction weight: transmittance (k column) x the
+                    # radiance solid-angle compression (1/eta_it)^2
+                    w_dl = jnp.where(pick_r, refl, kc * scl * scl)
+                    w_b = jnp.where(is_d, w_dl, w_b)
+                    new_wdel = new_wdel | is_d
+                if thin:
+                    # interference-free internal bounce series: R' =
+                    # 2F/(1+F); transmit = pass straight through
+                    Rp_ = jnp.where(F_d < 1.0,
+                                    2.0 * F_d / (1.0 + F_d), 1.0)
+                    pick_rt = u8 < Rp_
+                    is_t = kb == float(THIN_DIELECTRIC)
+                    ndx = jnp.where(is_t, jnp.where(pick_rt, rxd, ddx), ndx)
+                    ndy = jnp.where(is_t, jnp.where(pick_rt, ryd, ddy), ndy)
+                    ndz = jnp.where(is_t, jnp.where(pick_rt, rzd, ddz), ndz)
+                    w_b = jnp.where(is_t, 1.0, w_b)
+                    new_wdel = new_wdel | is_t
+            if delta_any:
+                wdel = new_wdel
             if polarized:
                 # extend the Mueller chain through this bounce
                 # (radar_path.py:356-360); new basis = the bounce's s axis
@@ -1651,9 +1827,18 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             ddx, ddy, ddz = ndx, ndy, ndz
             throughput = throughput * w_b
             active = active & (w_b > 0.0) & (txc < 0.0)
-            cx = hx + 1e-4 * fx
-            cyv = hy + 1e-4 * fy
-            cz = hz + 1e-4 * fz
+            if diel or thin:
+                # spawn on the side the CONTINUATION leaves through —
+                # refracted/transmitted rays exit the back face (mirrors
+                # si.spawn_origin(d_new)); +1 exactly for every
+                # reflective/diffuse lobe, so other scenes are unchanged
+                off_s = jnp.where(ndx * fx + ndy * fy + ndz * fz >= 0.0,
+                                  1e-4, -1e-4)
+            else:
+                off_s = 1e-4
+            cx = hx + off_s * fx
+            cyv = hy + off_s * fy
+            cz = hz + off_s * fz
 
         out_ref[:] = out_ref[:] + acc
         q_ref[:] = q_ref[:] + acc_q
@@ -1674,7 +1859,8 @@ def _demoted_rects(sd) -> list:
     analytic."""
     kind_np = np.asarray(sd.shapes.kind)
     n = int(kind_np.shape[0])
-    n_analytic = int(np.isin(kind_np, (RECTANGLE, SPHERE)).sum())
+    n_analytic = int(np.isin(kind_np, (RECTANGLE, SPHERE, DISK,
+                                       CYLINDER)).sum())
     if n_analytic <= MAX_PRIMS:
         return []
     bsdf_idx = np.asarray(sd.shapes.bsdf_idx)
@@ -2078,7 +2264,8 @@ def supported(scene_data, rx, reason: list | None = None,
         return no('mix_resample with multiple transmitters (the LO is the '
                   'tx chirp: ambiguous)')
     from ..geometry.shapes import TRIANGLE
-    from ..bsdf.tables import DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR
+    from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
+                           DIELECTRIC, THIN_DIELECTRIC)
     demote = _demoted_rects(scene_data)
     if scene_data.tris is not None or demote:
         n_tris = (scene_data.tris.n_faces if scene_data.tris is not None
@@ -2102,11 +2289,13 @@ def supported(scene_data, rx, reason: list | None = None,
             return no(f'{len(rows)} distinct mesh-shape rows > '
                       f'{MAX_MESH_SHAPES} (unrolled per-shape resolution)')
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
-    if not kinds <= {-1, RECTANGLE, SPHERE, TRIANGLE}:
+    if not kinds <= {-1, RECTANGLE, SPHERE, DISK, CYLINDER, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
-                                             ROUGH_CONDUCTOR}:
-        return no('BSDF types beyond diffuse/conductor/rough-conductor')
+                                             ROUGH_CONDUCTOR, DIELECTRIC,
+                                             THIN_DIELECTRIC}:
+        return no('BSDF types beyond diffuse/conductor/rough-conductor/'
+                  'dielectric/thin-dielectric')
     tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
     if (tex_idx >= 0).any():
         # checkerboard (procedural) and small bitmaps (one-hot MXU gather)
@@ -2205,7 +2394,8 @@ def supported(scene_data, rx, reason: list | None = None,
             return no(f'ADC freq extent {rx.adc.n_freq} > '
                       f'{MAX_SPLAT_ROWS} (MXU splat freq-tile VMEM bound)')
     kind_all = np.asarray(scene_data.shapes.kind)
-    n_prims = int(np.isin(kind_all, (RECTANGLE, SPHERE)).sum()) - len(demote)
+    n_prims = int(np.isin(kind_all, (RECTANGLE, SPHERE, DISK,
+                                     CYLINDER)).sum()) - len(demote)
     if n_prims > MAX_PRIMS:
         return no(f'{n_prims} analytic prims > {MAX_PRIMS} after rect '
                   f'demotion (unrolled intersector)')
@@ -2236,8 +2426,14 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
     # interpret mode (CPU parity tests / dryruns) narrows the tile to 8
     # rows: the splat paths Python-unroll per-row work SUB times, so tile
     # height directly scales XLA program size — 64-row interpret programs
-    # were the round-3 dryrun compile bomb (VERDICT r3 weak #1)
-    sub = MESH_SUB if (has_mesh or interpret) else SUB
+    # were the round-3 dryrun compile bomb (VERDICT r3 weak #1).  Mesh
+    # blocks carry MESH_STREAMS interleaved 8-row walks (latency hiding).
+    if has_mesh:
+        sub = MESH_SUB * MESH_STREAMS
+    elif interpret:
+        sub = MESH_SUB
+    else:
+        sub = SUB
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
     nd = n_draws(max_depth, n_tx)
@@ -2408,7 +2604,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     params = params.copy()
     params[0] = float(seed * 1_000_003 % (1 << 30))
     has_mesh = mesh_pack is not None
-    tile = (MESH_SUB if (has_mesh or interpret) else SUB) * LANE
+    tile = (MESH_SUB * MESH_STREAMS if has_mesh
+            else (MESH_SUB if interpret else SUB)) * LANE
     n_lanes = max(tile, (spp // tile) * tile)
     from ..radar.endpoints import PHASED as _RX_PHASED
     if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:

@@ -12,6 +12,7 @@ part of the compiled scene (integrator type, bin counts, spp).
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 from typing import Any
 
@@ -178,9 +179,32 @@ def _load_medium(scene: Scene, val):
             z_max=_medium_scalar(val.get("z_max"), 1.0),
             albedo=albedo, g=g)
     else:
-        raise ValueError(
-            "heterogeneous medium needs gridded volume data: build "
-            "media.HeterogeneousMedium.make(...) and set scene.medium")
+        # heterogeneous: nested <volume type="grid3d" name="sigma_t"> with
+        # a Mitsuba `.vol` file (reference `src/textures/grid3d.cpp`,
+        # `src/textures/volume_data.h`; `src/media/heterogeneous.cpp`
+        # resolves the sigma_t/albedo volumes by name)
+        from .volume import read_vol
+        vols = {k: v for k, v in val.items()
+                if isinstance(v, dict) and v.get("type") == "grid3d"}
+        sig = vols.get("sigma_t") or next(iter(vols.values()), None)
+        if sig is None or "filename" not in sig:
+            raise ValueError(
+                "heterogeneous medium needs a nested "
+                "<volume type=\"grid3d\" name=\"sigma_t\"> with a "
+                "filename (.vol), or build "
+                "media.HeterogeneousMedium.make(...) directly")
+        data, bmin, bmax = read_vol(sig["filename"])
+        scale = _medium_scalar(val.get("scale"), 1.0)
+        alb = vols.get("albedo")
+        if alb is not None and "filename" in alb:
+            # collapse an albedo grid to its mean (the medium applies a
+            # scalar single-scatter albedo)
+            a_data, _, _ = read_vol(alb["filename"])
+            albedo = float(a_data.mean())
+        scene.medium = media_mod.HeterogeneousMedium.make(
+            data[..., 0] * scale, albedo=albedo, g=g,
+            box_min=tuple(float(x) for x in bmin),
+            box_max=tuple(float(x) for x in bmax))
 
 
 def _integrator_meta(val):
@@ -612,7 +636,10 @@ def load_xml(path: str, defaults: dict | None = None, band: Band = ULTRASOUND_40
                 idx[0] += 1
                 out[key] = {"type": "ref", "id": ch.get("id")}
             else:
-                key = ch.get("id") or f"_{tag}{idx[0]}"
+                # nested objects keep their slot NAME when given (e.g.
+                # <volume name="sigma_t" type="grid3d">: the reference
+                # resolves volumes by parameter name)
+                key = name or ch.get("id") or f"_{tag}{idx[0]}"
                 idx[0] += 1
                 out[key] = conv(ch)
         return out
@@ -626,6 +653,22 @@ def load_xml(path: str, defaults: dict | None = None, band: Band = ULTRASOUND_40
         d[key] = obj
         if el.get("id"):
             named[el.get("id")] = obj
+
+    # file references resolve relative to the scene file (reference
+    # FileResolver semantics): absolutize grid3d volume filenames
+    base = os.path.dirname(os.path.abspath(path))
+
+    def _absolutize(obj):
+        if not isinstance(obj, dict):
+            return
+        fn = obj.get("filename")
+        if (obj.get("type") == "grid3d" and isinstance(fn, str)
+                and not os.path.isabs(fn)):
+            obj["filename"] = os.path.join(base, fn)
+        for v in obj.values():
+            _absolutize(v)
+
+    _absolutize(d)
     return load_dict(d, band=band)
 
 

@@ -57,7 +57,8 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     seed; partial ADCs psum-merge across the whole mesh (the SignalBlock
     merge at pod scale).  Returns (signal grid, total_samples)."""
     from ..integrators.pallas_receive import (_pack_scene, _run, TILE,
-                                              LANE, MESH_SUB, supported)
+                                              LANE, MESH_SUB, MESH_STREAMS,
+                                              supported)
     assert supported(scene_data, rx), "scene outside megakernel scope"
     # cache packing: D2H reads cost ms each over the tunneled TPU
     # id()-keyed with a strong ref kept in the value; identity is re-checked
@@ -89,7 +90,8 @@ def receive_sharded_pallas(scene_host, scene_data, rx, mesh: Mesh,
     else:
         rx_kind = 'omni' if shape_idx < 0 else 'wigner'
     has_mesh = mesh_pack is not None
-    tile = (MESH_SUB * LANE) if (has_mesh or interpret) else TILE
+    tile = ((MESH_SUB * MESH_STREAMS * LANE) if has_mesh
+            else (MESH_SUB * LANE) if interpret else TILE)
     n_lanes = max(tile, (spp_per_device // tile) * tile)
     mesh_kw = {}
     if has_mesh:

@@ -45,7 +45,8 @@ def build(R=4.0, n_side=71):
     return s, rx
 
 
-for depth in (1, 2):
+def main():
+  for depth in (1, 2):
     s, rx = build()
     sd = s.compile(use_bvh=False)
     why = []
@@ -68,3 +69,7 @@ for depth in (1, 2):
     print(f"depth={depth}: {dt*1e3:.1f} ms /1M samples "
           f"({n/dt/1e6:.1f} M samples/s)  peak bin {sig.argmax()} "
           f"energy {sig.sum():.3e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,9 +36,10 @@ import jax.numpy as jnp
 from mesh_megakernel import build
 from beifong_tpu.integrators.pallas_receive import (_pack_scene, _run,
                                                     supported, MESH_SUB,
-                                                    LANE)
+                                                    MESH_STREAMS, LANE)
 
-TILE = MESH_SUB * LANE
+# one kernel block = MESH_STREAMS interleaved 8-row walks
+TILE = MESH_SUB * MESH_STREAMS * LANE
 
 
 class Runner:
@@ -92,8 +93,8 @@ def main():
     why = []
     assert supported(sd, rx, why), why
     run = Runner(s, sd, rx)
-    n_time = 1 << 20          # 1024 tiles (stratified: 1024 % 256 == 0)
-    n_cnt = 1 << 18           # 256 tiles — smallest stratified size
+    n_time = 1 << 20          # stratified (blocks*streams % 256 == 0)
+    n_cnt = 1 << 18           # smallest stratified size
 
     print("devices:", jax.devices(), flush=True)
     for depth in (1, 2):
@@ -103,12 +104,14 @@ def main():
         n_tiles = n_cnt // TILE
         npt, lpt = nodes / n_tiles, leaves / n_tiles
         t_tile = TILE / rate
-        print(f"depth={depth}: {rate / 1e6:.1f} M samples/s | per tile: "
-              f"{npt:.0f} node steps, {lpt:.0f} leaf visits, "
-              f"{t_tile * 1e6:.1f} us wall -> "
+        print(f"depth={depth} (S={MESH_STREAMS}): {rate / 1e6:.1f} M "
+              f"samples/s | per block: {npt:.0f} node steps, {lpt:.0f} "
+              f"leaf visits, {t_tile * 1e6:.1f} us wall -> "
               f"{t_tile / (npt + 2.0 * lpt) * 1e9:.1f} ns per "
               f"leaf-equivalent step", flush=True)
 
+    print("bound check: wall/block ~= (nodes + 2*leaves) x 200-250 ns + "
+          "1.1 us non-walk baseline (docs/MESH_PERF.md)", flush=True)
     # occlusion-walk share: rerun depth 2 without the NEE occlusion test
     env = dict(os.environ, BF_ABLATE='nooccl')
     out = subprocess.run(

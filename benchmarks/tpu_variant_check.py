@@ -69,12 +69,13 @@ def smear_bins(rx, pulse_len=2e-3):
     return math.ceil(pulse_len / rx.adc.sampling_time * rx.adc.n_time)
 
 
-def run(tag, s, rx, **kw):
+def run(tag, s, rx, max_depth=2, **kw):
     sd = s.compile()
     why = []
     assert supported(sd, rx, why), (tag, why)
     t0 = time.perf_counter()
-    out, n = receive_pallas(s, sd, rx, spp=1 << 20, seed=0, max_depth=2,
+    out, n = receive_pallas(s, sd, rx, spp=1 << 20, seed=0,
+                            max_depth=max_depth,
                             time_sampling='gate', **kw)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
@@ -247,5 +248,55 @@ print(f"mimo8: compile+run {dt:.1f}s  DAS peak az {pk_az:.1f} "
       f"(expect ~{az_true})  {rate / 1e6:.1f}M samples/s incl compile",
       flush=True)
 assert abs(pk_az - az_true) <= 2.0, pk_az
+
+# 11) disk + cylinder analytic prims (round-4 intersectors)
+s, rx, _ = base_scene()
+s.add(sh.disk(to_world=np.asarray(
+    tf.compose(tf.look_at([1.2, -3.8, 0], [0, 0, 0]), tf.scale(0.4))),
+    bsdf="mat"))
+s.add(sh.cylinder(to_world=np.asarray(
+    tf.compose(tf.translate([-1.2, -5.0, -0.5]),
+               tf.scale([0.3, 0.3, 1.0]))), bsdf="mat"))
+run("disk+cylinder", s, rx)
+
+# 12) smooth dielectric + thin dielectric windows (delta reflect/refract
+# chains) in front of a trihedral corner — the echo is the DETERMINISTIC
+# window-transmit -> 3-mirror retro -> window-transmit -> tx-hit chain
+from beifong_tpu.bsdf import dielectric as _diel, thin_dielectric as _thin
+
+
+def corner_window_scene(win_bsdf):
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(conductor("m", eta=0.2, k=3.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    s.add(sh.rectangle(to_world=np.asarray(
+        tf.compose(tf.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                   tf.scale([0.8, 0.8, 1.0]))), transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = wigner_receiver("rx", adc, receive_type='raw')
+    s.add(rx)
+    rx_pos = np.array([0.0, -0.1, 0.0])
+    apex = np.array([0.0, -4.0, 0.0])
+    s.add(sh.rectangle(to_world=np.asarray(
+        tf.compose(tf.look_at(rx_pos, apex),
+                   tf.scale([0.02, 0.02, 1.0]))), receiver="rx"))
+    for f in sh.trihedral(apex, rx_pos - apex, bsdf="m"):
+        s.add(f)
+    s.add(win_bsdf)
+    s.add(sh.rectangle(to_world=np.asarray(
+        tf.compose(tf.look_at([0.0, -2.0, 0], [0, 0, 0]), tf.scale(2.0))),
+        bsdf="win"))
+    return s, rx
+
+
+s, rx = corner_window_scene(_thin("win", int_ior=1.5))
+run("thin-dielectric-window", s, rx, max_depth=6)
+s, rx = corner_window_scene(_diel("win", int_ior=1.33,
+                                  specular_transmittance=1.0))
+run("dielectric-window", s, rx, max_depth=6)
 
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)

@@ -1589,3 +1589,169 @@ def test_megakernel_polarized_stokes():
     # sign-robust even when the scalar sum is noise-signed
     dop_ = np.sqrt(st_d[1] ** 2 + st_d[2] ** 2 + st_d[3] ** 2) / abs(st_d[0])
     assert dop_ < 0.05, dop_
+
+
+def _kernel_vs_jnp_profiles(s, rx, spp=1 << 14, seeds=3, max_depth=3):
+    """Seed-averaged fast-time profiles from the interpret kernel and the
+    jnp wavefront for the same scene (shared helper for scope tests)."""
+    from beifong_tpu.receive import develop_signal
+    sd = s.compile()
+    why = []
+    assert supported(sd, rx, why), why
+    tp = 0.0
+    tj = 0.0
+    for seed in range(seeds):
+        out, n = receive_pallas(s, sd, rx, spp=spp, seed=seed,
+                                max_depth=max_depth, time_sampling='gate',
+                                interpret=True)
+        tp = tp + np.asarray(out)[:, 0] / n * rx.adc.n_time / seeds
+        a, n2 = receive(s, sd, rx, seed=50 + seed, spp=spp,
+                        max_depth=max_depth, time_sampling='gate')
+        tj = tj + np.asarray(develop_signal(a, n2, rx.adc))[:, 0, 0] / seeds
+    return tp, tj
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("shape_kind", ["disk", "cylinder"])
+def test_megakernel_disk_cylinder(shape_kind):
+    """Disk and cylinder analytic prims in the kernel (reference GPU-mode
+    intersectors `src/shapes/optix/disk.cuh`, `cylinder.cuh`): the return
+    peaks at the geometric round trip and matches the jnp wavefront."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, omni_receiver,
+                                   ADCConfig)
+
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    s.add(sh.rectangle(to_world=np.asarray(
+        tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                    tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = omni_receiver("rx", adc, position=(-0.3, 0, 0), receive_type='raw')
+    s.add(rx)
+    c = 340.0
+    if shape_kind == "disk":
+        s.add(sh.disk(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0, -4.0, 0], [0, 0, 0]),
+                        tfm.scale(0.5))), bsdf="mat"))
+        r_t = 4.0
+    else:
+        # vertical cylinder on the tx boresight; near surface at 4 - 0.3 m
+        s.add(sh.cylinder(to_world=np.asarray(
+            tfm.compose(tfm.translate([0.0, -4.0, -0.6]),
+                        tfm.scale([0.3, 0.3, 1.2]))), bsdf="mat"))
+        r_t = 4.0 - 0.3
+
+    tp, tj = _kernel_vs_jnp_profiles(s, rx, max_depth=2)
+    assert tp.sum() > 0 and tj.sum() > 0
+    bin_t = int(round(2 * r_t / c / 0.06 * 64 - 0.5))
+    # geometric anchor: peak within the first couple of bins past the
+    # near-surface round trip (curved surfaces smear the return outward)
+    for prof in (tp, tj):
+        assert bin_t - 1 <= int(prof.argmax()) <= bin_t + 3, (
+            shape_kind, prof.argmax(), bin_t)
+    assert abs(int(tp.argmax()) - int(tj.argmax())) <= 1
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+@pytest.mark.slow
+def test_megakernel_dielectric_window():
+    """Thin-dielectric window in front of a trihedral corner reflector:
+    the echo is a pure DELTA chain (window transmit -> three mirror
+    bounces -> window transmit -> direct tx hit), so the estimator is
+    deterministic per lane — peak bin unchanged vs no window, amplitude
+    attenuated by the window round trip, kernel matches jnp.  A smooth
+    DIELECTRIC interface at the same pose also runs in-kernel (delta
+    reflect+refract, `bsdf/eval.py:277-347` parity)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import (conductor, thin_dielectric, dielectric)
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter,
+                                   wigner_receiver, ADCConfig)
+
+    def corner_scene(window=None):
+        fc = 40e3
+        band = Band.from_freq(340.0, fc, 10e3)
+        s = sc.Scene(band=band)
+        s.add(conductor("m", eta=0.2, k=3.0, twosided=True))
+        wf = pulse(f_centre=fc, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                        tfm.scale([0.8, 0.8, 1.0]))), transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+        rx = wigner_receiver("rx", adc, receive_type="raw")
+        s.add(rx)
+        rx_pos = np.array([0.0, -0.1, 0.0])
+        apex = np.array([0.0, -4.0, 0.0])
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at(rx_pos, apex),
+                        tfm.scale([0.02, 0.02, 1.0]))), receiver="rx"))
+        for f in sh.trihedral(apex, rx_pos - apex, bsdf="m"):
+            s.add(f)
+        if window is not None:
+            s.add(window)
+            s.add(sh.rectangle(to_world=np.asarray(
+                tfm.compose(tfm.look_at([0.0, -2.0, 0], [0, 0, 0]),
+                            tfm.scale(2.0))), bsdf="win"))
+        return s, rx
+
+    def profiles(s, rx, depth):
+        return _kernel_vs_jnp_profiles(s, rx, spp=1 << 13, seeds=2,
+                                       max_depth=depth)
+
+    s0, rx0 = corner_scene()
+    tp0, tj0 = profiles(s0, rx0, 6)   # same depth as the windowed runs
+    pk0 = int(tj0.argmax())
+    assert abs(int(tp0.argmax()) - pk0) <= 1
+
+    s1, rx1 = corner_scene(thin_dielectric("win", int_ior=1.5))
+    tp1, tj1 = profiles(s1, rx1, 6)   # +2 window transmits in the chain
+    assert abs(int(tp1.argmax()) - pk0) <= 1
+    assert abs(int(tj1.argmax()) - pk0) <= 1
+    lo, hi = max(pk0 - 3, 0), pk0 + 4
+    r_k = tp1[lo:hi].sum() / tp0[lo:hi].sum()
+    r_j = tj1[lo:hi].sum() / tj0[lo:hi].sum()
+    # The PHYSICS anchor here is the time-of-flight: the 6-segment
+    # window-transmit chain must land in the corner's round-trip bin in
+    # BOTH paths (asserted above).  Amplitude is physically ~0.92 (two
+    # window transmits) but the signed-WDF corner estimator is extremely
+    # heavy-tailed at test spp (measured per-seed ratios 0.67..2.6 in
+    # both kernel and jnp; seed means 0.86/1.2) — so only a structural
+    # order-of-magnitude guard is meaningful (catches double counting /
+    # wrong Fresnel, not MC noise).
+    assert 0.05 < r_k < 5.0, r_k
+    assert 0.05 < r_j < 5.0, r_j
+
+    s2, rx2 = corner_scene(dielectric("win", int_ior=1.5,
+                                      specular_transmittance=1.0))
+    tp2, tj2 = profiles(s2, rx2, 6)
+    # signed WDF weights: the GLOBAL sum can be negative; presence =
+    # nonzero magnitude
+    assert np.abs(tp2).sum() > 0 and np.abs(tj2).sum() > 0
+    # the profile has TWO features: the window's specular flash (~bin 12)
+    # and the refracted corner chain at the round-trip bin — their
+    # relative magnitude is estimator-noisy, so compare the CORNER BAND
+    # directly: present in both paths, within an order of magnitude of
+    # the unwindowed corner (|.|: signed WDF)
+    e_k2 = np.abs(tp2[lo:hi]).sum()
+    e_j2 = np.abs(tj2[lo:hi]).sum()
+    assert e_k2 > 0.05 * np.abs(tp2).max(), (e_k2, np.abs(tp2).max())
+    assert e_j2 > 0.05 * np.abs(tj2).max(), (e_j2, np.abs(tj2).max())
+    r2_k = e_k2 / np.abs(tp0[lo:hi]).sum()
+    assert 0.05 < r2_k < 5.0, r2_k
