@@ -2643,3 +2643,129 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     if coherent:
         return jnp.stack([out, out_q], axis=-1), n_lanes
     return out, n_lanes
+
+
+def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
+                       seed: int = 0, spp: int = 1 << 20, max_depth: int = 3,
+                       time_sampling: str = 'gate', coherent: bool = True,
+                       common_random_numbers: bool = True,
+                       interpret: bool = False, receiver_id: str | None = None):
+    """Megakernel coherent processing interval: the WHOLE pulse train runs
+    as ONE `lax.scan` over the per-pulse packed scene tables — one Mosaic
+    compile, one device launch, every pulse at the kernel's ~900M
+    samples/s rate (the kernel-rate form of `receive.receive_cpi`'s
+    engine='scan'; reference slow-time design comments
+    `integrator.cpp:920-945`).
+
+    The scene's motion comes from `AnimatedTransform` keyframes /
+    velocity fields: `scene.at_time(t0 + p/prf)` is packed per pulse and
+    the stacked prim/tx/rx tables ride the scan axis.  Analytic scenes
+    only (a mesh BVH rebuilt per pulse need not pack to equal shapes).
+
+    Returns (cube (n_pulses, n_time, n_freq[, 2]), samples_per_pulse) —
+    raw accumulation like `receive_pallas`.
+    """
+    # Per-pulse packing costs ~20 D2H reads x n_pulses over the tunneled
+    # TPU (the dominant cost of a 64-pulse call) — cache the packs per
+    # (pulse grid, receiver) like receive_pallas's pack cache; edit the
+    # scene through its builders (which replace objects) to invalidate.
+    ck = ('_cpi_pack', n_pulses, float(prf), float(t0), receiver_id)
+    cache = scene_host.__dict__.setdefault('_pallas_pack_cache', {})
+    if ck not in cache:
+        snaps = [scene_host.at_time(t0 + p / prf) for p in range(n_pulses)]
+        rxs = snaps[0].receivers
+        rx0 = (rxs[0] if receiver_id is None
+               else next(r for r in rxs if r.id == receiver_id))
+        sd0 = snaps[0].compile()
+        why: list = []
+        if not supported(sd0, rx0, why):
+            raise ValueError("scene outside megakernel scope: "
+                             + "; ".join(why))
+        sidx = snaps[0].shape_index_of_endpoint('receiver', rx0.id)
+        cache[ck] = (rx0, sidx,
+                     [_pack_scene(sn.compile(), rx0, sidx) for sn in snaps])
+    rx, shape_idx, packs = cache[ck]
+    (params0, prim0, txp0, php0, rxph0, msh0, mesh_types0, tex0, bmp0,
+     mp0) = packs[0]
+    bmp_meta0 = tuple(tuple(b) for b in bmp0)
+    assert mp0 is None, ("kernel CPI covers analytic scenes (mesh BVHs "
+                         "rebuilt per pulse need not pack alike)")
+    for pk in packs[1:]:
+        assert pk[6] == mesh_types0 and pk[8] == bmp0, \
+            "pulse snapshots must share static scene config"
+        assert pk[9] is None
+    prim_kinds = tuple(int(k) for k in prim0[:, 0])
+    prim_tx = tuple(int(f) for f in prim0[:, 14])
+    prim_bsdf = tuple(int(f) for f in prim0[:, 18])
+    prim_tex = tuple(int(f) for f in prim0[:, 26])
+    tx_kinds = tuple(int(f) for f in txp0[:, 27])
+    # static flags must be uniform across the scan: OR motion over pulses
+    moving = bool(any(
+        np.abs(pk[1][:, 19:22]).max() > 0.0
+        or np.abs(pk[2][:, 24:27]).max() > 0.0
+        or np.abs(pk[0][23:26]).max() > 0.0 for pk in packs))
+    absorbing = bool(params0[29] > 0.0)
+    layered = int(params0[42])
+    tile = (MESH_SUB if interpret else SUB) * LANE
+    n_lanes = max(tile, (spp // tile) * tile)
+
+    params_st = np.stack([pk[0] for pk in packs])
+    for p in range(n_pulses):
+        s_p = seed if common_random_numbers else seed + 7919 * p
+        params_st[p, 0] = float(s_p * 1_000_003 % (1 << 30))
+    prim_st = np.stack([pk[1] for pk in packs])
+    txp_st = np.stack([pk[2] for pk in packs])
+    php_st = np.stack([pk[3] for pk in packs])
+    rxph_st = np.stack([pk[4] for pk in packs])
+    msh_st = np.stack([pk[5] for pk in packs])
+    key_rows = np.stack([
+        np.asarray(jax.random.key_data(jax.random.key(
+            seed if common_random_numbers else seed + 7919 * p)))
+        for p in range(n_pulses)])
+    tex_dev = jnp.asarray(tex0)
+    from ..radar.endpoints import PHASED as _RX_PHASED
+    if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
+        rx_kind = 'phased'
+    else:
+        rx_kind = 'omni' if shape_idx < 0 else 'wigner'
+    has_lo = rx.lo_waveform is not None
+
+    cube = _cpi_run_all(
+        jnp.asarray(params_st), jnp.asarray(prim_st), jnp.asarray(txp_st),
+        jnp.asarray(php_st), jnp.asarray(rxph_st), jnp.asarray(msh_st),
+        jnp.asarray(key_rows), tex_dev, prim_kinds, prim_tx, prim_bsdf,
+        prim_tex, rx.adc, rx.receive_type, time_sampling, max_depth,
+        rx_kind, n_lanes, interpret, coherent, mesh_types0, moving,
+        absorbing, tx_kinds, has_lo, bmp_meta0, layered)
+    return cube, n_lanes
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg',
+    'receive_type', 'time_sampling', 'max_depth', 'rx_kind', 'n_lanes',
+    'interpret', 'coherent', 'mesh_types', 'moving', 'absorbing',
+    'tx_kinds', 'has_lo', 'bmp_meta', 'layered'))
+def _cpi_run_all(params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a,
+                 tex_c, prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
+                 receive_type, time_sampling, max_depth, rx_kind, n_lanes,
+                 interpret, coherent, mesh_types, moving, absorbing,
+                 tx_kinds, has_lo, bmp_meta, layered):
+    """Module-level jitted CPI scan: one compile per STATIC kernel config
+    (a closure-defined jit would re-trace and re-compile on every call —
+    that cost 1 s/pulse before it was hoisted)."""
+
+    def one(carry, inp):
+        pr, pm, tx_, ph_, rp_, ms_, kd = inp
+        out = _run(pr, pm, tx_, ph_, rp_, jax.random.wrap_key_data(kd),
+                   prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
+                   receive_type, time_sampling, max_depth, rx_kind,
+                   n_lanes, interpret, coherent, has_mesh=False,
+                   mesh_types=mesh_types, moving=moving,
+                   absorbing=absorbing, tx_kinds=tx_kinds, has_lo=has_lo,
+                   bmp_meta=bmp_meta, layered=layered, tex=tex_c, msh=ms_)
+        sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
+        return carry, sig
+
+    _, cube = jax.lax.scan(
+        one, 0, (params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a))
+    return cube

@@ -525,9 +525,13 @@ def receive_cpi(scene: Scene, receiver_id: str | None = None,
     engine='scan' (default) stacks the per-pulse SceneData snapshots and
     runs the WHOLE train as one jitted `lax.scan` (`_cpi_scan`) — one
     compile, one device launch, no per-pulse host round-trips; bit-exact
-    with the legacy loop.  engine='loop' runs one `receive()` per pulse
-    (also used automatically when `receive_kw` carries loop-only options
-    like checkpointing or `use_pallas`).
+    with the legacy loop.  engine='pallas' scans the MEGAKERNEL over
+    per-pulse packed tables instead (`receive_cpi_pallas`): every pulse
+    at the kernel's ~900M samples/s on TPU (analytic scenes; the
+    returned cube carries zero weight/count channels).  engine='loop'
+    runs one `receive()` per pulse (also used automatically when
+    `receive_kw` carries loop-only options like checkpointing or
+    `use_pallas`).
 
     Returns (cube, samples_per_pulse).  Intra-pulse Doppler comes from the
     velocity fields the animation derivative fills in; inter-pulse phase
@@ -539,6 +543,25 @@ def receive_cpi(scene: Scene, receiver_id: str | None = None,
     samples per pulse.  Unbiased per pulse either way; set False for
     independent pulses (e.g. when averaging magnitude spectra).
     """
+    if engine == 'pallas':
+        # kernel-rate CPI: one lax.scan over per-pulse packed tables
+        # (analytic scenes; ~900M samples/s per pulse on TPU).  Returns
+        # the film-layout cube (zeros in the weight/count channels) so
+        # downstream develop code is engine-agnostic.
+        from .integrators.pallas_receive import receive_cpi_pallas
+        sig, n = receive_cpi_pallas(
+            scene, n_pulses=n_pulses, prf=prf, t0=t0, seed=seed,
+            spp=receive_kw.get('spp', 4096),
+            max_depth=receive_kw.get('max_depth', 3),
+            time_sampling=receive_kw.get('time_sampling', 'gate'),
+            coherent=coherent,
+            common_random_numbers=common_random_numbers,
+            interpret=jax.default_backend() == 'cpu',
+            receiver_id=receiver_id)
+        if sig.ndim == 3:
+            sig = sig[..., None]
+        pad = jnp.zeros(sig.shape[:-1] + (2,), sig.dtype)
+        return jnp.concatenate([sig, pad], axis=-1), n
     if engine == 'scan' and set(receive_kw) <= _CPI_SCAN_KW:
         spp = receive_kw.get('spp', 4096)
         max_depth = receive_kw.get('max_depth', 3)

@@ -1755,3 +1755,69 @@ def test_megakernel_dielectric_window():
     assert e_j2 > 0.05 * np.abs(tj2).max(), (e_j2, np.abs(tj2).max())
     r2_k = e_k2 / np.abs(tp0[lo:hi]).sum()
     assert 0.05 < r2_k < 5.0, r2_k
+
+
+@pytest.mark.slow
+def test_megakernel_cpi_scan_parity():
+    """Kernel-rate CPI (`receive_cpi_pallas`: one lax.scan over per-pulse
+    packed tables) is BIT-IDENTICAL to running the megakernel once per
+    pulse on the same snapshots, and `receive_cpi(engine='pallas')`
+    returns it in the film cube layout."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.transform import AnimatedTransform
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (cw, wigner_transmitter, wigner_receiver,
+                                   ADCConfig)
+    from beifong_tpu.integrators.pallas_receive import receive_cpi_pallas
+    from beifong_tpu.receive import receive_cpi
+
+    fc = 40e3
+    n_pulses, prf = 4, 400.0
+    band = Band.from_freq(340.0, fc, 10e3)
+    s = sc.Scene(band=band)
+    s.add(diffuse("mat", reflectance=1.0, twosided=True))
+    s.add(wigner_transmitter("tx", cw(f_centre=fc), resample_freq=True))
+    s.add(sh.rectangle(to_world=np.asarray(
+        tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                    tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+    adc = ADCConfig(n_time=8, n_freq=1, sampling_start=0.0,
+                    sampling_time=2e-3, freq_lo=fc - 2e3, freq_hi=fc + 2e3)
+    rx = wigner_receiver("rx", adc, receive_type="raw")
+    s.add(rx)
+    s.add(sh.rectangle(to_world=np.asarray(
+        tfm.compose(tfm.look_at([-0.3, 0, 0], [-0.3, -1, 0]),
+                    tfm.scale([0.05, 0.05, 1.0]))), receiver="rx"))
+    tgt = sh.rectangle(bsdf="mat")
+    frames = [(p / prf, np.asarray(
+        tfm.compose(tfm.look_at(
+            [0.002 * np.cos(p), -(4.0 + 0.002 * np.sin(p)), 0.0],
+            [0, 0, 0]), tfm.scale(0.3)))) for p in range(n_pulses + 1)]
+    tgt.to_world = AnimatedTransform.from_keyframes(frames)
+    s.add(tgt)
+
+    cube, n = receive_cpi_pallas(s, n_pulses=n_pulses, prf=prf, seed=11,
+                                 spp=1 << 12, max_depth=1,
+                                 time_sampling='gate', coherent=True,
+                                 interpret=True)
+    cube = np.asarray(cube)
+    assert cube.shape == (n_pulses, 8, 1, 2)
+    for p in range(n_pulses):
+        snap = s.at_time(p / prf)
+        out, n2 = receive_pallas(snap, snap.compile(), snap.receivers[0],
+                                 spp=1 << 12, seed=11, max_depth=1,
+                                 time_sampling='gate', coherent=True,
+                                 interpret=True)
+        assert n2 == n
+        np.testing.assert_array_equal(cube[p], np.asarray(out))
+
+    # engine='pallas' glue: film cube layout (zero weight/count channels)
+    cube2, n3 = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=11,
+                            coherent=True, engine='pallas', spp=1 << 12,
+                            max_depth=1, time_sampling='gate')
+    cube2 = np.asarray(cube2)
+    assert n3 == n and cube2.shape == (n_pulses, 8, 1, 4)
+    np.testing.assert_array_equal(cube2[..., :2], cube)
+    assert (cube2[..., 2:] == 0).all()
