@@ -34,7 +34,8 @@ import os
 from ..geometry.shapes import RECTANGLE, SPHERE, DISK, CYLINDER
 from ..geometry import pallas_bvh as pbvh
 from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
-                           DIELECTRIC, THIN_DIELECTRIC)
+                           DIELECTRIC, THIN_DIELECTRIC, PLASTIC,
+                           ROUGH_PLASTIC)
 from ..radar.waveform import CW, PULSE, LINFMCW
 from ..radar.endpoints import (WIGNER as TX_WIGNER, PHASED as TX_PHASED,
                                AREA as TX_AREA)
@@ -199,9 +200,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     thin = (THIN_DIELECTRIC in set(prim_bsdf)
             or THIN_DIELECTRIC in set(mesh_types))
     delta_any = mirror or diel or thin
+    # plastic families: diffuse base x (1-Fi)(1-Fo) dielectric-coat
+    # transmission, plus (rough only) a GGX coat lobe with dielectric
+    # Fresnel (bsdf/eval.py:158-166 / 289-345 parity)
+    plas = (PLASTIC in set(prim_bsdf) or PLASTIC in set(mesh_types))
+    rplas = (ROUGH_PLASTIC in set(prim_bsdf)
+             or ROUGH_PLASTIC in set(mesh_types))
+    ggx = ggx or rplas      # rough-plastic coats reuse the GGX machinery
     # lanes need per-prim eta/k (conductor or dielectric Fresnel) for any
     # of these lobe families
-    need_fres = ggx or delta_any
+    need_fres = ggx or delta_any or plas
     any_bmp = any(t == 2 for t in prim_tex)
 
     def kernel(sp_ref,      # SMEM scalar params vector
@@ -1056,6 +1064,21 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             throughput = throughput * rxw
 
         # ---- BSDF lobes (world space, two-sided: n flipped toward wi) ----
+        def _fres_diel(ci, eta):
+            """Unpolarized dielectric Fresnel for SIGNED cos_i (mirrors
+            bsdf/eval.py::fresnel_dielectric; TIR -> 1)."""
+            eta_s = jnp.maximum(eta, 1e-6)
+            eta_it = jnp.where(ci >= 0.0, eta_s, 1.0 / eta_s)
+            c2t = 1.0 - (1.0 - ci * ci) / (eta_it * eta_it)
+            cos_t = jnp.sqrt(jnp.maximum(c2t, 0.0))
+            aci = jnp.abs(ci)
+            rs_ = (aci - eta_it * cos_t) \
+                / jnp.maximum(aci + eta_it * cos_t, 1e-20)
+            rp_ = (eta_it * aci - cos_t) \
+                / jnp.maximum(eta_it * aci + cos_t, 1e-20)
+            return jnp.where(c2t <= 0.0, 1.0,
+                             0.5 * (rs_ * rs_ + rp_ * rp_))
+
         def _fres_cond(ci, eta, k):
             """Unpolarized conductor Fresnel (mirrors
             bsdf/eval.py::fresnel_conductor, channel 0)."""
@@ -1089,6 +1112,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             ci = ci_raw * sg
             co = wox * fx + woy * fy + woz * fz
             f_d = rb * (1.0 / np.pi) * jnp.maximum(co, 0.0)
+            if plas or rplas:
+                # plastic base: diffuse x dielectric-coat transmission both
+                # ways (bsdf/eval.py:158-162)
+                Fi_p = _fres_diel(ci, eb)
+                Fo_p = _fres_diel(co, eb)
+                f_pl = f_d * (1.0 - Fi_p) * (1.0 - Fo_p)
 
             def _zero_delta(out):
                 # delta lobes: NEE density is zero on mirror / dielectric
@@ -1101,7 +1130,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 return out
 
             if not ggx:
-                return _zero_delta(f_d)
+                out0 = f_d
+                if plas:
+                    out0 = jnp.where(kb == float(PLASTIC), f_pl, out0)
+                return _zero_delta(out0)
             hx = wix + wox
             hy = wiy + woy
             hz = wiz + woz
@@ -1120,6 +1152,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             f_rc = rb * F * D * G / jnp.maximum(4.0 * ci, 1e-8)
             f_rc = jnp.where((co > 0.0) & (ci > 0.0), f_rc, 0.0)
             out = jnp.where(kb == float(ROUGH_CONDUCTOR), f_rc, f_d)
+            if plas:
+                out = jnp.where(kb == float(PLASTIC), f_pl, out)
+            if rplas:
+                # diffuse base + GGX coat with DIELECTRIC Fresnel at the
+                # half vector (bsdf/eval.py:163-166; the coat is not
+                # scaled by the diffuse reflectance)
+                Fh_p = _fres_diel(jnp.abs(idoth), eb)
+                f_coat = Fh_p * D * G / jnp.maximum(4.0 * ci, 1e-8)
+                f_coat = jnp.where((co > 0.0) & (ci > 0.0), f_coat, 0.0)
+                out = jnp.where(kb == float(ROUGH_PLASTIC),
+                                f_pl + f_coat, out)
             return _zero_delta(out)
 
         cx, cyv, cz = ox, oy, oz
@@ -1680,6 +1723,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
 
             # ---------------- BSDF bounce (diffuse / GGX) ----------------
             u8, u9 = draw(), draw()
+            if plas or rplas:
+                u_pick = draw()   # plastic lobe selection (bsdf_sample's
+                #                   u_lobe; spec_w = clip(F_i, .05, .95))
             # flip normal toward the incoming side
             face = -(ddx * nx + ddy * ny + ddz * nz)
             sgn = jnp.where(face >= 0.0, 1.0, -1.0)
@@ -1733,6 +1779,77 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             else:
                 ndx, ndy, ndz = wdx, wdy, wdz
                 w_b = w_d
+            if plas or rplas:
+                # plastic families (mirrors bsdf_sample:289-345): pick the
+                # coat lobe with prob spec_w, else the diffuse base; the
+                # weight is f(wo)/pdf(wo) of the full two-lobe model
+                ci_b2 = jnp.abs(face)
+                Fi_p = _fres_diel(ci_b2, etac)
+                spec_w = jnp.clip(Fi_p, 0.05, 0.95)
+                pick_s = u_pick < spec_w
+                if plas:
+                    # smooth coat: mirror candidate about the flipped
+                    # normal; both branches share the diffuse-eval ratio
+                    # f_pl/( (1-spec_w) cos/pi ) (pdf_diff cancels)
+                    dn2 = ddx * fx + ddy * fy + ddz * fz
+                    m2x = ddx - 2.0 * dn2 * fx
+                    m2y = ddy - 2.0 * dn2 * fy
+                    m2z = ddz - 2.0 * dn2 * fz
+                    is_p = kb == float(PLASTIC)
+                    px_d = jnp.where(pick_s, m2x, wdx)
+                    py_d = jnp.where(pick_s, m2y, wdy)
+                    pz_d = jnp.where(pick_s, m2z, wdz)
+                    co_p = px_d * fx + py_d * fy + pz_d * fz
+                    Fo_p = _fres_diel(co_p, etac)
+                    w_p = refl * (1.0 - Fi_p) * (1.0 - Fo_p) \
+                        / jnp.maximum(1.0 - spec_w, 1e-6)
+                    w_p = jnp.where(co_p > 0.0, w_p, 0.0)
+                    ndx = jnp.where(is_p, px_d, ndx)
+                    ndy = jnp.where(is_p, py_d, ndy)
+                    ndz = jnp.where(is_p, pz_d, ndz)
+                    w_b = jnp.where(is_p, w_p, w_b)
+                if rplas:
+                    # GGX coat candidate reuses the rough-conductor sample
+                    # (wgx..): weight = f_rpl(wo)/pdf_rpl(wo)
+                    is_rp = kb == float(ROUGH_PLASTIC)
+                    rx2 = jnp.where(pick_s, wgx, wdx)
+                    ry2 = jnp.where(pick_s, wgy, wdy)
+                    rz2 = jnp.where(pick_s, wgz, wdz)
+                    co_r = rx2 * fx + ry2 * fy + rz2 * fz
+                    wix2, wiy2, wiz2 = -ddx, -ddy, -ddz
+                    hx2 = wix2 + rx2
+                    hy2 = wiy2 + ry2
+                    hz2 = wiz2 + rz2
+                    hn2 = jax.lax.rsqrt(jnp.maximum(
+                        hx2 * hx2 + hy2 * hy2 + hz2 * hz2, 1e-20))
+                    hx2, hy2, hz2 = hx2 * hn2, hy2 * hn2, hz2 * hn2
+                    hc2 = hx2 * fx + hy2 * fy + hz2 * fz
+                    hsg2 = jnp.where(hc2 >= 0.0, 1.0, -1.0)
+                    hx2, hy2, hz2, hc2 = (hx2 * hsg2, hy2 * hsg2,
+                                          hz2 * hsg2, hc2 * hsg2)
+                    ar2 = alph * alph
+                    dd2 = hc2 * hc2 * (ar2 - 1.0) + 1.0
+                    D_r = ar2 / jnp.maximum(np.pi * dd2 * dd2, 1e-20)
+                    G_r = _g1(ci_b2, ar2) * _g1(jnp.abs(co_r), ar2)
+                    idoth2 = wix2 * hx2 + wiy2 * hy2 + wiz2 * hz2
+                    Fh_p = _fres_diel(jnp.abs(idoth2), etac)
+                    Fo_r = _fres_diel(co_r, etac)
+                    f_val = (refl * (1.0 / np.pi) * jnp.maximum(co_r, 0.0)
+                             * (1.0 - Fi_p) * (1.0 - Fo_r)
+                             + Fh_p * D_r * G_r
+                             / jnp.maximum(4.0 * ci_b2, 1e-8))
+                    odoth2 = jnp.abs(rx2 * hx2 + ry2 * hy2 + rz2 * hz2)
+                    pdf_r = ((1.0 - spec_w) * jnp.maximum(co_r, 0.0)
+                             * (1.0 / np.pi)
+                             + spec_w * D_r * hc2
+                             / jnp.maximum(4.0 * odoth2, 1e-8))
+                    w_rp = jnp.where(
+                        (co_r > 0.0) & (ci_b2 > 1e-6),
+                        f_val / jnp.maximum(pdf_r, 1e-20), 0.0)
+                    ndx = jnp.where(is_rp, rx2, ndx)
+                    ndy = jnp.where(is_rp, ry2, ndy)
+                    ndz = jnp.where(is_rp, rz2, ndz)
+                    w_b = jnp.where(is_rp, w_rp, w_b)
             new_wdel = jnp.zeros(shape) != 0.0
             if mirror:
                 # smooth conductor: specular reflect about the flipped
@@ -2265,7 +2382,8 @@ def supported(scene_data, rx, reason: list | None = None,
                   'tx chirp: ambiguous)')
     from ..geometry.shapes import TRIANGLE
     from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
-                           DIELECTRIC, THIN_DIELECTRIC)
+                           DIELECTRIC, THIN_DIELECTRIC, PLASTIC,
+                           ROUGH_PLASTIC)
     demote = _demoted_rects(scene_data)
     if scene_data.tris is not None or demote:
         n_tris = (scene_data.tris.n_faces if scene_data.tris is not None
@@ -2293,9 +2411,10 @@ def supported(scene_data, rx, reason: list | None = None,
         return no(f'unsupported shape kinds {kinds}')
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
                                              ROUGH_CONDUCTOR, DIELECTRIC,
-                                             THIN_DIELECTRIC}:
+                                             THIN_DIELECTRIC, PLASTIC,
+                                             ROUGH_PLASTIC}:
         return no('BSDF types beyond diffuse/conductor/rough-conductor/'
-                  'dielectric/thin-dielectric')
+                  'dielectric/thin-dielectric/plastic/rough-plastic')
     tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
     if (tex_idx >= 0).any():
         # checkerboard (procedural) and small bitmaps (one-hot MXU gather)
@@ -2402,8 +2521,10 @@ def supported(scene_data, rx, reason: list | None = None,
     return True
 
 
-def n_draws(max_depth: int, n_tx: int = 1) -> int:
-    return 8 + (3 + 3 * n_tx) * max_depth
+def n_draws(max_depth: int, n_tx: int = 1, lobe_mix: bool = False) -> int:
+    """Uniform count for interpret mode; `lobe_mix` (plastic families)
+    adds one lobe-selection draw per depth."""
+    return 8 + ((4 if lobe_mix else 3) + 3 * n_tx) * max_depth
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -2436,7 +2557,10 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         sub = SUB
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
-    nd = n_draws(max_depth, n_tx)
+    nd = n_draws(max_depth, n_tx,
+                 lobe_mix=(PLASTIC in prim_bsdf or ROUGH_PLASTIC in prim_bsdf
+                           or PLASTIC in mesh_types
+                           or ROUGH_PLASTIC in mesh_types))
     use_prng = not interpret
     if use_prng:
         # tiny placeholder: draws come from the in-kernel PRNG

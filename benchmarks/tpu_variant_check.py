@@ -364,4 +364,16 @@ print(f"cpi-scan: compile {dt_compile:.1f}s, run {dt_c * 1e3:.0f} ms for "
       f"{'OK' if top == set(comb) else (sorted(top), comb)}", flush=True)
 assert top == set(comb), (sorted(top), comb)
 
+# 14) plastic + rough-plastic targets (two-lobe dielectric-coat models)
+from beifong_tpu.bsdf import plastic as _pl, rough_plastic as _rpl
+s, rx, _ = base_scene()
+s.add(_pl("pl", diffuse_reflectance=0.8, int_ior=1.49, twosided=True))
+s.add(_rpl("rpl", diffuse_reflectance=0.8, alpha=0.4, int_ior=1.49,
+           twosided=True))
+s.shapes[-1].bsdf = "pl"
+s.add(sh.rectangle(to_world=np.asarray(
+    tf.compose(tf.look_at([1.3, -4.6, 0], [0, 0, 0]), tf.scale(0.45))),
+    bsdf="rpl"))
+run("plastic+roughplastic", s, rx)
+
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)

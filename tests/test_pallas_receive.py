@@ -1821,3 +1821,49 @@ def test_megakernel_cpi_scan_parity():
     assert n3 == n and cube2.shape == (n_pulses, 8, 1, 4)
     np.testing.assert_array_equal(cube2[..., :2], cube)
     assert (cube2[..., 2:] == 0).all()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["plastic", "rough_plastic"])
+def test_megakernel_plastic(kind):
+    """Plastic / rough-plastic targets in the kernel: peak bin and
+    peak-window energy match the jnp wavefront (bsdf/eval.py two-lobe
+    model: diffuse base x (1-Fi)(1-Fo) + coat)."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import plastic, rough_plastic
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, omni_receiver,
+                                   ADCConfig)
+
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    if kind == "plastic":
+        s.add(plastic("mat", diffuse_reflectance=0.8, int_ior=1.49,
+                      twosided=True))
+    else:
+        s.add(rough_plastic("mat", diffuse_reflectance=0.8, alpha=0.4,
+                            int_ior=1.49, twosided=True))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    s.add(sh.rectangle(to_world=np.asarray(
+        tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                    tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    rx = omni_receiver("rx", adc, position=(-0.3, 0, 0), receive_type='raw')
+    s.add(rx)
+    s.add(sh.rectangle(to_world=np.asarray(
+        tfm.compose(tfm.look_at([0, -4.0, 0], [0, 0, 0]), tfm.scale(0.5))),
+        bsdf="mat"))
+
+    tp, tj = _kernel_vs_jnp_profiles(s, rx, max_depth=2)
+    assert tp.sum() > 0 and tj.sum() > 0
+    bin_t = int(round(2 * 4.0 / 340.0 / 0.06 * 64 - 0.5))
+    for prof in (tp, tj):
+        assert bin_t - 1 <= int(prof.argmax()) <= bin_t + 3, prof.argmax()
+    pk = int(tj.argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
