@@ -295,10 +295,16 @@ def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
                       jnp.where((is_pl & pick_spec)[..., None], wo_mirror, wo_diff))
 
     # Rough dielectric: reflect/refract through the sampled microfacet
-    # (unflipped frame, h oriented toward wi's side)
+    # (unflipped frame, h oriented toward wi's side).  The relative IOR is
+    # picked by the GEOMETRIC side wi came from (sign of ci), not by
+    # wi.h_u (always >= 0 since h_u rides wi's hemisphere) — otherwise
+    # back-face hits refract as if ENTERING the medium while the eval-side
+    # pdf reconstructs h with the exiting eta, and the hit-arm weight
+    # f/pdf is taken against the wrong sampling density (a ~eta^2 bias).
     h_u = h * jnp.where(ci < 0.0, -1.0, 1.0)[..., None]
     idoth_u = jnp.sum(wi * h_u, axis=-1)
-    F_rd, cos_t_h, eta_it_h = fresnel_dielectric(idoth_u, g['eta'][..., 0])
+    F_rd, cos_t_h, eta_it_h = fresnel_dielectric(
+        idoth_u * jnp.where(ci >= 0.0, 1.0, -1.0), g['eta'][..., 0])
     refl_rd = u_lobe < F_rd
     wo_rd_refl = _reflect(wi, h_u)
     inv_eta = 1.0 / eta_it_h

@@ -35,7 +35,7 @@ from ..geometry.shapes import RECTANGLE, SPHERE, DISK, CYLINDER
 from ..geometry import pallas_bvh as pbvh
 from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
                            DIELECTRIC, THIN_DIELECTRIC, PLASTIC,
-                           ROUGH_PLASTIC)
+                           ROUGH_PLASTIC, ROUGH_DIELECTRIC)
 from ..radar.waveform import CW, PULSE, LINFMCW
 from ..radar.endpoints import (WIGNER as TX_WIGNER, PHASED as TX_PHASED,
                                AREA as TX_AREA)
@@ -206,7 +206,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
     plas = (PLASTIC in set(prim_bsdf) or PLASTIC in set(mesh_types))
     rplas = (ROUGH_PLASTIC in set(prim_bsdf)
              or ROUGH_PLASTIC in set(mesh_types))
-    ggx = ggx or rplas      # rough-plastic coats reuse the GGX machinery
+    # rough dielectric (GGX glass): microfacet reflection + transmission
+    # lobes through the sampled half-vector (bsdf/eval.py:169-199,
+    # Walter 2007; reference `src/bsdfs/roughdielectric.cpp`)
+    rdiel = (ROUGH_DIELECTRIC in set(prim_bsdf)
+             or ROUGH_DIELECTRIC in set(mesh_types))
+    # rough-plastic coats / GGX glass reuse the GGX machinery
+    ggx = ggx or rplas or rdiel
     # lanes need per-prim eta/k (conductor or dielectric Fresnel) for any
     # of these lobe families
     need_fres = ggx or delta_any or plas
@@ -1102,6 +1108,72 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             t2 = (1.0 - ct * ct) / jnp.maximum(ct * ct, 1e-12)
             return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
 
+        def _rd_fcos_pdf(ci_raw, fx, fy, fz, eb, kkb, rb, ab,
+                         wix, wiy, wiz, wox, woy, woz):
+            """Rough-dielectric (GGX glass) f(wi,wo)*|cos_o| and pdf in the
+            wi-flipped frame f (normal flipped toward wi; ci_raw is the
+            UNFLIPPED cosine, carrying which geometric side wi came from).
+            Mirrors bsdf/eval.py:169-199 (Walter 2007 reflection +
+            transmission microfacet lobes); shared by NEE eval and the
+            bounce-sample weight so both stay consistent."""
+            sgr = jnp.where(ci_raw >= 0.0, 1.0, -1.0)
+            ci = jnp.abs(ci_raw)
+            co = wox * fx + woy * fy + woz * fz
+            same = co > 0.0
+            eta_s = jnp.maximum(eb, 1e-6)
+            eta_it = jnp.where(ci_raw >= 0.0, eta_s, 1.0 / eta_s)
+            # reflection half-vector (oriented toward +f)
+            rhx, rhy, rhz = wix + wox, wiy + woy, wiz + woz
+            rhn = jax.lax.rsqrt(jnp.maximum(
+                rhx * rhx + rhy * rhy + rhz * rhz, 1e-20))
+            rhx, rhy, rhz = rhx * rhn, rhy * rhn, rhz * rhn
+            rhc = rhx * fx + rhy * fy + rhz * fz
+            rsg = jnp.where(rhc >= 0.0, 1.0, -1.0)
+            rhx, rhy, rhz, rhc = rhx * rsg, rhy * rsg, rhz * rsg, rhc * rsg
+            # transmission half-vector: -(wi + eta_it wo) (Walter 2007)
+            thx = -(wix + eta_it * wox)
+            thy = -(wiy + eta_it * woy)
+            thz = -(wiz + eta_it * woz)
+            thn = jax.lax.rsqrt(jnp.maximum(
+                thx * thx + thy * thy + thz * thz, 1e-20))
+            thx, thy, thz = thx * thn, thy * thn, thz * thn
+            thc = thx * fx + thy * fy + thz * fz
+            tsg = jnp.where(thc >= 0.0, 1.0, -1.0)
+            thx, thy, thz, thc = thx * tsg, thy * tsg, thz * tsg, thc * tsg
+            hdx = jnp.where(same, rhx, thx)
+            hdy = jnp.where(same, rhy, thy)
+            hdz = jnp.where(same, rhz, thz)
+            hdc = jnp.where(same, rhc, thc)
+            a2 = ab * ab
+            dd_ = hdc * hdc * (a2 - 1.0) + 1.0
+            D_d = a2 / jnp.maximum(np.pi * dd_ * dd_, 1e-20)
+            G_d = _g1(ci, a2) * _g1(jnp.abs(co), a2)
+            idh = wix * hdx + wiy * hdy + wiz * hdz
+            odh = wox * hdx + woy * hdy + woz * hdz
+            # the jnp path evaluates in the UNFLIPPED local frame with h
+            # oriented to +z; flipping negates both dot products, so the
+            # signed Fresnel argument there is idh * sgr here
+            F_d = _fres_diel(idh * sgr, eb)
+            aci = jnp.maximum(ci, 1e-6)
+            den_t = idh + eta_it * odh
+            jac_t = (eta_it * eta_it * jnp.abs(odh)
+                     / jnp.maximum(den_t * den_t, 1e-12))
+            f_r = F_d * D_d * G_d / (4.0 * aci) * rb
+            # k column carries the transmittance (like the smooth
+            # dielectric's refraction weight); 1/eta^2 radiance compression
+            f_t = ((1.0 - F_d) * D_d * G_d * jnp.abs(idh) * jac_t
+                   / aci) / (eta_it * eta_it) * kkb
+            live_rd = ci > 1e-6
+            f_cos = jnp.where(live_rd, jnp.where(same, f_r, f_t), 0.0)
+            pdf_h = D_d * hdc
+            pdf = jnp.where(same,
+                            F_d * pdf_h / jnp.maximum(4.0 * jnp.abs(odh),
+                                                      1e-8),
+                            (1.0 - F_d) * pdf_h * jac_t
+                            / jnp.maximum(jnp.abs(odh), 1e-8))
+            pdf = jnp.where(live_rd, pdf, 0.0)
+            return f_cos, pdf
+
         def bsdf_eval_cos(kb, rb, ab, eb, kkb, nx, ny, nz,
                           wix, wiy, wiz, wox, woy, woz):
             """f(wi, wo)*|cos_o|, per-lane type dispatch (diffuse / GGX
@@ -1163,6 +1235,12 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 f_coat = jnp.where((co > 0.0) & (ci > 0.0), f_coat, 0.0)
                 out = jnp.where(kb == float(ROUGH_PLASTIC),
                                 f_pl + f_coat, out)
+            if rdiel:
+                # GGX glass: signed co (transmission crosses the surface),
+                # so this branch bypasses the hemisphere gating above
+                f_rd, _ = _rd_fcos_pdf(ci_raw, fx, fy, fz, eb, kkb, rb, ab,
+                                       wix, wiy, wiz, wox, woy, woz)
+                out = jnp.where(kb == float(ROUGH_DIELECTRIC), f_rd, out)
             return _zero_delta(out)
 
         cx, cyv, cz = ox, oy, oz
@@ -1723,9 +1801,11 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
 
             # ---------------- BSDF bounce (diffuse / GGX) ----------------
             u8, u9 = draw(), draw()
-            if plas or rplas:
-                u_pick = draw()   # plastic lobe selection (bsdf_sample's
-                #                   u_lobe; spec_w = clip(F_i, .05, .95))
+            if plas or rplas or rdiel:
+                u_pick = draw()   # lobe selection (bsdf_sample's u_lobe);
+                #                   lane types are disjoint, so plastic's
+                #                   spec_w pick and GGX glass's Fresnel
+                #                   pick share the uniform safely
             # flip normal toward the incoming side
             face = -(ddx * nx + ddy * ny + ddz * nz)
             sgn = jnp.where(face >= 0.0, 1.0, -1.0)
@@ -1850,6 +1930,51 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     ndy = jnp.where(is_rp, ry2, ndy)
                     ndz = jnp.where(is_rp, rz2, ndz)
                     w_b = jnp.where(is_rp, w_rp, w_b)
+            if rdiel:
+                # GGX glass (bsdf_sample:298-315): Fresnel-pick reflect /
+                # refract through the sampled half-vector hw (which rides
+                # wi's hemisphere, mirroring the jnp path's h_u); the
+                # weight is the eval-consistent f*cos/pdf on the chosen
+                # direction so NEE and bounce sampling agree
+                is_rd2 = kb == float(ROUGH_DIELECTRIC)
+                eta_s2 = jnp.maximum(etac, 1e-6)
+                # relative IOR by the GEOMETRIC side wi came from (h rides
+                # wi's hemisphere, so idoth can't carry that sign); the
+                # eval-side pdf reconstructs h with the same convention
+                eta_i2 = jnp.where(idoth * sgn >= 0.0, eta_s2,
+                                   1.0 / eta_s2)
+                c2t_h = 1.0 - (1.0 - idoth * idoth) / (eta_i2 * eta_i2)
+                tir_h = c2t_h <= 0.0
+                cost_h = jnp.sqrt(jnp.maximum(c2t_h, 0.0))
+                aih = jnp.abs(idoth)
+                rs_h = (aih - eta_i2 * cost_h) \
+                    / jnp.maximum(aih + eta_i2 * cost_h, 1e-20)
+                rp_h = (eta_i2 * aih - cost_h) \
+                    / jnp.maximum(eta_i2 * aih + cost_h, 1e-20)
+                F_h = jnp.where(tir_h, 1.0,
+                                0.5 * (rs_h * rs_h + rp_h * rp_h))
+                inv_e2 = 1.0 / eta_i2
+                sg_h = jnp.where(idoth >= 0.0, 1.0, -1.0)
+                coef_t = (inv_e2 * aih - cost_h) * sg_h
+                ttx = coef_t * hwx - wix * inv_e2
+                tty = coef_t * hwy - wiy * inv_e2
+                ttz = coef_t * hwz - wiz * inv_e2
+                ttn = jax.lax.rsqrt(jnp.maximum(
+                    ttx * ttx + tty * tty + ttz * ttz, 1e-20))
+                ttx, tty, ttz = ttx * ttn, tty * ttn, ttz * ttn
+                pick_rf = u_pick < F_h
+                rdx_ = jnp.where(pick_rf, wgx, ttx)
+                rdy_ = jnp.where(pick_rf, wgy, tty)
+                rdz_ = jnp.where(pick_rf, wgz, ttz)
+                f_c, p_c = _rd_fcos_pdf(face, fx, fy, fz, etac, kc, refl,
+                                        alph, wix, wiy, wiz,
+                                        rdx_, rdy_, rdz_)
+                w_rd2 = jnp.where(p_c > 0.0,
+                                  f_c / jnp.maximum(p_c, 1e-20), 0.0)
+                ndx = jnp.where(is_rd2, rdx_, ndx)
+                ndy = jnp.where(is_rd2, rdy_, ndy)
+                ndz = jnp.where(is_rd2, rdz_, ndz)
+                w_b = jnp.where(is_rd2, w_rd2, w_b)
             new_wdel = jnp.zeros(shape) != 0.0
             if mirror:
                 # smooth conductor: specular reflect about the flipped
@@ -1944,7 +2069,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             ddx, ddy, ddz = ndx, ndy, ndz
             throughput = throughput * w_b
             active = active & (w_b > 0.0) & (txc < 0.0)
-            if diel or thin:
+            if diel or thin or rdiel:
                 # spawn on the side the CONTINUATION leaves through —
                 # refracted/transmitted rays exit the back face (mirrors
                 # si.spawn_origin(d_new)); +1 exactly for every
@@ -2383,7 +2508,7 @@ def supported(scene_data, rx, reason: list | None = None,
     from ..geometry.shapes import TRIANGLE
     from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
                            DIELECTRIC, THIN_DIELECTRIC, PLASTIC,
-                           ROUGH_PLASTIC)
+                           ROUGH_PLASTIC, ROUGH_DIELECTRIC)
     demote = _demoted_rects(scene_data)
     if scene_data.tris is not None or demote:
         n_tris = (scene_data.tris.n_faces if scene_data.tris is not None
@@ -2412,9 +2537,10 @@ def supported(scene_data, rx, reason: list | None = None,
     if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
                                              ROUGH_CONDUCTOR, DIELECTRIC,
                                              THIN_DIELECTRIC, PLASTIC,
-                                             ROUGH_PLASTIC}:
+                                             ROUGH_PLASTIC,
+                                             ROUGH_DIELECTRIC}:
         return no('BSDF types beyond diffuse/conductor/rough-conductor/'
-                  'dielectric/thin-dielectric/plastic/rough-plastic')
+                  '(rough-/thin-)dielectric/plastic/rough-plastic')
     tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
     if (tex_idx >= 0).any():
         # checkerboard (procedural) and small bitmaps (one-hot MXU gather)
@@ -2522,8 +2648,8 @@ def supported(scene_data, rx, reason: list | None = None,
 
 
 def n_draws(max_depth: int, n_tx: int = 1, lobe_mix: bool = False) -> int:
-    """Uniform count for interpret mode; `lobe_mix` (plastic families)
-    adds one lobe-selection draw per depth."""
+    """Uniform count for interpret mode; `lobe_mix` (plastic families /
+    GGX glass) adds one lobe-selection draw per depth."""
     return 8 + ((4 if lobe_mix else 3) + 3 * n_tx) * max_depth
 
 
@@ -2557,10 +2683,10 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
         sub = SUB
     tile = sub * LANE
     n_tiles = max(n_lanes // tile, 1)
+    lobe_set = {PLASTIC, ROUGH_PLASTIC, ROUGH_DIELECTRIC}
     nd = n_draws(max_depth, n_tx,
-                 lobe_mix=(PLASTIC in prim_bsdf or ROUGH_PLASTIC in prim_bsdf
-                           or PLASTIC in mesh_types
-                           or ROUGH_PLASTIC in mesh_types))
+                 lobe_mix=bool(lobe_set & (set(prim_bsdf)
+                                           | set(mesh_types))))
     use_prng = not interpret
     if use_prng:
         # tiny placeholder: draws come from the in-kernel PRNG

@@ -1867,3 +1867,64 @@ def test_megakernel_plastic(kind):
     pk = int(tj.argmax())
     lo, hi = max(pk - 3, 0), pk + 4
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("case", ["target", "through"])
+def test_megakernel_rough_dielectric(case):
+    """GGX rough glass in the kernel (bsdf/eval.py:169-199 Walter lobes;
+    reference `src/bsdfs/roughdielectric.cpp`).  `target`: backscatter off
+    a rough slab lands in the slab's round-trip bin in both the interpret
+    kernel and the jnp wavefront.  `through`: tx and rx on OPPOSITE sides
+    of the sheet — the echo exists only via the TRANSMISSION lobe, at the
+    rx->sheet->tx one-way time of flight."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import rough_dielectric
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, omni_receiver,
+                                   ADCConfig)
+
+    band = Band.from_freq(340.0, 40e3, 10e3)
+    s = sc.Scene(band=band)
+    s.add(rough_dielectric("mat", alpha=0.4, int_ior=1.5))
+    wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+               is_delta=True)
+    s.add(wigner_transmitter("tx", wf, resample_freq=True))
+    adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                    sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+    if case == "target":
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                        tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+        rx = omni_receiver("rx", adc, position=(-0.3, 0, 0),
+                           receive_type='raw')
+        s.add(rx)
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0, -4.0, 0], [0, 0, 0]),
+                        tfm.scale(0.5))), bsdf="mat"))
+        t_bin = 2 * 4.0 / 340.0            # round trip
+    else:
+        # sheet between tx (y=0 side) and rx (y=-4 side): only the
+        # refracted lobe connects them
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0.0, 0, 0], [0.0, -1, 0]),
+                        tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+        rx = omni_receiver("rx", adc, position=(0.0, -4.0, 0),
+                           receive_type='raw')
+        s.add(rx)
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0, -2.0, 0], [0, 0, 0]),
+                        tfm.scale(1.0))), bsdf="mat"))
+        t_bin = 4.0 / 340.0                # one-way through the sheet
+
+    tp, tj = _kernel_vs_jnp_profiles(s, rx, max_depth=2)
+    assert np.abs(tp).sum() > 0 and np.abs(tj).sum() > 0
+    bin_t = int(round(t_bin / 0.06 * 64 - 0.5))
+    for prof in (tp, tj):
+        assert bin_t - 2 <= int(np.abs(prof).argmax()) <= bin_t + 3, \
+            (case, np.abs(prof).argmax(), bin_t)
+    pk = int(np.abs(tj).argmax())
+    lo, hi = max(pk - 3, 0), pk + 4
+    assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
