@@ -179,6 +179,64 @@ def render_torch(scene_data, paths: list[str], render_fn: Callable):
     return fn, params0
 
 
+def differentiable_receive(scene, scene_data, receiver=None, *,
+                           forward_pallas: str | bool = 'auto',
+                           **receive_kwargs) -> Callable:
+    """Kernel-forward / jnp-backward hybrid receive (the TPU answer to the
+    reference's `gpu_autodiff_*` variants, `mitsuba.conf:28-31`).
+
+    Returns `f(params_dict) -> adc_grid` usable under `jax.grad`/`jax.jit`:
+
+      * the PRIMAL runs the full `receive()` driver on concrete values via
+        `jax.pure_callback` — on TPU with `forward_pallas='auto'` that is
+        the Pallas megakernel (~kernel rate), so loss evaluation, line
+        searches and previews ride the fast path;
+      * the VJP re-traces the differentiable jnp wavefront at the same
+        parameters and seed (a different but identically-distributed RNG
+        stream than the kernel), so gradients are unbiased estimates of
+        the same expectation — the standard two-estimator trick for
+        non-differentiable fast forwards.
+
+    `params_dict` maps dotted SceneData paths (as in `select_params`) to
+    leaf values.  `receive_kwargs` are forwarded to `receive()` for both
+    directions (seed, spp, max_depth, coherent, ...).
+    """
+    import numpy as np
+    from .receive import receive as _receive
+
+    rx = receiver if receiver is not None else scene.receivers[0]
+    n_ch = 4 if receive_kwargs.get('polarized') else \
+        (2 if receive_kwargs.get('coherent') else 1)
+    out_sds = jax.ShapeDtypeStruct(
+        (rx.adc.n_time, rx.adc.n_freq, n_ch + 2), jnp.float32)
+
+    def _jnp_forward(params):
+        sd = apply_params(scene_data, params)
+        adc, _ = _receive(scene, sd, rx, use_pallas=False, **receive_kwargs)
+        return adc
+
+    def _fast_forward(params_np):
+        p = {k: jnp.asarray(v) for k, v in params_np.items()}
+        sd = apply_params(scene_data, p)
+        adc, _ = _receive(scene, sd, rx, use_pallas=forward_pallas,
+                          **receive_kwargs)
+        return np.asarray(adc)
+
+    @jax.custom_vjp
+    def f(params):
+        return jax.pure_callback(_fast_forward, out_sds, params)
+
+    def f_fwd(params):
+        return f(params), params
+
+    def f_bwd(params, ct):
+        _, vjp = jax.vjp(_jnp_forward, params)
+        return vjp(ct)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def optimize(loss_fn: Callable, scene_data, paths: list[str], optimizer=None,
              n_steps: int = 50, callback=None):
     """Gradient-descend selected scene parameters against `loss_fn`.

@@ -192,11 +192,18 @@ def _eval_pdf_basic(table: BSDFTable, idx, wi, wo, refl_scale):
     f_rd = jnp.where(same_side, f_rd_refl, f_rd_trans)[..., None] \
         * jnp.where(same_side[..., None], refl, g['k'])
     pdf_h = D_d * jnp.abs(h_d[..., 2])
+    # transmission: jac_t already IS |dw_h/dw_o| (Walter 2007 eq. 17) —
+    # no extra 1/|odoth| (that factor belongs to the reflection Jacobian
+    # 1/(4|odoth|) only); verified against the sampler by quadrature
     pdf_rd = jnp.where(same_side,
                        F_d * pdf_h / jnp.maximum(4.0 * jnp.abs(odoth), 1e-8),
-                       (1.0 - F_d) * pdf_h * jac_t / jnp.maximum(
-                           jnp.abs(odoth), 1e-8))
-    valid_rd = jnp.abs(ci_u) > 1e-6
+                       (1.0 - F_d) * pdf_h * jac_t)
+    # Walter's chi+ sidedness (eq. 27/34): each direction must lie on the
+    # same side of the microfacet as of the macro normal — kills
+    # reflection samples that cross the surface (and vice versa), making
+    # sample()'s density and this pdf agree on the support of f
+    chi_rd = (idoth * ci_u > 0.0) & (odoth * co_u > 0.0)
+    valid_rd = (jnp.abs(ci_u) > 1e-6) & chi_rd
 
     typ = g['type']
     f = jnp.where((typ == DIFFUSE)[..., None], f_diff,
@@ -313,6 +320,17 @@ def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
                            - wi * inv_eta[..., None])
     wo_rd = jnp.where(refl_rd[..., None], wo_rd_refl, wo_rd_refr)
     is_rd = typ == ROUGH_DIELECTRIC
+    # sampling-side chi+ rejection (mirrors the microfacet convention of
+    # `roughdielectric.cpp::sample`): the picked lobe must land on its own
+    # side, and both directions must agree with the SAMPLED h (h rides the
+    # upper hemisphere; its sidedness vs wi/wo uses the +z orientation).
+    # Without this, reflect-picked lanes that cross the surface get
+    # evaluated as transmission at a density the pdf doesn't describe.
+    co_rd = wo_rd[..., 2]
+    rd_side_ok = jnp.where(refl_rd, ci * co_rd > 0.0, ci * co_rd < 0.0)
+    rd_chi = ((jnp.sum(wi * h, axis=-1) * ci > 0.0)
+              & (jnp.sum(wo_rd * h, axis=-1) * co_rd > 0.0))
+    rd_ok = rd_side_ok & rd_chi
 
     wo_f = jnp.where((typ == DIFFUSE)[..., None], wo_diff,
            jnp.where((typ == ROUGH_CONDUCTOR)[..., None], wo_ggx,
@@ -351,6 +369,7 @@ def bsdf_sample(table: BSDFTable, idx, wi, u_lobe, u_dir, refl_scale=None):
                    jnp.where(do_reflect_thin[..., None], wo_refl_d, -wi), wo)
 
     pdf = jnp.where(is_delta, 1.0, pdf_s)
+    pdf = jnp.where(is_rd & ~rd_ok, 0.0, pdf)
     live = pdf > 0.0
     weight = jnp.where(live[..., None], weight, 0.0)
     return wo, weight, pdf, is_delta, eta_sc

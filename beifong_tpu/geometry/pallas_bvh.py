@@ -42,6 +42,14 @@ SUB, LANE = 8, 128
 TILE = SUB * LANE
 STREAMS = 1          # interleaved traversals per invocation (measured:
 #                      the walk is compute-bound, interleave doesn't pay)
+# DFS-window width: per serial step, slab-test the next WINDOW nodes in
+# DFS order at once and chase the hit/miss links through the window with
+# cheap scalar bit tests — visited nodes are DFS-contiguous (measured
+# ~4.7 visited nodes per 8-window on the bench scene), so this amortises
+# the vector->scalar any-lane reduce that bounds the classic walk
+# (docs/MESH_PERF.md).  1 = classic one-node stepping.
+import os as _os
+WINDOW = int(_os.environ.get("BF_MESH_WINDOW", "8"))
 K_LEAF = 8           # triangles per packed leaf row
 _INF = 3.4e38
 
@@ -95,6 +103,12 @@ def pack(bvh: BVH, payload=None, payload2=None) -> PackedBVH:
 
     n = len(bb_min)
     bbox = np.concatenate([bb_min, bb_max], axis=1).astype(np.float32)
+    # pad with inverted (never-hit) boxes: the DFS-window walk slab-tests
+    # up to WINDOW-1 nodes past the last one (traversal_body)
+    pad_w = max(WINDOW, 16)
+    bbox = np.concatenate([bbox, np.tile(
+        np.array([[_INF, _INF, _INF, -_INF, -_INF, -_INF]], np.float32),
+        (pad_w, 1))], axis=0)
     links = np.stack([hit_l, miss_l, np.full(n, -1, np.int32)], axis=1)
 
     assert payload2 is None or payload is not None
@@ -155,87 +169,110 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
     def srows(x, s):
         return x[s * sub:(s + 1) * sub, :]
 
+    W = max(int(state.get('window', WINDOW)), 1)
+
     def body(carry):
         nodes = carry[:S]
         new_nodes = []
         for s in range(S):
             node = nodes[s]
-            ni = jnp.maximum(node, 0)
-            nb = ni * 6
-            x0 = bbox_ref[nb + 0]
-            y0 = bbox_ref[nb + 1]
-            z0 = bbox_ref[nb + 2]
-            x1 = bbox_ref[nb + 3]
-            y1 = bbox_ref[nb + 4]
-            z1 = bbox_ref[nb + 5]
+            w0 = jnp.maximum(node, 0)
             ox_s, oy_s, oz_s = srows(rox, s), srows(roy, s), srows(roz, s)
             ix_s, iy_s, iz_s = srows(ix, s), srows(iy, s), srows(iz, s)
             tb = state['tbest'](s)
-            tx0 = (x0 - ox_s) * ix_s
-            tx1 = (x1 - ox_s) * ix_s
-            ty0 = (y0 - oy_s) * iy_s
-            ty1 = (y1 - oy_s) * iy_s
-            tz0 = (z0 - oz_s) * iz_s
-            tz1 = (z1 - oz_s) * iz_s
-            tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
-                                         jnp.minimum(ty0, ty1)),
-                             jnp.minimum(tz0, tz1))
-            tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
-                                         jnp.maximum(ty0, ty1)),
-                             jnp.maximum(tz0, tz1))
-            mask = (tf >= jnp.maximum(tn, 0.0)) & (tn < tb)
-            n_hit = jnp.sum(jnp.where(mask, 1.0, 0.0))
-            hit_any = (n_hit > 0.0) & (node >= 0)
-            leaf_id = links_ref[ni * 3 + 2]
+            # --- DFS window: slab-test nodes [w0, w0+W) in one step; the
+            # W any-lane reductions are mutually independent so their
+            # vector->scalar latencies overlap (the classic walk pays one
+            # full reduce->branch round trip PER node) ---
+            M = jnp.int32(0)
+            for c in range(W):
+                nb = (w0 + c) * 6
+                x0 = bbox_ref[nb + 0]
+                y0 = bbox_ref[nb + 1]
+                z0 = bbox_ref[nb + 2]
+                x1 = bbox_ref[nb + 3]
+                y1 = bbox_ref[nb + 4]
+                z1 = bbox_ref[nb + 5]
+                tx0 = (x0 - ox_s) * ix_s
+                tx1 = (x1 - ox_s) * ix_s
+                ty0 = (y0 - oy_s) * iy_s
+                ty1 = (y1 - oy_s) * iy_s
+                tz0 = (z0 - oz_s) * iz_s
+                tz1 = (z1 - oz_s) * iz_s
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(tx0, tx1),
+                                             jnp.minimum(ty0, ty1)),
+                                 jnp.minimum(tz0, tz1))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(tx0, tx1),
+                                             jnp.maximum(ty0, ty1)),
+                                 jnp.maximum(tz0, tz1))
+                mask = (tf >= jnp.maximum(tn, 0.0)) & (tn < tb)
+                n_hit = jnp.sum(jnp.where(mask, 1.0, 0.0))
+                M = M | jnp.where(n_hit > 0.0, jnp.int32(1 << c),
+                                  jnp.int32(0))
+            M = jnp.where(node >= 0, M, jnp.int32(0))
 
-            @pl.when(hit_any & (leaf_id >= 0))
-            def _(s=s, leaf_id=leaf_id, ox_s=ox_s, oy_s=oy_s, oz_s=oz_s):
-                dx_s, dy_s, dz_s = (srows(rdx, s), srows(rdy, s),
-                                    srows(rdz, s))
-                lb = leaf_id * stride
-                for k in range(K_LEAF):
-                    v0x = leaf_ref[lb + 0 + k]
-                    v0y = leaf_ref[lb + 8 + k]
-                    v0z = leaf_ref[lb + 16 + k]
-                    e1x = leaf_ref[lb + 24 + k]
-                    e1y = leaf_ref[lb + 32 + k]
-                    e1z = leaf_ref[lb + 40 + k]
-                    e2x = leaf_ref[lb + 48 + k]
-                    e2y = leaf_ref[lb + 56 + k]
-                    e2z = leaf_ref[lb + 64 + k]
-                    tri = leaf_ref[lb + 72 + k]
-                    # Möller-Trumbore, scalar triangle vs vector rays
-                    px = dy_s * e2z - dz_s * e2y
-                    py = dz_s * e2x - dx_s * e2z
-                    pz = dx_s * e2y - dy_s * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) \
-                        / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
-                    tvx = ox_s - v0x
-                    tvy = oy_s - v0y
-                    tvz = oz_s - v0z
-                    uu = (tvx * px + tvy * py + tvz * pz) * inv
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    vv = (dx_s * qx + dy_s * qy + dz_s * qz) * inv
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-                    hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                           & (tt > 1e-4) & (tri >= 0.0))
-                    pay = (leaf_ref[lb + 80 + k] if stride > 80
-                           else jnp.float32(0.0))
-                    pay2 = (leaf_ref[lb + 88 + k] if stride > 88
-                            else jnp.float32(0.0))
-                    state['leaf_hit'](s, hit, tt, uu, vv, tri,
-                                      (e1x, e1y, e1z, e2x, e2y, e2z), pay,
-                                      pay2)
+            # --- chase the hit/miss links through the window: visited
+            # nodes are DFS-contiguous, so most steps stay inside and
+            # cost only scalar link loads + a bit test (no vector work
+            # except actual leaf hits) ---
+            def _chase_cond(nd):
+                return (nd >= w0) & (nd < w0 + W)
 
-            if visit is not None:
-                visit(s, node, hit_any, leaf_id)
-            nxt = jnp.where(hit_any, links_ref[ni * 3],
-                            links_ref[ni * 3 + 1])
-            nxt = jnp.where(node >= 0, nxt, node)
-            new_nodes.append(nxt)
+            def _chase_body(nd, s=s, w0=w0, M=M, ox_s=ox_s, oy_s=oy_s,
+                            oz_s=oz_s):
+                ci = nd - w0
+                hit_any = (jax.lax.shift_right_logical(M, ci) & 1) > 0
+                leaf_id = links_ref[nd * 3 + 2]
+
+                @pl.when(hit_any & (leaf_id >= 0))
+                def _():
+                    dx_s, dy_s, dz_s = (srows(rdx, s), srows(rdy, s),
+                                        srows(rdz, s))
+                    lb = leaf_id * stride
+                    for k in range(K_LEAF):
+                        v0x = leaf_ref[lb + 0 + k]
+                        v0y = leaf_ref[lb + 8 + k]
+                        v0z = leaf_ref[lb + 16 + k]
+                        e1x = leaf_ref[lb + 24 + k]
+                        e1y = leaf_ref[lb + 32 + k]
+                        e1z = leaf_ref[lb + 40 + k]
+                        e2x = leaf_ref[lb + 48 + k]
+                        e2y = leaf_ref[lb + 56 + k]
+                        e2z = leaf_ref[lb + 64 + k]
+                        tri = leaf_ref[lb + 72 + k]
+                        # Möller-Trumbore, scalar triangle vs vector rays
+                        px = dy_s * e2z - dz_s * e2y
+                        py = dz_s * e2x - dx_s * e2z
+                        pz = dx_s * e2y - dy_s * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0, 0.0) \
+                            / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+                        tvx = ox_s - v0x
+                        tvy = oy_s - v0y
+                        tvz = oz_s - v0z
+                        uu = (tvx * px + tvy * py + tvz * pz) * inv
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        vv = (dx_s * qx + dy_s * qy + dz_s * qz) * inv
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                        hit = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                               & (tt > 1e-4) & (tri >= 0.0))
+                        pay = (leaf_ref[lb + 80 + k] if stride > 80
+                               else jnp.float32(0.0))
+                        pay2 = (leaf_ref[lb + 88 + k] if stride > 88
+                                else jnp.float32(0.0))
+                        state['leaf_hit'](s, hit, tt, uu, vv, tri,
+                                          (e1x, e1y, e1z, e2x, e2y, e2z),
+                                          pay, pay2)
+
+                if visit is not None:
+                    visit(s, nd, hit_any, leaf_id)
+                return jnp.where(hit_any, links_ref[nd * 3],
+                                 links_ref[nd * 3 + 1])
+
+            nxt = jax.lax.while_loop(_chase_cond, _chase_body, node)
+            new_nodes.append(jnp.where(node >= 0, nxt, node))
         live = state['live']()
         return tuple(new_nodes) + (live,)
 

@@ -62,7 +62,7 @@ MESH_STREAMS = int(os.environ.get("BF_MESH_STREAMS", "1"))
 # Direction strata: the unit square of the cosine-hemisphere draw is cut
 # into PATCH_P^2 cells; each mesh tile samples ONE cell (+ jitter), so a
 # tile's rays form a narrow beam.  Unbiased: tiles cover all cells evenly.
-PATCH_P = 16
+PATCH_P = int(os.environ.get("BF_PATCH_P", "16"))
 
 TWO_PI = 6.283185307179586
 INV_TWO24 = 1.0 / float(1 << 24)
@@ -1163,14 +1163,18 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             # dielectric's refraction weight); 1/eta^2 radiance compression
             f_t = ((1.0 - F_d) * D_d * G_d * jnp.abs(idh) * jac_t
                    / aci) / (eta_it * eta_it) * kkb
-            live_rd = ci > 1e-6
+            # Walter's chi+ sidedness (mirrors bsdf/eval.py::chi_rd; in
+            # the f frame wi.f = ci > 0 so the wi test reduces to idh > 0)
+            chi_rd = (idh > 0.0) & (odh * co > 0.0)
+            live_rd = (ci > 1e-6) & chi_rd
             f_cos = jnp.where(live_rd, jnp.where(same, f_r, f_t), 0.0)
             pdf_h = D_d * hdc
+            # transmission: jac_t IS |dw_h/dw_o| — no extra 1/|odh|
+            # (bsdf/eval.py pdf_rd fix, Walter 2007 eq. 17)
             pdf = jnp.where(same,
                             F_d * pdf_h / jnp.maximum(4.0 * jnp.abs(odh),
                                                       1e-8),
-                            (1.0 - F_d) * pdf_h * jac_t
-                            / jnp.maximum(jnp.abs(odh), 1e-8))
+                            (1.0 - F_d) * pdf_h * jac_t)
             pdf = jnp.where(live_rd, pdf, 0.0)
             return f_cos, pdf
 
@@ -1385,6 +1389,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             adds the exact spherical phase -2 pi (f/c) delta_e of its
             position (radar_path.py::elem_dphase)."""
             if mimo_e:
+                if _ABLATE == 'notrig':
+                    # ablation: shared-phase channels (keeps the 2E-channel
+                    # concat + dot splat, removes the 2(E-1) extra trig) —
+                    # isolates per-element phase cost (bench mimo ablation)
+                    c0 = jnp.where(ok, amp * _fast_cos(ph), 0.0)
+                    s0 = jnp.where(ok, amp * _fast_sin(ph), 0.0)
+                    return tuple([c0, s0] * mimo_e)
                 vals = []
                 for e in range(mimo_e):
                     pe = ph - TWO_PI * (f_recv / cvel) * elem_dd[e]
@@ -1969,7 +1980,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 f_c, p_c = _rd_fcos_pdf(face, fx, fy, fz, etac, kc, refl,
                                         alph, wix, wiy, wiz,
                                         rdx_, rdy_, rdz_)
-                w_rd2 = jnp.where(p_c > 0.0,
+                # sampling-side chi+ rejection (mirrors bsdf_sample::rd_ok):
+                # picked lobe must land on its own side of f, and both
+                # directions must agree with the SAMPLED half-vector hw
+                # (hw rides wi's side, wi.f > 0, so the wi test is
+                # idoth > 0 and the wo test is (wo.hw)(wo.f) > 0)
+                co_rd2 = rdx_ * fx + rdy_ * fy + rdz_ * fz
+                odh_s = rdx_ * hwx + rdy_ * hwy + rdz_ * hwz
+                rd_ok2 = (jnp.where(pick_rf, co_rd2 > 0.0, co_rd2 < 0.0)
+                          & (idoth > 0.0) & (odh_s * co_rd2 > 0.0))
+                w_rd2 = jnp.where(rd_ok2 & (p_c > 0.0),
                                   f_c / jnp.maximum(p_c, 1e-20), 0.0)
                 ndx = jnp.where(is_rd2, rdx_, ndx)
                 ndy = jnp.where(is_rd2, rdy_, ndy)
@@ -2909,8 +2929,10 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
 
     The scene's motion comes from `AnimatedTransform` keyframes /
     velocity fields: `scene.at_time(t0 + p/prf)` is packed per pulse and
-    the stacked prim/tx/rx tables ride the scan axis.  Analytic scenes
-    only (a mesh BVH rebuilt per pulse need not pack to equal shapes).
+    the stacked prim/tx/rx tables ride the scan axis.  Mesh scenes scan
+    their per-pulse packed BVH tables the same way — rigid (translating)
+    motion keeps the tree topology so the tables stack; a deformation
+    that changes the tree shape raises (use the per-pulse loop engine).
 
     Returns (cube (n_pulses, n_time, n_freq[, 2]), samples_per_pulse) —
     raw accumulation like `receive_pallas`.
@@ -2938,12 +2960,24 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
     (params0, prim0, txp0, php0, rxph0, msh0, mesh_types0, tex0, bmp0,
      mp0) = packs[0]
     bmp_meta0 = tuple(tuple(b) for b in bmp0)
-    assert mp0 is None, ("kernel CPI covers analytic scenes (mesh BVHs "
-                         "rebuilt per pulse need not pack alike)")
+    has_mesh = mp0 is not None
     for pk in packs[1:]:
         assert pk[6] == mesh_types0 and pk[8] == bmp0, \
             "pulse snapshots must share static scene config"
-        assert pk[9] is None
+        assert (pk[9] is None) == (mp0 is None), \
+            "pulse snapshots must agree on mesh presence"
+        if has_mesh:
+            # per-pulse BVHs ride the scan axis: tables must stack, which
+            # holds for rigid/translational per-pulse motion (the builder
+            # splits on relative geometry, so topology is stable); a
+            # deformation that changes the tree shape falls back to the
+            # per-pulse loop engine
+            assert (pk[9].bbox.shape == mp0.bbox.shape
+                    and pk[9].links.shape == mp0.links.shape
+                    and pk[9].leaves.shape == mp0.leaves.shape
+                    and pk[9].stride == mp0.stride), (
+                "per-pulse mesh BVH tables do not stack (topology changed "
+                "across the CPI) — use receive_cpi(engine='loop')")
     prim_kinds = tuple(int(k) for k in prim0[:, 0])
     prim_tx = tuple(int(f) for f in prim0[:, 14])
     prim_bsdf = tuple(int(f) for f in prim0[:, 18])
@@ -2956,7 +2990,8 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
         or np.abs(pk[0][23:26]).max() > 0.0 for pk in packs))
     absorbing = bool(params0[29] > 0.0)
     layered = int(params0[42])
-    tile = (MESH_SUB if interpret else SUB) * LANE
+    tile = (MESH_SUB * MESH_STREAMS if has_mesh
+            else (MESH_SUB if interpret else SUB)) * LANE
     n_lanes = max(tile, (spp // tile) * tile)
 
     params_st = np.stack([pk[0] for pk in packs])
@@ -2973,6 +3008,17 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
             seed if common_random_numbers else seed + 7919 * p)))
         for p in range(n_pulses)])
     tex_dev = jnp.asarray(tex0)
+    if has_mesh:
+        bbox_st = jnp.asarray(np.stack(
+            [np.asarray(pk[9].bbox) for pk in packs]))
+        links_st = jnp.asarray(np.stack(
+            [np.asarray(pk[9].links) for pk in packs]))
+        leaves_st = jnp.asarray(np.stack(
+            [np.asarray(pk[9].leaves) for pk in packs]))
+    else:
+        z = jnp.zeros((n_pulses, 1), jnp.float32)
+        bbox_st, leaves_st = z, z
+        links_st = jnp.zeros((n_pulses, 1), jnp.int32)
     from ..radar.endpoints import PHASED as _RX_PHASED
     if getattr(rx, 'kind', None) == _RX_PHASED and rx.n_elems > 1:
         rx_kind = 'phased'
@@ -2983,10 +3029,11 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
     cube = _cpi_run_all(
         jnp.asarray(params_st), jnp.asarray(prim_st), jnp.asarray(txp_st),
         jnp.asarray(php_st), jnp.asarray(rxph_st), jnp.asarray(msh_st),
-        jnp.asarray(key_rows), tex_dev, prim_kinds, prim_tx, prim_bsdf,
+        jnp.asarray(key_rows), bbox_st, links_st, leaves_st, tex_dev,
+        prim_kinds, prim_tx, prim_bsdf,
         prim_tex, rx.adc, rx.receive_type, time_sampling, max_depth,
         rx_kind, n_lanes, interpret, coherent, mesh_types0, moving,
-        absorbing, tx_kinds, has_lo, bmp_meta0, layered)
+        absorbing, tx_kinds, has_lo, bmp_meta0, layered, has_mesh)
     return cube, n_lanes
 
 
@@ -2994,28 +3041,35 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg',
     'receive_type', 'time_sampling', 'max_depth', 'rx_kind', 'n_lanes',
     'interpret', 'coherent', 'mesh_types', 'moving', 'absorbing',
-    'tx_kinds', 'has_lo', 'bmp_meta', 'layered'))
+    'tx_kinds', 'has_lo', 'bmp_meta', 'layered', 'has_mesh'))
 def _cpi_run_all(params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a,
+                 bbox_a, links_a, leaves_a,
                  tex_c, prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
                  receive_type, time_sampling, max_depth, rx_kind, n_lanes,
                  interpret, coherent, mesh_types, moving, absorbing,
-                 tx_kinds, has_lo, bmp_meta, layered):
+                 tx_kinds, has_lo, bmp_meta, layered, has_mesh=False):
     """Module-level jitted CPI scan: one compile per STATIC kernel config
     (a closure-defined jit would re-trace and re-compile on every call —
-    that cost 1 s/pulse before it was hoisted)."""
+    that cost 1 s/pulse before it was hoisted).  Mesh scenes scan the
+    per-pulse packed BVH tables alongside the prim/tx tables (rigid
+    per-pulse motion keeps the tree topology — VERDICT r4 #4)."""
 
     def one(carry, inp):
-        pr, pm, tx_, ph_, rp_, ms_, kd = inp
+        pr, pm, tx_, ph_, rp_, ms_, kd, bb_, lk_, lv_ = inp
+        mesh_kw = (dict(bvh_bbox=bb_, bvh_links=lk_, bvh_leaves=lv_)
+                   if has_mesh else {})
         out = _run(pr, pm, tx_, ph_, rp_, jax.random.wrap_key_data(kd),
                    prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
                    receive_type, time_sampling, max_depth, rx_kind,
-                   n_lanes, interpret, coherent, has_mesh=False,
+                   n_lanes, interpret, coherent, has_mesh=has_mesh,
                    mesh_types=mesh_types, moving=moving,
                    absorbing=absorbing, tx_kinds=tx_kinds, has_lo=has_lo,
-                   bmp_meta=bmp_meta, layered=layered, tex=tex_c, msh=ms_)
+                   bmp_meta=bmp_meta, layered=layered, tex=tex_c, msh=ms_,
+                   **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         return carry, sig
 
     _, cube = jax.lax.scan(
-        one, 0, (params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a))
+        one, 0, (params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a,
+                 bbox_a, links_a, leaves_a))
     return cube

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..core.math import mis_weight
 from ..core.rng import SampleStream
 from ..bsdf.eval import bsdf_eval_pdf, bsdf_sample
+from .radar_path import _side_sign, _flip_z
 from ..textures import texture_eval
 from .. import emitters as em_mod
 from ..scene import SceneData
@@ -60,7 +61,10 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
         spawn_o = si.spawn_origin(ds.d)
         occluded = scene.ray_test(spawn_o, ds.d, ds.dist)
         wo_nee = si.to_local(ds.d)
-        f_nee, pdf_bsdf_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
+        sgn_geo = _side_sign(si)
+        f_nee, pdf_bsdf_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx,
+                                            _flip_z(si.wi, sgn_geo),
+                                            _flip_z(wo_nee, sgn_geo),
                                             refl_scale)
         mis = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_bsdf_nee))
         contrib_ok = active & ~occluded & (ds.pdf > 0.0)
@@ -70,12 +74,13 @@ def path_sample(scene: SceneData, stream: SampleStream, o, d,
         # ---------------- BSDF sampling ----------------
         u_lobe, stream = stream.next_1d()
         u_dir, stream = stream.next_2d()
-        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
+        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx,
+                                                  _flip_z(si.wi, sgn_geo),
                                                   u_lobe, u_dir, refl_scale)
         throughput = jnp.where(active[:, None], throughput * w_b, throughput)
         alive = active & (pdf_b > 0.0) & jnp.any(throughput != 0.0, axis=-1)
 
-        d_new = si.to_world(wo)
+        d_new = si.to_world(_flip_z(wo, sgn_geo))
         o_new = si.spawn_origin(d_new)
         si2 = scene.ray_intersect(o_new, d_new)
 

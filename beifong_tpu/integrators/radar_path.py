@@ -69,6 +69,26 @@ def _adc_splat(adc, cfg: ADCConfig, t_off, f_out, value, active, phase=None,
 # ---------------------------------------------------------------------------
 
 
+def _side_sign(si):
+    """+1 where the two-sided shading frame kept the geometric orientation,
+    -1 where `intersect` flipped it toward the ray (intersect.py:281).
+
+    BSDF eval/sample (`bsdf/eval.py`) are written against the UNFLIPPED
+    frame — transmissive lobes ((rough/thin) dielectric) read the geometric
+    side off sign(wi.z) to pick eta vs 1/eta.  The pre-flipped frame hid
+    back hits (every hit looked like 'entering': an eta^2 energy error on
+    glass transmission).  Isotropic BSDFs depend only on z components and
+    pairwise dots, so restoring the geometric convention is one z-sign
+    flip on the local vectors."""
+    s = jnp.sum(si.sh_frame[:, 2, :] * si.n, axis=-1)
+    return jnp.where(s < 0.0, -1.0, 1.0)
+
+
+def _flip_z(v, sgn):
+    """Flip the z component of local directions by the per-lane sign."""
+    return v * jnp.stack([jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], -1)
+
+
 def _perp_basis(d):
     """An arbitrary transverse basis vector perpendicular to direction d."""
     z = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
@@ -355,8 +375,10 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         # cost either way here, so take the exact value)
         refl_nee = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx,
                                 wl=c / jnp.maximum(f_recv_nee, 1e-20))
-        f_b, pdf_b_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
-                                       refl_nee)
+        sgn_geo = _side_sign(si)
+        f_b, pdf_b_nee = bsdf_eval_pdf(scene.bsdfs, bsdf_idx,
+                                       _flip_z(si.wi, sgn_geo),
+                                       _flip_z(wo_nee, sgn_geo), refl_nee)
         mis = m.mis_weight(ds.pdf, pdf_b_nee)
         nee_ok = active & has_bsdf & ~occluded & (ds.pdf > 0.0)
         val_nee = throughput * f_b[:, 0] * w_nee * mis * w_gate_nee
@@ -386,12 +408,13 @@ def radar_receive_trace(scene: SceneData, stream: SampleStream, o, d,
         # -------- BSDF continuation --------
         u_lobe, stream = stream.next_1d()
         u_dir, stream = stream.next_2d()
-        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
+        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx,
+                                                  _flip_z(si.wi, sgn_geo),
                                                   u_lobe, u_dir, refl_scale)
         throughput = jnp.where(active, throughput * w_b[:, 0], throughput)
         alive = active & has_bsdf & (pdf_b > 0.0) & (throughput != 0.0)
 
-        d_new = si.to_world(wo)
+        d_new = si.to_world(_flip_z(wo, sgn_geo))
         if polarized:
             # extend the accumulated Mueller chain through this bounce; the
             # chain's new input basis is the bounce's s/p frame on the
@@ -623,8 +646,10 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
         spawn_o = si.spawn_origin(ds.d)
         occluded = scene.ray_test(spawn_o, ds.d, ds.dist)
         wo_nee = si.to_local(ds.d)
-        f_nee, pdf_bn = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee,
-                                      refl_scale)
+        sgn_geo = _side_sign(si)
+        f_nee, pdf_bn = bsdf_eval_pdf(scene.bsdfs, bsdf_idx,
+                                      _flip_z(si.wi, sgn_geo),
+                                      _flip_z(wo_nee, sgn_geo), refl_scale)
         mis = jnp.where(ds.delta, 1.0, m.mis_weight(ds.pdf, pdf_bn))
         ok = active & ~occluded & (ds.pdf > 0.0)
         val = throughput * f_nee * w_em * mis[:, None]
@@ -635,11 +660,12 @@ def pathlength_histogram(scene: SceneData, stream: SampleStream, o, d,
 
         u_lobe, stream = stream.next_1d()
         u_dir, stream = stream.next_2d()
-        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
+        wo, w_b, pdf_b, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx,
+                                                  _flip_z(si.wi, sgn_geo),
                                                   u_lobe, u_dir, refl_scale)
         throughput = jnp.where(active[:, None], throughput * w_b, throughput)
         alive = active & (pdf_b > 0.0) & jnp.any(throughput != 0, -1)
-        d_new = si.to_world(wo)
+        d_new = si.to_world(_flip_z(wo, sgn_geo))
         o_new = si.spawn_origin(d_new)
         si2 = scene.ray_intersect(o_new, d_new)
         em2 = scene.emitter_of(si2.shape_idx)

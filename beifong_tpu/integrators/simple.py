@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 from ..core.math import mis_weight
 from ..bsdf.eval import bsdf_eval_pdf, bsdf_sample
+from .radar_path import _side_sign, _flip_z
 from ..textures import texture_eval
 from .. import emitters as em_mod
 from ..scene import SceneData
@@ -69,7 +70,10 @@ def direct_sample(scene: SceneData, stream, o, d, n_emitter_samples: int = 1,
         ds, w_em, _ = em_mod.sample_direction(em, scene.shapes, si.p, u_sel, u_pos)
         occ = scene.ray_test(si.spawn_origin(ds.d), ds.d, ds.dist)
         wo = si.to_local(ds.d)
-        f, pdf_b = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo, refl)
+        sgn_geo = _side_sign(si)
+        f, pdf_b = bsdf_eval_pdf(scene.bsdfs, bsdf_idx,
+                                 _flip_z(si.wi, sgn_geo),
+                                 _flip_z(wo, sgn_geo), refl)
         mis = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
         ok = si.valid & ~occ & (ds.pdf > 0.0)
         result += jnp.where(ok[:, None], f * w_em * mis[:, None], 0.0) \
@@ -78,9 +82,10 @@ def direct_sample(scene: SceneData, stream, o, d, n_emitter_samples: int = 1,
     for _i in range(n_bsdf_samples):
         u_lobe, stream = stream.next_1d()
         u_dir, stream = stream.next_2d()
-        wo, w_b, pdf_b, delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx, si.wi,
-                                               u_lobe, u_dir, refl)
-        d2 = si.to_world(wo)
+        wo, w_b, pdf_b, delta, _ = bsdf_sample(
+            scene.bsdfs, bsdf_idx, _flip_z(si.wi, _side_sign(si)),
+            u_lobe, u_dir, refl)
+        d2 = si.to_world(_flip_z(wo, _side_sign(si)))
         si2 = scene.ray_intersect(si.spawn_origin(d2), d2)
         em2 = scene.emitter_of(si2.shape_idx)
         cos2 = jnp.sum(-d2 * si2.n, axis=-1)

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..core.math import mis_weight
 from ..bsdf.eval import bsdf_eval_pdf, bsdf_sample
+from .radar_path import _side_sign, _flip_z
 from ..textures import texture_eval
 from ..media import hg_sample, hg_eval
 from .. import emitters as em_mod
@@ -92,7 +93,10 @@ def volpath_sample(scene: SceneData, stream, o, d, max_depth: int = 16,
         tex_idx = scene.bsdfs.texture_idx[jnp.maximum(bsdf_idx, 0)]
         refl = texture_eval(scene.textures, tex_idx, si.uv, si.prim_idx)
         wo_nee = si.to_local(ds.d)
-        f_s, pdf_b = bsdf_eval_pdf(scene.bsdfs, bsdf_idx, si.wi, wo_nee, refl)
+        sgn_geo = _side_sign(si)
+        f_s, pdf_b = bsdf_eval_pdf(scene.bsdfs, bsdf_idx,
+                                   _flip_z(si.wi, sgn_geo),
+                                   _flip_z(wo_nee, sgn_geo), refl)
         mis_s = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
         mis_m = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, ph_val))
 
@@ -108,9 +112,10 @@ def volpath_sample(scene: SceneData, stream, o, d, max_depth: int = 16,
         # medium: HG direction
         wo_med, ph_pdf = hg_sample(u_dir, med.g, -d_cur)
         # surface: bsdf
-        wo_s, w_b, pdf_bs, is_delta, _ = bsdf_sample(scene.bsdfs, bsdf_idx,
-                                                     si.wi, u_lobe, u_dir, refl)
-        d_new_s = si.to_world(wo_s)
+        wo_s, w_b, pdf_bs, is_delta, _ = bsdf_sample(
+            scene.bsdfs, bsdf_idx, _flip_z(si.wi, sgn_geo), u_lobe, u_dir,
+            refl)
+        d_new_s = si.to_world(_flip_z(wo_s, sgn_geo))
         d_new = jnp.where(medium_event[:, None], wo_med, d_new_s)
         o_new = jnp.where(medium_event[:, None], p_evt,
                           si.spawn_origin(d_new_s))

@@ -149,6 +149,25 @@ def receive(scene: Scene, scene_data: SceneData | None = None,
     """
     if scene_data is None:
         scene_data = scene.compile()
+    if use_pallas and any(isinstance(leaf, jax.core.Tracer)
+                          for leaf in jax.tree_util.tree_leaves(scene_data)):
+        # under jax.grad / jit tracing the megakernel is not an option:
+        # pallas_call has no VJP and the kernel packs scene tables on the
+        # host.  'auto' routes the trace to the differentiable jnp
+        # wavefront; an explicit use_pallas=True is a user error (the
+        # kernel-forward/jnp-backward hybrid lives in
+        # autodiff.differentiable_receive).
+        if use_pallas is True:
+            raise ValueError(
+                'receive(use_pallas=True) called under a JAX trace '
+                '(jax.grad/jit of scene_data): the megakernel is not '
+                'differentiable/traceable — use use_pallas=False, or '
+                'autodiff.differentiable_receive for a kernel-forward/'
+                'jnp-backward hybrid')
+        from .profiler import log
+        log.info('receive: scene_data is traced (jax.grad/jit) — using '
+                 'the differentiable jnp wavefront')
+        use_pallas = False
     if use_pallas and polarized and coherent:
         if use_pallas is True:
             raise ValueError("polarized + coherent receive is outside the "
@@ -527,8 +546,10 @@ def receive_cpi(scene: Scene, receiver_id: str | None = None,
     compile, one device launch, no per-pulse host round-trips; bit-exact
     with the legacy loop.  engine='pallas' scans the MEGAKERNEL over
     per-pulse packed tables instead (`receive_cpi_pallas`): every pulse
-    at the kernel's ~900M samples/s on TPU (analytic scenes; the
-    returned cube carries zero weight/count channels).  engine='loop'
+    at the kernel's ~900M samples/s on TPU (analytic scenes, and mesh
+    scenes under rigid per-pulse motion — the per-pulse BVH tables ride
+    the scan; the returned cube carries zero weight/count channels).
+    engine='loop'
     runs one `receive()` per pulse (also used automatically when
     `receive_kw` carries loop-only options like checkpointing or
     `use_pallas`).
@@ -545,7 +566,8 @@ def receive_cpi(scene: Scene, receiver_id: str | None = None,
     """
     if engine == 'pallas':
         # kernel-rate CPI: one lax.scan over per-pulse packed tables
-        # (analytic scenes; ~900M samples/s per pulse on TPU).  Returns
+        # (analytic + rigid-motion mesh scenes; ~900M samples/s per pulse
+        # on TPU analytic, BVH-walk-bound for meshes).  Returns
         # the film-layout cube (zeros in the weight/count channels) so
         # downstream develop code is engine-agnostic.
         from .integrators.pallas_receive import receive_cpi_pallas

@@ -23,7 +23,7 @@ C_SOUND = 340.0
 _REF_XML = "/root/reference/python_scripts/trans_rad.xml"
 
 
-def range_profile():
+def range_profile(seed_offset: int = 0):
     """Config 1 — `trans_rad.xml`-class film-mode range profile (reference
     `python_scripts/trans_rad.py:27-75`: time∘pathtime integrator, 50 x
     0.5 ns bins, fluxmeter antenna, spot emitter), driven through the
@@ -37,14 +37,14 @@ def range_profile():
                            band=bt.band_preset("optical"))
     n_bins, bin_w = 50, 0.5e-9
     grid, n = render_binned(scene, n_bins=n_bins, bin_width=bin_w,
-                            quantity="time", spp=4096, max_depth=4, seed=7)
+                            quantity="time", spp=4096, max_depth=4, seed=7 + seed_offset)
     prof = np.asarray(grid)[0, :, 0] / max(n, 1)
     # analytic anchor: the target rectangle sits ~2 m from the antenna
     # (trans_rad.xml geometry); round trip 2R/c -> bin index
     return {"profile": prof.astype(np.float64)}, {"n": n}
 
 
-def fmcw_sonar():
+def fmcw_sonar(seed_offset: int = 0):
     """Config 2 — FMCW sonar dechirp (reference `Render.py:104-114,214-224`:
     fc=40 kHz, B=2 kHz, 90 ms chirp, mix_resample receiver).  Golden =
     beat-frequency spectrum; anchor = beat line at slope*2R/c."""
@@ -84,7 +84,7 @@ def fmcw_sonar():
                                 tf.scale(0.5)))
     s.add(sh.rectangle(to_world=tgt, bsdf="mat"))
 
-    adc_g, n = receive(s, receiver=rx, spp=1 << 14, max_depth=2, seed=5)
+    adc_g, n = receive(s, receiver=rx, spp=1 << 14, max_depth=2, seed=5 + seed_offset)
     spec = np.asarray(develop_signal(adc_g, n, rx.adc)).sum(axis=0)[:, 0]
     f_axis = (np.arange(256) + 0.5) / 256 * (4 * f_beat)
     exp_bin = int(np.argmin(np.abs(f_axis - f_beat)))
@@ -92,7 +92,7 @@ def fmcw_sonar():
             {"n": n, "expected_beat_bin": exp_bin})
 
 
-def pulse_train_range_doppler():
+def pulse_train_range_doppler(seed_offset: int = 0):
     """Config 3 — coherent CW pulse train with a closing target; slow-time
     FFT -> Doppler line (reference `animated_trans_rad.py` quasistatic
     frame loop + the design comments at `integrator.cpp:920-945`).
@@ -142,7 +142,7 @@ def pulse_train_range_doppler():
         # CPI, so the slow-time phase progression is driven by the target
         # motion alone — per-pulse seeds decorrelate the MC speckle and the
         # Doppler line drowns (same technique as test_coherent_doppler.py)
-        a, n = receive(s, receiver=rx, spp=1 << 13, max_depth=1, seed=11,
+        a, n = receive(s, receiver=rx, spp=1 << 13, max_depth=1, seed=11 + seed_offset,
                        coherent=True, time_sampling='gate')
         g = np.asarray(a)
         iq.append((g[:, 0, 0] + 1j * g[:, 0, 1]).sum() / n)
@@ -211,7 +211,7 @@ def _corner_scene(v: float, fc: float, B: float, T: float, adc,
     return s, rx, apex
 
 
-def fmcw_dechirp_chain():
+def fmcw_dechirp_chain(seed_offset: int = 0):
     """Config 4 — the end-to-end FMCW dechirp chain the reference's MMW
     design comments sketch (`/root/reference/src/librender/
     integrator.cpp:1011-1109`): multi-bounce specular scene (trihedral
@@ -252,7 +252,7 @@ def fmcw_dechirp_chain():
                                 n_pulses=n_pulses, prf=prf)
     # common random numbers across the CPI (frozen speckle): the slow-time
     # phase progression is then pure target motion
-    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=13,
+    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=13 + seed_offset,
                           coherent=True, common_random_numbers=True,
                           spp=1 << 16, max_depth=4)
     g = np.asarray(cube)
@@ -288,7 +288,7 @@ def fmcw_dechirp_chain():
              "f_beat_hz": f_beat, "fs_adc": fs_adc})
 
 
-def micro_doppler_cpi():
+def micro_doppler_cpi(seed_offset: int = 0):
     """Config 5 of the golden ladder — BASELINE-scale CPI with
     micro-Doppler: a 64-pulse coherent train over an `AnimatedTransform`-
     orbiting scatterer (the framework's declarative animation replacing
@@ -349,7 +349,7 @@ def micro_doppler_cpi():
     tgt.to_world = AnimatedTransform.from_keyframes(frames)
     s.add(tgt)
 
-    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=11,
+    cube, n = receive_cpi(s, n_pulses=n_pulses, prf=prf, seed=11 + seed_offset,
                           coherent=True, spp=1 << 13, max_depth=1,
                           time_sampling='gate')
     g = np.asarray(cube)
@@ -374,7 +374,7 @@ def micro_doppler_cpi():
              "bessel_a": a_mod, "j_sq": np.asarray(jk)})
 
 
-def mimo_beamform():
+def mimo_beamform(seed_offset: int = 0):
     """Config 6 of the golden ladder — BASELINE config 5 (MIMO array with
     digital beamforming): an 8-element lambda/2 ULA receives one target at
     a known azimuth; the per-element I/Q cube (`receive_mimo`) is
@@ -418,7 +418,7 @@ def mimo_beamform():
                                  -R * np.cos(np.radians(az_true)), 0],
                                 [0, 0, 0]), tfm.scale(0.2))), bsdf="mat"))
     sd = s.compile()
-    adc_g, n = receive_mimo(s, sd, rx, spp=1 << 13, max_depth=2, seed=3,
+    adc_g, n = receive_mimo(s, sd, rx, spp=1 << 13, max_depth=2, seed=3 + seed_offset,
                             time_sampling='gate')
     cube = develop_mimo(adc_g, n, rx.adc)
     sidx = s.shape_index_of_endpoint('receiver', rx.id)

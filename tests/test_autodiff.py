@@ -191,3 +191,60 @@ def test_render_torch_interop():
     refl = float(params['bsdfs.reflectance'].detach()[0, 0])
     assert float(loss_t) < first * 0.05
     assert refl == pytest.approx(0.7, abs=0.1)
+
+
+def test_grad_through_receive_traced_guard():
+    """jax.grad straight through receive(): the tracer guard must route
+    'auto' to the differentiable jnp wavefront (VERDICT r4 #3 — on TPU
+    'auto' would otherwise hand grad a non-differentiable pallas_call),
+    and an explicit use_pallas=True under a trace must raise."""
+    from beifong_tpu.receive import receive
+
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+
+    def loss(scene_data, use_pallas):
+        adc, _ = receive(s, scene_data, rx, spp=4096, max_depth=2,
+                         seed=3, time_sampling='gate',
+                         use_pallas=use_pallas)
+        return jnp.sum(adc[..., 0])
+
+    val, grads = value_and_grad(
+        lambda p: loss(p, 'auto'), sd, ['bsdfs.reflectance'])
+    assert np.isfinite(val) and val > 0
+    assert np.asarray(grads['bsdfs.reflectance'])[0, 0] > 0
+
+    with pytest.raises(ValueError, match="trace"):
+        value_and_grad(lambda p: loss(p, True), sd, ['bsdfs.reflectance'])
+
+
+def test_differentiable_receive_hybrid():
+    """Kernel-forward/jnp-backward hybrid: the primal equals a plain
+    receive() call and the VJP matches jax.grad of the jnp wavefront."""
+    from beifong_tpu.autodiff import differentiable_receive
+    from beifong_tpu.receive import receive
+
+    s, rx = g._build_scene(ground=False, rx_kind="omni")
+    sd = s.compile()
+    kw = dict(spp=4096, max_depth=2, seed=5,
+              time_sampling='gate')
+    f = differentiable_receive(s, sd, rx, **kw)
+    params = select_params(sd, ['bsdfs.reflectance'])
+
+    adc = f(params)
+    adc_ref, _ = receive(s, sd, rx, use_pallas='auto', **kw)
+    np.testing.assert_allclose(np.asarray(adc), np.asarray(adc_ref),
+                               rtol=1e-6)
+
+    val, grads = jax.value_and_grad(
+        lambda p: jnp.sum(f(p)[..., 0]))(params)
+    # reference gradient: plain jnp-wavefront vjp
+    def jnp_loss(p):
+        adc_j, _ = receive(s, apply_params(sd, p), rx, use_pallas=False,
+                           **kw)
+        return jnp.sum(adc_j[..., 0])
+    val_j, grads_j = jax.value_and_grad(jnp_loss)(params)
+    np.testing.assert_allclose(
+        np.asarray(grads['bsdfs.reflectance']),
+        np.asarray(grads_j['bsdfs.reflectance']), rtol=1e-5)
+    assert np.isfinite(float(val)) and float(val) > 0

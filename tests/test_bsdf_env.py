@@ -68,6 +68,119 @@ def test_rough_dielectric_eval_pdf_consistency():
     np.testing.assert_allclose(ratio, np.asarray(w_s[:, 0])[ok], rtol=2e-2)
 
 
+@pytest.mark.parametrize("side", [+1.0, -1.0])
+def test_rough_dielectric_pdf_matches_actual_density(side):
+    """The reported pdf must match the sampler's ACTUAL density (not just
+    its own eval/sample round-trip): quadrature of pdf(wi, .) over each
+    hemisphere == MC hemisphere mass of accepted (weight>0) samples.  This
+    is the check that catches Jacobian/sidedness bugs that internal
+    consistency cannot (reference `src/bsdfs/roughdielectric.cpp` passes
+    the same property via its chi2 harness)."""
+    table = _single_table(rough_dielectric("g", alpha=0.4, int_ior=1.5))
+    th = np.deg2rad(30.0)
+    wi1 = np.array([np.sin(th), 0.0, side * np.cos(th)], np.float32)
+    n = 400000
+    k = jax.random.key(3)
+    wi = jnp.tile(jnp.asarray(wi1)[None], (n, 1))
+    u1 = jax.random.uniform(jax.random.fold_in(k, 1), (n,))
+    u2 = jax.random.uniform(jax.random.fold_in(k, 2), (n, 2))
+    idx = jnp.zeros((n,), jnp.int32)
+    wo, w_s, pdf_s, _, _ = bsdf_sample(table, idx, wi, u1, u2)
+    wo = np.asarray(wo)
+    # accepted = contributes to the estimator (f>0 via chi+ sidedness)
+    acc = (np.asarray(w_s[:, 0]) > 0) & (np.asarray(pdf_s) > 0)
+    mc_same = float(((wo[:, 2] * side > 0) & acc).mean())
+    mc_opp = float(((wo[:, 2] * side < 0) & acc).mean())
+
+    # quadrature of the reported pdf over the sphere
+    nt, nphi = 512, 128
+    tg = (np.arange(nt) + 0.5) / nt * np.pi
+    pg = (np.arange(nphi) + 0.5) / nphi * 2 * np.pi
+    T, P = np.meshgrid(tg, pg, indexing="ij")
+    wog = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                    np.cos(T)], -1).reshape(-1, 3).astype(np.float32)
+    m = wog.shape[0]
+    _, pdf_e = bsdf_eval_pdf(table, jnp.zeros(m, jnp.int32),
+                             jnp.asarray(np.broadcast_to(wi1, (m, 3))),
+                             jnp.asarray(wog))
+    pdf_e = np.asarray(pdf_e)
+    dws = np.sin(T).ravel() * (np.pi / nt) * (2 * np.pi / nphi)
+    q_same = float((pdf_e * dws * (wog[:, 2] * side > 0)).sum())
+    q_opp = float((pdf_e * dws * (wog[:, 2] * side < 0)).sum())
+    assert mc_same == pytest.approx(q_same, rel=0.05), (mc_same, q_same)
+    assert mc_opp == pytest.approx(q_opp, rel=0.05), (mc_opp, q_opp)
+
+
+def test_rough_dielectric_smooth_limit_fresnel():
+    """Analytic anchor independent of any sampler or kernel (VERDICT r4
+    #1): at alpha -> 0 the GGX-glass lobes integrate to the smooth
+    dielectric's energies — int f_t dw = (1-F)/eta_it^2 (radiance
+    compression) and int f_r dw = F, per Fresnel at the incidence angle."""
+    from beifong_tpu.bsdf.eval import _eval_pdf_basic, fresnel_dielectric
+
+    eta = 1.5
+    table = _single_table(rough_dielectric("g", alpha=0.05, int_ior=eta,
+                                           ext_ior=1.0))
+    nt, nphi = 2048, 128
+    tg = (np.arange(nt) + 0.5) / nt * np.pi
+    pg = (np.arange(nphi) + 0.5) / nphi * 2 * np.pi
+    T, P = np.meshgrid(tg, pg, indexing="ij")
+    wog = np.stack([np.sin(T) * np.cos(P), np.sin(T) * np.sin(P),
+                    np.cos(T)], -1).reshape(-1, 3).astype(np.float32)
+    dws = np.sin(T).ravel() * (np.pi / nt) * (2 * np.pi / nphi)
+    m = wog.shape[0]
+    for deg in (0.1, 20.0, 40.0):
+        th = np.deg2rad(deg)
+        wi1 = np.array([np.sin(th), 0.0, np.cos(th)], np.float32)
+        f, _ = _eval_pdf_basic(table, jnp.zeros(m, jnp.int32),
+                               jnp.asarray(np.broadcast_to(wi1, (m, 3))),
+                               jnp.asarray(wog), None)
+        f = np.asarray(f)[:, 0]
+        E_t = float((f * dws * (wog[:, 2] < 0)).sum())
+        E_r = float((f * dws * (wog[:, 2] > 0)).sum())
+        F, _, _ = fresnel_dielectric(jnp.asarray(np.cos(th)), eta)
+        F = float(F)
+        assert E_t == pytest.approx((1 - F) / eta ** 2, rel=0.02), deg
+        assert E_r == pytest.approx(F, rel=0.05), deg
+
+
+def test_rough_dielectric_reciprocity():
+    """Walter 2007 reciprocity: f(wi,wo)/|cos_o| * eta_out^2 is symmetric
+    under wi<->wo, with eta_out the absolute IOR of the TRANSMITTED side
+    (the 1/eta^2 radiance-compression convention, matching the smooth
+    dielectric and `roughdielectric.cpp`)."""
+    from beifong_tpu.bsdf.eval import _eval_pdf_basic
+
+    eta = 1.5
+    table = _single_table(rough_dielectric("g", alpha=0.4, int_ior=eta))
+    rng = np.random.default_rng(0)
+    n = 400
+    wi = rng.normal(size=(n, 3)).astype(np.float32)
+    wi /= np.linalg.norm(wi, axis=1, keepdims=True)
+    wo = rng.normal(size=(n, 3)).astype(np.float32)
+    wo /= np.linalg.norm(wo, axis=1, keepdims=True)
+    idx = jnp.zeros(n, jnp.int32)
+    f12, _ = _eval_pdf_basic(table, idx, jnp.asarray(wi), jnp.asarray(wo),
+                             None)
+    f21, _ = _eval_pdf_basic(table, idx, jnp.asarray(wo), jnp.asarray(wi),
+                             None)
+    f12 = np.asarray(f12)[:, 0]
+    f21 = np.asarray(f21)[:, 0]
+    b12 = f12 / np.maximum(np.abs(wo[:, 2]), 1e-9)
+    b21 = f21 / np.maximum(np.abs(wi[:, 2]), 1e-9)
+    # eta of the transmitted side per direction of transport
+    eo12 = np.where(wo[:, 2] < 0, eta, 1.0)   # entering glass if wo below
+    eo21 = np.where(wi[:, 2] < 0, eta, 1.0)
+    live = (wi[:, 2] * wo[:, 2] < 0) & (f12 > 1e-8) & (f21 > 1e-8)
+    assert live.sum() > 20
+    s12 = (b12 * eo12 ** 2)[live]
+    s21 = (b21 * eo21 ** 2)[live]
+    np.testing.assert_allclose(s12, s21, rtol=1e-2)   # f32 grazing terms
+    # reflection arm is plainly symmetric
+    refl = (wi[:, 2] * wo[:, 2] > 0) & (f12 > 1e-8)
+    np.testing.assert_allclose(b12[refl], b21[refl], rtol=1e-2)
+
+
 def test_envmap_importance_sampling_renders_correctly():
     """A diffuse plane under a half-bright/half-dark envmap: radiance from
     importance-sampled NEE must match the analytic direct integral."""

@@ -1824,6 +1824,50 @@ def test_megakernel_cpi_scan_parity():
 
 
 @pytest.mark.slow
+def test_megakernel_cpi_mesh_scan_parity():
+    """Kernel CPI over a MESH scene (VERDICT r4 #4): the per-pulse packed
+    BVH tables ride the scan axis (rigid translation keeps the tree
+    topology), bit-identical to running the mesh megakernel once per
+    pulse on the same snapshots."""
+    from beifong_tpu.geometry.mesh import MeshSpec, make_grid
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.transform import AnimatedTransform
+    from beifong_tpu.integrators.pallas_receive import receive_cpi_pallas
+
+    n_pulses, prf = 3, 400.0
+    s, rx = _mesh_scene(n_side=4)
+    # replace the static mesh with a closing (translating) one: rebuild
+    # the scene with an AnimatedTransform on the mesh target
+    mesh_spec = next(sp for sp in s.shapes if isinstance(sp, MeshSpec))
+    s.shapes.remove(mesh_spec)
+    v, f = make_grid(4, 4)
+    v = np.asarray(v, np.float32)
+    v[:, 2] = 0.05 * np.sin(4 * v[:, 0]) * np.cos(3 * v[:, 1])
+    tgt = MeshSpec(v, np.asarray(f), bsdf="mat")
+    frames = [(p / prf, np.asarray(
+        tfm.compose(tfm.look_at([0, -(4.0 - 0.02 * p), 0], [0, 0, 0]),
+                    tfm.scale(0.6)))) for p in range(n_pulses + 1)]
+    tgt.to_world = AnimatedTransform.from_keyframes(frames)
+    s.add(tgt)
+
+    cube, n = receive_cpi_pallas(s, n_pulses=n_pulses, prf=prf, seed=11,
+                                 spp=1 << 12, max_depth=1,
+                                 time_sampling='gate', coherent=True,
+                                 interpret=True)
+    cube = np.asarray(cube)
+    assert cube.shape == (n_pulses, 64, 1, 2)
+    assert np.abs(cube).sum() > 0
+    for p in range(n_pulses):
+        snap = s.at_time(p / prf)
+        out, n2 = receive_pallas(snap, snap.compile(), snap.receivers[0],
+                                 spp=1 << 12, seed=11, max_depth=1,
+                                 time_sampling='gate', coherent=True,
+                                 interpret=True)
+        assert n2 == n
+        np.testing.assert_array_equal(cube[p], np.asarray(out))
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["plastic", "rough_plastic"])
 def test_megakernel_plastic(kind):
     """Plastic / rough-plastic targets in the kernel: peak bin and
