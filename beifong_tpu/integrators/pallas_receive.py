@@ -35,7 +35,7 @@ from ..geometry.shapes import RECTANGLE, SPHERE, DISK, CYLINDER
 from ..geometry import pallas_bvh as pbvh
 from ..bsdf.tables import (DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR,
                            DIELECTRIC, THIN_DIELECTRIC, PLASTIC,
-                           ROUGH_PLASTIC, ROUGH_DIELECTRIC)
+                           ROUGH_PLASTIC, ROUGH_DIELECTRIC, MASK, BLEND)
 from ..radar.waveform import CW, PULSE, LINFMCW
 from ..radar.endpoints import (WIGNER as TX_WIGNER, PHASED as TX_PHASED,
                                AREA as TX_AREA)
@@ -114,7 +114,8 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                  n_pairs: int = 1, n_rx_pairs: int = 1,
                  has_lo: bool = False, polarized: bool = False,
                  bmp_meta: tuple = (), layered: int = 0, mimo_e: int = 0,
-                 count: str = ''):
+                 count: str = '', grid_meta: tuple = (-1, 0, 0, 0),
+                 prim_bsdf1: tuple = (), prim_mix: tuple = ()):
     """Build the kernel body closed over static config.
 
     prim_tx: per-prim transmitter index (-1 = not a tx shape).
@@ -183,33 +184,39 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
         n_ch = 4 if polarized else (2 if coherent else 1)
     # phase-bearing modes share the echo_phase machinery
     coh_ph = coherent or mimo_e > 0
-    # static lobe set: diffuse-only scenes skip all GGX/mirror math
-    ggx = (ROUGH_CONDUCTOR in set(prim_bsdf)
+    # static lobe set: diffuse-only scenes skip all GGX/mirror math.
+    # BLEND/MASK composites carry a second lobe per lane (prim_bsdf1 =
+    # nested1 code, prim_mix: 0 plain / 1 blend / 2 mask) — the flags
+    # look at the UNION of both lobe sets
+    pb_all = set(prim_bsdf) | set(prim_bsdf1 or ())
+    has_blend = any(m > 0 for m in (prim_mix or ()))
+    has_mask = any(m == 2 for m in (prim_mix or ()))
+    ggx = (ROUGH_CONDUCTOR in pb_all
            or ROUGH_CONDUCTOR in set(mesh_types))
     # smooth conductors: delta mirror bounce; NEE can't sample the lobe, so
     # delta-continued lanes count DIRECT tx hits at every depth instead
     # (the kernel analogue of radar_path.py:369 emission_weight = 1 on
     # is_delta — specular flash / corner-reflector chains)
-    mirror = (CONDUCTOR in set(prim_bsdf)
+    mirror = (CONDUCTOR in pb_all
               or CONDUCTOR in set(mesh_types))
     # smooth dielectric / thin dielectric: delta reflect+refract lobes;
     # same delta-chain machinery as mirrors (direct tx hits at every
     # depth), plus refraction continuations (bsdf/eval.py:277-347)
-    diel = (DIELECTRIC in set(prim_bsdf)
+    diel = (DIELECTRIC in pb_all
             or DIELECTRIC in set(mesh_types))
-    thin = (THIN_DIELECTRIC in set(prim_bsdf)
+    thin = (THIN_DIELECTRIC in pb_all
             or THIN_DIELECTRIC in set(mesh_types))
     delta_any = mirror or diel or thin
     # plastic families: diffuse base x (1-Fi)(1-Fo) dielectric-coat
     # transmission, plus (rough only) a GGX coat lobe with dielectric
     # Fresnel (bsdf/eval.py:158-166 / 289-345 parity)
-    plas = (PLASTIC in set(prim_bsdf) or PLASTIC in set(mesh_types))
-    rplas = (ROUGH_PLASTIC in set(prim_bsdf)
+    plas = (PLASTIC in pb_all or PLASTIC in set(mesh_types))
+    rplas = (ROUGH_PLASTIC in pb_all
              or ROUGH_PLASTIC in set(mesh_types))
     # rough dielectric (GGX glass): microfacet reflection + transmission
     # lobes through the sampled half-vector (bsdf/eval.py:169-199,
     # Walter 2007; reference `src/bsdfs/roughdielectric.cpp`)
-    rdiel = (ROUGH_DIELECTRIC in set(prim_bsdf)
+    rdiel = (ROUGH_DIELECTRIC in pb_all
              or ROUGH_DIELECTRIC in set(mesh_types))
     # rough-plastic coats / GGX glass reuse the GGX machinery
     ggx = ggx or rplas or rdiel
@@ -651,6 +658,17 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             eb = jnp.zeros(shape)           # conductor eta (channel 0)
             kkb = jnp.zeros(shape)          # conductor k
             kb = jnp.zeros(shape)           # BSDF type code
+            if has_blend:
+                # second lobe of BLEND/MASK composites (+ mix weight):
+                # prim cols 28-33 [type1, refl1, alpha1, eta1, k1, w];
+                # col 34 = 1.0 marks MASK (pass-through on 1-w)
+                kb1 = jnp.zeros(shape)
+                rb1 = jnp.zeros(shape)
+                ab1 = jnp.full(shape, 0.1)
+                eb1 = jnp.zeros(shape)
+                kk1 = jnp.zeros(shape)
+                wmx = jnp.ones(shape)
+                mskf = jnp.zeros(shape)
             txc = jnp.full(shape, -1.0)     # tx index hit (-1 none)
             vbx = jnp.zeros(shape)          # hit-shape velocity (moving)
             vby = jnp.zeros(shape)
@@ -790,6 +808,16 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     ab = jnp.where(closer, prim_ref[p, 15], ab)
                     eb = jnp.where(closer, prim_ref[p, 16], eb)
                     kkb = jnp.where(closer, prim_ref[p, 17], kkb)
+                if has_blend:
+                    kb1 = jnp.where(closer, float(prim_bsdf1[p]), kb1)
+                    rb1 = jnp.where(closer, prim_ref[p, 29], rb1)
+                    ab1 = jnp.where(closer, prim_ref[p, 30], ab1)
+                    eb1 = jnp.where(closer, prim_ref[p, 31], eb1)
+                    kk1 = jnp.where(closer, prim_ref[p, 32], kk1)
+                    wmx = jnp.where(closer, prim_ref[p, 33], wmx)
+                    mskf = jnp.where(closer,
+                                     1.0 if prim_mix[p] == 2 else 0.0,
+                                     mskf)
                 if moving:
                     vbx = jnp.where(closer, prim_ref[p, 19], vbx)
                     vby = jnp.where(closer, prim_ref[p, 20], vby)
@@ -891,9 +919,18 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 txc = jnp.where(m_closer, -1.0, txc)
                 if any_bmp:
                     bpid = jnp.where(m_closer, -1.0, bpid)
+                if has_blend:
+                    # mesh lobes are plain: reset the composite state so a
+                    # mesh hit overriding a blend-prim candidate doesn't
+                    # mix with stale second-lobe params
+                    kb1 = jnp.where(m_closer, kb, kb1)
+                    wmx = jnp.where(m_closer, 1.0, wmx)
+                    mskf = jnp.where(m_closer, 0.0, mskf)
             hit = tb < 3.4e37
+            lobe1 = ((kb1, rb1, ab1, eb1, kk1, wmx, mskf)
+                     if has_blend else None)
             return (tb, nx, ny, nz, rb, ab, eb, kkb, kb, txc,
-                    (vbx, vby, vbz), (bub, bvb, bpid), hit)
+                    (vbx, vby, vbz), (bub, bvb, bpid), hit, lobe1)
 
         def occluded(ox, oy, oz, dx, dy, dz, maxt, skip_prim, live=None):
             occ = jnp.zeros(shape) != 0.0
@@ -1405,9 +1442,38 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             return (jnp.where(ok, amp * _fast_cos(ph), 0.0),
                     jnp.where(ok, amp * _fast_sin(ph), 0.0))
 
+        grid3 = grid_meta[0] >= 0 and grid_meta[1] > 0
+        if grid3:
+            g_off, g_d, g_h, g_w = grid_meta
+
+            def seg_tau3(ax, ay, az, dxx, dyy, dzz, ln):
+                """16-point midpoint quadrature of the (D,H,W) sigma grid
+                along a segment — mirrors HeterogeneousMedium.optical_depth
+                (nearest lookup, zero outside the box); each point is one
+                one-hot MXU gather from the shared texture table."""
+                gk = 16
+                tot = jnp.zeros(shape)
+                for k in range(gk):
+                    tk = (k + 0.5) / gk
+                    qx = (ax + dxx * ln * tk - sp(43)) * sp(46)
+                    qy = (ay + dyy * ln * tk - sp(44)) * sp(47)
+                    qz = (az + dzz * ln * tk - sp(45)) * sp(48)
+                    inside = ((qx >= 0.0) & (qx <= 1.0) & (qy >= 0.0)
+                              & (qy <= 1.0) & (qz >= 0.0) & (qz <= 1.0))
+                    ixg = jnp.minimum(jnp.floor(qx * float(g_w)),
+                                      float(g_w - 1))
+                    iyg = jnp.minimum(jnp.floor(qy * float(g_h)),
+                                      float(g_h - 1))
+                    izg = jnp.minimum(jnp.floor(qz * float(g_d)),
+                                      float(g_d - 1))
+                    row = izg * float(g_h) + iyg
+                    sv = _bitmap_fetch(g_off, g_d * g_h, g_w, row, ixg)
+                    tot = tot + jnp.where(inside, sv, 0.0)
+                return tot * ln * (1.0 / gk)
+
         for depth in range(max_depth):
             (tb, nx, ny, nz, refl, alph, etac, kc, kb, txc,
-             (vhx, vhy, vhz), (bub, bvb, bpid), hit) = intersect(
+             (vhx, vhy, vhz), (bub, bvb, bpid), hit, lobe1) = intersect(
                  cx, cyv, cz, ddx, ddy, ddz,
                  live=None if depth == 0 else active)
             if any_bmp:
@@ -1436,6 +1502,10 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 # ambient absorption along the segment (dead lanes: exp(0))
                 throughput = throughput * jnp.exp(
                     -seg_tau(cz, ddz, jnp.where(active, tb, 0.0)))
+            elif grid3:
+                throughput = throughput * jnp.exp(
+                    -seg_tau3(cx, cyv, cz, ddx, ddy, ddz,
+                              jnp.where(active, tb, 0.0)))
             elif absorbing:
                 throughput = throughput * jnp.exp(
                     -sp(29) * jnp.where(active, tb, 0.0))
@@ -1573,6 +1643,15 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 # per-lane BSDF eval toward the tx (wi = toward receiver)
                 f_cos = bsdf_eval_cos(kb, refl, alph, etac, kc, nx, ny, nz,
                                       -ddx, -ddy, -ddz, wx_, wy_, wz_)
+                if has_blend:
+                    # composite NEE: f = w f0 + (1-w) f1 (blend) / w f0
+                    # (mask: lobe1 is a zero-diffuse row, so the same mix
+                    # expression covers both — bsdf_eval_pdf parity)
+                    kb1x, rb1x, ab1x, eb1x, kk1x, wmxx, _mk = lobe1
+                    f_cos1 = bsdf_eval_cos(kb1x, rb1x, ab1x, eb1x, kk1x,
+                                           nx, ny, nz, -ddx, -ddy, -ddz,
+                                           wx_, wy_, wz_)
+                    f_cos = wmxx * f_cos + (1.0 - wmxx) * f_cos1
 
                 tau = (plen + dist) / cvel
                 if gate:
@@ -1635,6 +1714,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                                 / jnp.maximum(pdf_sa, 1e-30), 0.0)
                 if layered:
                     val = val * jnp.exp(-seg_tau(hz, wz_, dist))
+                elif grid3:
+                    val = val * jnp.exp(
+                        -seg_tau3(hx, hy, hz, wx_, wy_, wz_, dist))
                 elif absorbing:
                     val = val * jnp.exp(-sp(29) * dist)
 
@@ -1817,6 +1899,22 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 #                   lane types are disjoint, so plastic's
                 #                   spec_w pick and GGX glass's Fresnel
                 #                   pick share the uniform safely
+            if has_blend:
+                # composite lobe pick (bsdf_sample::_resolve_nested):
+                # choose lobe0 with prob w, else lobe1; the picked lobe's
+                # params feed the ordinary bounce machinery below (its
+                # f/pdf weight is the one-sample mix estimator).  MASK
+                # lanes picking 'lobe1' pass straight through instead
+                # (delta null transmission, weight 1)
+                u_mix = draw()
+                kb1x, rb1x, ab1x, eb1x, kk1x, wmxx, mskx = lobe1
+                pick0 = u_mix < wmxx
+                pass_thru = (mskx > 0.5) & ~pick0
+                kb = jnp.where(pick0, kb, kb1x)
+                refl = jnp.where(pick0, refl, rb1x)
+                alph = jnp.where(pick0, alph, ab1x)
+                etac = jnp.where(pick0, etac, eb1x)
+                kc = jnp.where(pick0, kc, kk1x)
             # flip normal toward the incoming side
             face = -(ddx * nx + ddy * ny + ddz * nz)
             sgn = jnp.where(face >= 0.0, 1.0, -1.0)
@@ -2063,7 +2161,13 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                     ndz = jnp.where(is_t, jnp.where(pick_rt, rzd, ddz), ndz)
                     w_b = jnp.where(is_t, 1.0, w_b)
                     new_wdel = new_wdel | is_t
-            if delta_any:
+            if has_mask:
+                ndx = jnp.where(pass_thru, ddx, ndx)
+                ndy = jnp.where(pass_thru, ddy, ndy)
+                ndz = jnp.where(pass_thru, ddz, ndz)
+                w_b = jnp.where(pass_thru, 1.0, w_b)
+                new_wdel = new_wdel | pass_thru
+            if delta_any or has_mask:
                 wdel = new_wdel
             if polarized:
                 # extend the Mueller chain through this bounce
@@ -2089,7 +2193,7 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
             ddx, ddy, ddz = ndx, ndy, ndz
             throughput = throughput * w_b
             active = active & (w_b > 0.0) & (txc < 0.0)
-            if diel or thin or rdiel:
+            if diel or thin or rdiel or has_mask:
                 # spawn on the side the CONTINUATION leaves through —
                 # refracted/transmitted rays exit the back face (mirrors
                 # si.spawn_origin(d_new)); +1 exactly for every
@@ -2181,7 +2285,7 @@ def _pack_scene(scene, rx, shape_idx):
     demote = _demoted_rects(sd)
     dset = set(demote)
     keep = [i for i in range(n) if i not in dset]
-    prim = np.zeros((len(keep), 28), np.float32)
+    prim = np.zeros((len(keep), 34), np.float32)
     kind_np = np.asarray(shapes.kind)
     to_obj = np.asarray(shapes.to_object)
     bsdf_idx = np.asarray(shapes.bsdf_idx)
@@ -2208,6 +2312,41 @@ def _pack_scene(scene, rx, shape_idx):
         prim[i_row, 16] = b_eta[b, 0] if b >= 0 else 0.0
         prim[i_row, 17] = b_k[b, 0] if b >= 0 else 0.0
         prim[i_row, 18] = float(b_type[b]) if b >= 0 else 0.0
+        # composite second lobe (BLEND/MASK, `blendbsdf.cpp`/`mask.cpp`):
+        # col 27 mix code (0/1/2), 28 type1, 29-32 refl1/alpha1/eta1/k1,
+        # 33 mix weight (prob of lobe0 = nested0 / mask opacity); lobe0's
+        # params overwrite cols 13/15-18 so plain kernels see the nested
+        # lobe directly
+        prim[i_row, 28] = prim[i_row, 18]
+        prim[i_row, 29] = prim[i_row, 13]
+        prim[i_row, 30:33] = prim[i_row, 15:18]
+        prim[i_row, 33] = 1.0
+        if b >= 0 and int(b_type[b]) in (MASK, BLEND):
+            b_n0 = np.asarray(sd.bsdfs.nested0)
+            b_n1 = np.asarray(sd.bsdfs.nested1)
+            b_wt = np.asarray(sd.bsdfs.weight)
+            n0 = int(b_n0[b])
+            prim[i_row, 13] = refl[n0, 0]
+            prim[i_row, 15] = b_alpha[n0]
+            prim[i_row, 16] = b_eta[n0, 0]
+            prim[i_row, 17] = b_k[n0, 0]
+            prim[i_row, 18] = float(b_type[n0])
+            prim[i_row, 33] = float(b_wt[b])
+            if int(b_type[b]) == BLEND:
+                n1 = int(b_n1[b])
+                prim[i_row, 27] = 1.0
+                prim[i_row, 28] = float(b_type[n1])
+                prim[i_row, 29] = refl[n1, 0]
+                prim[i_row, 30] = b_alpha[n1]
+                prim[i_row, 31] = b_eta[n1, 0]
+                prim[i_row, 32] = b_k[n1, 0]
+            else:
+                # mask: lobe1 is a zero diffuse (eval contributes 0); the
+                # kernel's pass-through arm handles the (1-w) branch
+                prim[i_row, 27] = 2.0
+                prim[i_row, 28] = float(DIFFUSE)
+                prim[i_row, 29] = 0.0
+                prim[i_row, 30:33] = 0.0
         prim[i_row, 19:22] = shape_vel[i]
         # texture payload (rects; supported() gates the rest):
         # prim[26] = 1 checkerboard (procedural), 2 bitmap (packed texels)
@@ -2373,9 +2512,36 @@ def _pack_scene(scene, rx, shape_idx):
         params[41] = float(np.asarray(lo_wf.phi0).reshape(-1)[0])
 
     if sd.medium is not None:
-        from ..media import HomogeneousMedium, LayeredMedium
+        from ..media import (HomogeneousMedium, LayeredMedium,
+                             HeterogeneousMedium)
         if isinstance(sd.medium, HomogeneousMedium):
             params[29] = float(np.asarray(sd.medium.sigma_t).reshape(-1)[0])
+        elif isinstance(sd.medium, HeterogeneousMedium):
+            # 3-D gridded ambient absorption (grid3d/.vol,
+            # `src/media/heterogeneous.cpp`): the (D,H,W) sigma grid rides
+            # the bitmap texture table as (D*H, W) rows — segment tau is a
+            # 16-point midpoint quadrature of one-hot MXU gathers
+            # (mirrors media.HeterogeneousMedium.optical_depth).  Box and
+            # dims at params 43..52 (dims/offset host-read, static).
+            med = sd.medium
+            sg = np.asarray(med.sigma_grid, np.float32)
+            g_d, g_h, g_w = sg.shape
+            w_pt = tex.shape[1]
+            if g_w > w_pt:
+                w_p2 = ((g_w + 127) // 128) * 128
+                tex = np.pad(tex, ((0, 0), (0, w_p2 - w_pt)))
+                w_pt = w_p2
+            hp_g = ((g_d * g_h + 7) // 8) * 8
+            blk_g = np.zeros((hp_g, w_pt), np.float32)
+            blk_g[:g_d * g_h, :g_w] = sg.reshape(g_d * g_h, g_w)
+            off_g = tex.shape[0]
+            tex = np.concatenate([tex, blk_g], axis=0)
+            bmn = np.asarray(med.box_min, np.float32)
+            bmx = np.asarray(med.box_max, np.float32)
+            params[43:46] = bmn
+            params[46:49] = 1.0 / np.maximum(bmx - bmn, 1e-12)
+            params[49], params[50] = float(g_d), float(g_h)
+            params[51], params[52] = float(g_w), float(off_g)
         elif isinstance(sd.medium, LayeredMedium):
             # z-stratified profile: K at 42 (host-read static flag),
             # z_min/dz at 43/44, step coefficients c_0..c_{K-1} at 45..
@@ -2489,6 +2655,16 @@ MAX_BMP_TEXELS = 16384   # per bitmap (e.g. 128x128)
 MAX_BMP_ROWS = 512       # total packed rows across bitmaps
 MAX_MESH_SHAPES = 64     # per-shape unroll after the BVH walk
 MAX_MEDIA_LAYERS = 32    # layered-medium ReLU terms per tau evaluation
+MAX_GRID3_ROWS = 64      # 3-D medium grid: D*H row cap (one-hot gather cost)
+
+
+def _grid_meta(params) -> tuple:
+    """Static (off, D, H, W) of the packed 3-D medium grid, or
+    (-1, 0, 0, 0) — host-read from the params scalars (_pack_scene)."""
+    p = np.asarray(params)
+    if p[49] > 0:
+        return (int(p[52]), int(p[49]), int(p[50]), int(p[51]))
+    return (-1, 0, 0, 0)
 
 
 def supported(scene_data, rx, reason: list | None = None,
@@ -2554,13 +2730,34 @@ def supported(scene_data, rx, reason: list | None = None,
     kinds = set(np.asarray(scene_data.shapes.kind).tolist())
     if not kinds <= {-1, RECTANGLE, SPHERE, DISK, CYLINDER, TRIANGLE}:
         return no(f'unsupported shape kinds {kinds}')
-    if not set(scene_data.bsdfs.present) <= {DIFFUSE, CONDUCTOR,
-                                             ROUGH_CONDUCTOR, DIELECTRIC,
-                                             THIN_DIELECTRIC, PLASTIC,
-                                             ROUGH_PLASTIC,
-                                             ROUGH_DIELECTRIC}:
+    base_bsdfs = {DIFFUSE, CONDUCTOR, ROUGH_CONDUCTOR, DIELECTRIC,
+                  THIN_DIELECTRIC, PLASTIC, ROUGH_PLASTIC,
+                  ROUGH_DIELECTRIC}
+    if not set(scene_data.bsdfs.present) <= base_bsdfs | {MASK, BLEND}:
         return no('BSDF types beyond diffuse/conductor/rough-conductor/'
-                  '(rough-/thin-)dielectric/plastic/rough-plastic')
+                  '(rough-/thin-)dielectric/plastic/rough-plastic/'
+                  'blend/mask')
+    b_types = np.asarray(scene_data.bsdfs.type)
+    if {MASK, BLEND} & set(scene_data.bsdfs.present):
+        # composites: one nesting level, nested lobes in the base set
+        # (mirrors bsdf_eval_pdf's single-level resolution)
+        n0s = np.asarray(scene_data.bsdfs.nested0)
+        n1s = np.asarray(scene_data.bsdfs.nested1)
+        for bi in range(len(b_types)):
+            if int(b_types[bi]) == MASK:
+                if int(b_types[n0s[bi]]) not in base_bsdfs:
+                    return no('mask over a non-basic nested BSDF')
+            elif int(b_types[bi]) == BLEND:
+                if (int(b_types[n0s[bi]]) not in base_bsdfs
+                        or int(b_types[n1s[bi]]) not in base_bsdfs):
+                    return no('blend of non-basic nested BSDFs')
+        # composites on mesh shapes would need second-lobe leaf payloads
+        sk = np.asarray(scene_data.shapes.kind)
+        sb = np.asarray(scene_data.shapes.bsdf_idx)
+        for si_ in range(len(sk)):
+            if sk[si_] == TRIANGLE and sb[si_] >= 0                     and int(b_types[sb[si_]]) in (MASK, BLEND):
+                return no('blend/mask on a triangle-mesh shape '
+                          '(composites are analytic-prim only in-kernel)')
     tex_idx = np.asarray(scene_data.bsdfs.texture_idx)
     if (tex_idx >= 0).any():
         # checkerboard (procedural) and small bitmaps (one-hot MXU gather)
@@ -2616,14 +2813,21 @@ def supported(scene_data, rx, reason: list | None = None,
             return no(f'MIMO fast-time extent {rx.adc.n_time} > '
                       f'{MAX_SPLAT_ROWS} (channel splat tent-tile bound)')
     if scene_data.medium is not None:
-        from ..media import HomogeneousMedium, LayeredMedium
+        from ..media import (HomogeneousMedium, LayeredMedium,
+                             HeterogeneousMedium)
         if isinstance(scene_data.medium, LayeredMedium):
             if scene_data.medium.n_layers > MAX_MEDIA_LAYERS:
                 return no(f'{scene_data.medium.n_layers} medium layers > '
                           f'{MAX_MEDIA_LAYERS} (unrolled tau terms)')
+        elif isinstance(scene_data.medium, HeterogeneousMedium):
+            gd, gh, gw = scene_data.medium.sigma_grid.shape
+            if gd * gh > MAX_GRID3_ROWS or gw > 128:
+                return no(f'3-D medium grid {gd}x{gh}x{gw} beyond the '
+                          f'in-kernel cap (D*H <= {MAX_GRID3_ROWS}, '
+                          'W <= 128; one-hot gather cost scales with '
+                          'D*H rows)')
         elif not isinstance(scene_data.medium, HomogeneousMedium):
-            return no('3-D gridded medium (kernel models homogeneous or '
-                      'z-layered ambient absorption only)')
+            return no('unknown ambient medium type')
     cells = rx.adc.n_time * rx.adc.n_freq
     if mimo:
         pass  # MIMO has its own channel splat; bounds checked above
@@ -2667,17 +2871,21 @@ def supported(scene_data, rx, reason: list | None = None,
     return True
 
 
-def n_draws(max_depth: int, n_tx: int = 1, lobe_mix: bool = False) -> int:
+def n_draws(max_depth: int, n_tx: int = 1, lobe_mix: bool = False,
+            blend_mix: bool = False) -> int:
     """Uniform count for interpret mode; `lobe_mix` (plastic families /
-    GGX glass) adds one lobe-selection draw per depth."""
-    return 8 + ((4 if lobe_mix else 3) + 3 * n_tx) * max_depth
+    GGX glass) adds one lobe-selection draw per depth, `blend_mix`
+    (BLEND/MASK composites) one more."""
+    return 8 + ((4 if lobe_mix else 3) + (1 if blend_mix else 0)
+                + 3 * n_tx) * max_depth
 
 
 @functools.partial(jax.jit, static_argnames=(
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg', 'receive_type',
     'time_sampling', 'max_depth', 'rx_kind', 'n_lanes', 'interpret',
     'coherent', 'has_mesh', 'mesh_types', 'moving', 'absorbing', 'tx_kinds',
-    'has_lo', 'polarized', 'bmp_meta', 'layered', 'mimo_e', 'count'))
+    'has_lo', 'polarized', 'bmp_meta', 'layered', 'mimo_e', 'count',
+    'grid_meta', 'prim_bsdf1', 'prim_mix'))
 def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          prim_bsdf: tuple, prim_tex: tuple, cfg, receive_type: str,
          time_sampling: str,
@@ -2688,7 +2896,9 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
          has_lo: bool = False, polarized: bool = False,
          bmp_meta: tuple = (), layered: int = 0, tex=None, msh=None,
          bvh_bbox=None, bvh_links=None, bvh_leaves=None,
-         mimo_e: int = 0, eoff=None, count: str = ''):
+         mimo_e: int = 0, eoff=None, count: str = '',
+         grid_meta: tuple = (-1, 0, 0, 0), prim_bsdf1: tuple = (),
+         prim_mix: tuple = ()):
     n_tx = int(txp.shape[0])
     # interpret mode (CPU parity tests / dryruns) narrows the tile to 8
     # rows: the splat paths Python-unroll per-row work SUB times, so tile
@@ -2706,7 +2916,9 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
     lobe_set = {PLASTIC, ROUGH_PLASTIC, ROUGH_DIELECTRIC}
     nd = n_draws(max_depth, n_tx,
                  lobe_mix=bool(lobe_set & (set(prim_bsdf)
-                                           | set(mesh_types))))
+                                           | set(prim_bsdf1 or ())
+                                           | set(mesh_types))),
+                 blend_mix=any(m > 0 for m in (prim_mix or ())))
     use_prng = not interpret
     if use_prng:
         # tiny placeholder: draws come from the in-kernel PRNG
@@ -2738,7 +2950,8 @@ def _run(params, prim, txp, php, rph, key, prim_kinds: tuple, prim_tx: tuple,
                           n_pairs=n_pairs, n_rx_pairs=n_rx_pairs,
                           has_lo=has_lo, polarized=polarized,
                           bmp_meta=bmp_meta, layered=layered, mimo_e=mimo_e,
-                          count=count)
+                          count=count, grid_meta=grid_meta,
+                          prim_bsdf1=prim_bsdf1, prim_mix=prim_mix)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # factorized large 1-D grids accumulate/output as (n_time/128, 128)
     # inside the kernel (see _is_wide_1d); reshape back after the call
@@ -2855,6 +3068,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             tuple(int(f) for f in prim[:, 14]),
             tuple(int(f) for f in prim[:, 18]),
             tuple(int(f) for f in prim[:, 26]),
+            tuple(int(f) for f in prim[:, 28]),
+            tuple(int(f) for f in prim[:, 27]),
             bmp_meta,
             mesh_types,
             moving,
@@ -2862,7 +3077,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
             int(params[42]),
             mesh_pack)
     (_, shape_idx, params, prim_dev, txp_dev, php_dev, rxph_dev, msh_dev,
-     tex_dev, prim_kinds, prim_tx, prim_bsdf, prim_tex, bmp_meta, mesh_types,
+     tex_dev, prim_kinds, prim_tx, prim_bsdf, prim_tex, prim_bsdf1, prim_mix,
+     bmp_meta, mesh_types,
      moving, absorbing, layered, mesh_pack) = cache[ck]
     tx_kinds = tuple(int(f) for f in np.asarray(txp_dev)[:, 27])
     if polarized and coherent:
@@ -2905,7 +3121,8 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
         tx_kinds=tx_kinds,
         has_lo=rx.lo_waveform is not None, polarized=polarized,
         bmp_meta=bmp_meta, layered=layered, tex=tex_dev, msh=msh_dev,
-        mimo_e=mimo_e, eoff=eoff, **mesh_kw)
+        mimo_e=mimo_e, eoff=eoff, grid_meta=_grid_meta(params),
+        prim_bsdf1=prim_bsdf1, prim_mix=prim_mix, **mesh_kw)
     if mimo:
         return out.reshape(rx.adc.n_time, rx.adc.n_freq, 2 * mimo_e), n_lanes
     if polarized:
@@ -2982,6 +3199,8 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
     prim_tx = tuple(int(f) for f in prim0[:, 14])
     prim_bsdf = tuple(int(f) for f in prim0[:, 18])
     prim_tex = tuple(int(f) for f in prim0[:, 26])
+    prim_bsdf1 = tuple(int(f) for f in prim0[:, 28])
+    prim_mix = tuple(int(f) for f in prim0[:, 27])
     tx_kinds = tuple(int(f) for f in txp0[:, 27])
     # static flags must be uniform across the scan: OR motion over pulses
     moving = bool(any(
@@ -3033,7 +3252,8 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
         prim_kinds, prim_tx, prim_bsdf,
         prim_tex, rx.adc, rx.receive_type, time_sampling, max_depth,
         rx_kind, n_lanes, interpret, coherent, mesh_types0, moving,
-        absorbing, tx_kinds, has_lo, bmp_meta0, layered, has_mesh)
+        absorbing, tx_kinds, has_lo, bmp_meta0, layered, has_mesh,
+        _grid_meta(params0), prim_bsdf1, prim_mix)
     return cube, n_lanes
 
 
@@ -3041,13 +3261,15 @@ def receive_cpi_pallas(scene_host, n_pulses: int, prf: float, t0: float = 0.0,
     'prim_kinds', 'prim_tx', 'prim_bsdf', 'prim_tex', 'cfg',
     'receive_type', 'time_sampling', 'max_depth', 'rx_kind', 'n_lanes',
     'interpret', 'coherent', 'mesh_types', 'moving', 'absorbing',
-    'tx_kinds', 'has_lo', 'bmp_meta', 'layered', 'has_mesh'))
+    'tx_kinds', 'has_lo', 'bmp_meta', 'layered', 'has_mesh',
+    'grid_meta', 'prim_bsdf1', 'prim_mix'))
 def _cpi_run_all(params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a,
                  bbox_a, links_a, leaves_a,
                  tex_c, prim_kinds, prim_tx, prim_bsdf, prim_tex, cfg,
                  receive_type, time_sampling, max_depth, rx_kind, n_lanes,
                  interpret, coherent, mesh_types, moving, absorbing,
-                 tx_kinds, has_lo, bmp_meta, layered, has_mesh=False):
+                 tx_kinds, has_lo, bmp_meta, layered, has_mesh=False,
+                 grid_meta=(-1, 0, 0, 0), prim_bsdf1=(), prim_mix=()):
     """Module-level jitted CPI scan: one compile per STATIC kernel config
     (a closure-defined jit would re-trace and re-compile on every call —
     that cost 1 s/pulse before it was hoisted).  Mesh scenes scan the
@@ -3065,7 +3287,8 @@ def _cpi_run_all(params_a, prim_a, txp_a, php_a, rxph_a, msh_a, keys_a,
                    mesh_types=mesh_types, moving=moving,
                    absorbing=absorbing, tx_kinds=tx_kinds, has_lo=has_lo,
                    bmp_meta=bmp_meta, layered=layered, tex=tex_c, msh=ms_,
-                   **mesh_kw)
+                   grid_meta=grid_meta, prim_bsdf1=prim_bsdf1,
+                   prim_mix=prim_mix, **mesh_kw)
         sig = jnp.stack([out[0], out[1]], -1) if coherent else out[0]
         return carry, sig
 

@@ -121,3 +121,57 @@ def test_radar_receive_with_heterogeneous_medium():
     # same seed, same estimator: uniform grid == homogeneous bit-for-bit
     # up to the quadrature (exact for a uniform grid)
     np.testing.assert_allclose(het, hom, rtol=1e-4)
+
+
+def test_megakernel_grid3_medium_matches_jnp():
+    """Small 3-D sigma grids run IN-KERNEL (VERDICT r4 #7): the (D,H,W)
+    grid rides the bitmap texture table as one-hot MXU gathers and the
+    segment tau is the same 16-point midpoint quadrature as
+    HeterogeneousMedium.optical_depth.  Parity: a half-space absorber
+    (sigma on the target side only) must attenuate the kernel echo by the
+    same factor as the jnp wavefront, and a uniform grid must match the
+    kernel's own homogeneous path bit-for-bit."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    import test_radar as TR
+    from beifong_tpu.media import HomogeneousMedium
+    from beifong_tpu.receive import receive, develop_signal
+    from beifong_tpu.integrators.pallas_receive import supported
+
+    def run(med, use_pallas):
+        s, rx = TR._point_target_scene()
+        s.medium = med
+        sd = s.compile()
+        if use_pallas:
+            why = []
+            assert supported(sd, rx, why), why
+        a, n = receive(s, sd, rx, seed=2, spp=1 << 12, max_depth=1,
+                       time_sampling='gate', use_pallas=use_pallas)
+        return np.asarray(develop_signal(a, n, rx.adc))[:, 0, 0]
+
+    sigma = 0.05
+    # uniform grid in-kernel == homogeneous in-kernel (quadrature exact)
+    hom_k = run(HomogeneousMedium.make(sigma_t=sigma), True)
+    het_k = run(HeterogeneousMedium.make(
+        np.full((4, 4, 8), sigma, np.float32), box_min=(-20, -20, -20),
+        box_max=(20, 20, 20)), True)
+    assert het_k.sum() > 0
+    np.testing.assert_allclose(het_k, hom_k, rtol=1e-3)
+
+    # non-uniform grid: kernel vs jnp wavefront attenuation RATIO (the
+    # two paths use different RNG streams, so compare each against its
+    # own vacuum run — the attenuation factor is deterministic)
+    g = np.zeros((4, 4, 8), np.float32)
+    g[:, :2, :] = 0.08          # absorber on the y<0 half (target side)
+    med = lambda: HeterogeneousMedium.make(
+        g, box_min=(-20, -20, -20), box_max=(20, 20, 20))
+    for up in (True, False):
+        vac = run(None, up)
+        att = run(med(), up)
+        pk = int(vac.argmax())
+        r = att[pk] / vac[pk]
+        if up:
+            r_k = r
+        else:
+            r_j = r
+    assert r_k == pytest.approx(r_j, rel=0.05), (r_k, r_j)

@@ -1972,3 +1972,73 @@ def test_megakernel_rough_dielectric(case):
     pk = int(np.abs(tj).argmax())
     lo, hi = max(pk - 3, 0), pk + 4
     assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.6)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["blend", "mask"])
+def test_megakernel_blend_mask(kind):
+    """BLEND / MASK composites in the kernel (VERDICT r4 #8; reference
+    `src/bsdfs/blendbsdf.cpp` / `mask.cpp`): NEE evaluates the lobe mix
+    w*f0 + (1-w)*f1 (mask: w*f_nested), the bounce picks a lobe per lane
+    (mask pass-through = delta null transmission), matching the jnp
+    wavefront's round-trip profile.  The mask case also pins the physics:
+    halving opacity halves the echo energy."""
+    from beifong_tpu import scene as sc
+    from beifong_tpu.bsdf import diffuse, rough_conductor
+    from beifong_tpu.bsdf.tables import blend as blend_spec, mask as mask_spec
+    from beifong_tpu.geometry import shapes as sh
+    from beifong_tpu.core import transform as tfm
+    from beifong_tpu.core.config import Band
+    from beifong_tpu.radar import (pulse, wigner_transmitter, omni_receiver,
+                                   ADCConfig)
+
+    def build(mat_specs, mat_id):
+        band = Band.from_freq(340.0, 40e3, 10e3)
+        s = sc.Scene(band=band)
+        for m in mat_specs:
+            s.add(m)
+        wf = pulse(f_centre=40e3, prf=10.0, pulse_len=2e-3, f_ext=2e3,
+                   is_delta=True)
+        s.add(wigner_transmitter("tx", wf, resample_freq=True))
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0.3, 0, 0], [0.3, -1, 0]),
+                        tfm.scale([0.05, 0.05, 1.0]))), transmitter="tx"))
+        adc = ADCConfig(n_time=64, n_freq=1, sampling_start=0.0,
+                        sampling_time=0.06, freq_lo=35e3, freq_hi=45e3)
+        rx = omni_receiver("rx", adc, position=(-0.3, 0, 0),
+                           receive_type='raw')
+        s.add(rx)
+        s.add(sh.rectangle(to_world=np.asarray(
+            tfm.compose(tfm.look_at([0, -4.0, 0], [0, 0, 0]),
+                        tfm.scale(0.5))), bsdf=mat_id))
+        return s, rx
+
+    if kind == "blend":
+        mats = [diffuse("d0", reflectance=1.0, twosided=True),
+                rough_conductor("m1", alpha=0.3, eta=0.2, k=3.0,
+                                twosided=True),
+                blend_spec("mat", "d0", "m1", weight=0.6)]
+        s, rx = build(mats, "mat")
+        tp, tj = _kernel_vs_jnp_profiles(s, rx, max_depth=2)
+        assert tp.sum() > 0 and tj.sum() > 0
+        bin_t = int(round(2 * 4.0 / 340.0 / 0.06 * 64 - 0.5))
+        for prof in (tp, tj):
+            assert bin_t - 1 <= int(prof.argmax()) <= bin_t + 3
+        pk = int(tj.argmax())
+        lo, hi = max(pk - 3, 0), pk + 4
+        assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(), rel=0.4)
+    else:
+        def energy(op):
+            mats = [diffuse("d0", reflectance=1.0, twosided=True),
+                    mask_spec("mat", "d0", opacity=op)]
+            s, rx = build(mats, "mat")
+            tp, tj = _kernel_vs_jnp_profiles(s, rx, max_depth=2)
+            pk = int(tj.argmax())
+            lo, hi = max(pk - 3, 0), pk + 4
+            assert tp[lo:hi].sum() == pytest.approx(tj[lo:hi].sum(),
+                                                    rel=0.4), op
+            return tp[lo:hi].sum()
+
+        e_hi = energy(0.8)
+        e_lo = energy(0.4)
+        assert e_lo / e_hi == pytest.approx(0.5, rel=0.3)
