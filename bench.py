@@ -61,6 +61,32 @@ def _trivial_floor_fraction(n_lanes: int, max_depth: int) -> float:
     return t_triv / t_full
 
 
+def _mimo_floor_fraction(n_lanes: int = 1 << 22) -> float:
+    """Config-5 self-context (like the flagship's ablation floor): wall
+    fraction of the MIMO dispatch that is launch + RNG + accumulation
+    alone (BF_ABLATE=trivial subprocess).  benchmarks/ablate_mimo.py has
+    the full variant breakdown (channel count, phase trig)."""
+    import os
+    import subprocess
+    import sys as _sys
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "sys.path.insert(0, '/root/repo/benchmarks');"
+        "import jax;"
+        "jax.config.update('jax_compilation_cache_dir',"
+        "'/root/repo/.jax_cache');"
+        "from ablate_mimo import _CODE;"
+        f"exec(_CODE.format(n_elems=8, n_lanes={n_lanes}, iters=4))")
+    out_full = subprocess.run([_sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=900,
+                              check=True).stdout.strip().splitlines()[-1]
+    env = dict(os.environ, BF_ABLATE="trivial")
+    out_triv = subprocess.run([_sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=900,
+                              check=True).stdout.strip().splitlines()[-1]
+    return float(out_full) / float(out_triv)
+
+
 def _mimo_rate(n_lanes: int = 1 << 22, iters: int = 4) -> float:
     """Megakernel samples/s for the per-element MIMO cube (BASELINE
     config 5 at kernel rate: 8-element ULA, 16 I/Q channels splatted per
@@ -187,6 +213,11 @@ def main():
             extras["mimo8_samples_per_s"] = round(_mimo_rate(), 1)
         except Exception as e:  # noqa: BLE001
             extras["mimo8_samples_per_s"] = f"failed: {type(e).__name__}"
+        try:
+            extras["mimo8_floor_fraction"] = round(
+                _mimo_floor_fraction(), 3)
+        except Exception as e:  # noqa: BLE001
+            extras["mimo8_floor_fraction"] = f"failed: {type(e).__name__}"
         print(json.dumps({
             "metric": "radar_receive_samples_per_s_per_chip",
             "value": round(samples_per_s, 1),

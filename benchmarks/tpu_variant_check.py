@@ -376,4 +376,33 @@ s.add(sh.rectangle(to_world=np.asarray(
     bsdf="rpl"))
 run("plastic+roughplastic", s, rx)
 
+# 15) rough dielectric target (GGX glass, round-5 chi+/pdf fixes)
+from beifong_tpu.bsdf import rough_dielectric as _rd
+s, rx, _ = base_scene()
+s.add(_rd("rdl", alpha=0.4, int_ior=1.5))
+s.shapes[-1].bsdf = "rdl"
+run("rough-dielectric", s, rx)
+
+# 16) blend + mask composites (second-lobe prim columns, per-lane pick,
+# mask pass-through delta)
+from beifong_tpu.bsdf import rough_conductor as _rc
+from beifong_tpu.bsdf.tables import blend as _blend, mask as _mask
+s, rx, _ = base_scene()
+s.add(_rc("rcm", alpha=0.3, eta=0.2, k=3.0, twosided=True))
+s.add(_blend("bl", "mat", "rcm", weight=0.6))
+s.shapes[-1].bsdf = "bl"
+s.add(_mask("mk", "mat", opacity=0.6))
+s.add(sh.rectangle(to_world=np.asarray(
+    tf.compose(tf.look_at([1.1, -4.4, 0], [0, 0, 0]), tf.scale(0.4))),
+    bsdf="mk"))
+run("blend+mask", s, rx)
+
+# 17) 3-D gridded ambient medium (one-hot gather tau, 16-pt quadrature)
+from beifong_tpu.media import HeterogeneousMedium as _HM
+s, rx, _ = base_scene()
+g3 = np.full((4, 4, 8), 0.03, np.float32)
+g3[:, :2, :] = 0.08
+s.medium = _HM.make(g3, box_min=(-20, -20, -20), box_max=(20, 20, 20))
+run("grid3-medium", s, rx)
+
 print("ALL TPU VARIANT CHECKS PASSED", flush=True)
