@@ -271,7 +271,13 @@ def traversal_body(bbox_ref, links_ref, leaf_ref, rays, state, anyhit: bool,
                 return jnp.where(hit_any, links_ref[nd * 3],
                                  links_ref[nd * 3 + 1])
 
-            nxt = jax.lax.while_loop(_chase_cond, _chase_body, node)
+            if W == 1:
+                # classic one-node stepping: exact old program shape (no
+                # nested while — the chase would run exactly one
+                # iteration); keeps BF_MESH_WINDOW=1 a faithful rollback
+                nxt = _chase_body(w0)
+            else:
+                nxt = jax.lax.while_loop(_chase_cond, _chase_body, node)
             new_nodes.append(jnp.where(node >= 0, nxt, node))
         live = state['live']()
         return tuple(new_nodes) + (live,)
