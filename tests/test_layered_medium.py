@@ -184,8 +184,13 @@ def test_supported_layered_gate():
     why = []
     assert not supported(s2.compile(), rx2, why)
     assert any('layers' in w for w in why)
+    # round 5: SMALL 3-D grids are in-kernel (16-pt quadrature tau);
+    # grids past the D*H row cap still gate to the jnp wavefront
     s3, rx3 = g._build_scene(ground=False)
     s3.medium = HeterogeneousMedium.make(np.ones((4, 4, 4), np.float32))
-    why3 = []
-    assert not supported(s3.compile(), rx3, why3)
-    assert any('gridded' in w for w in why3)
+    assert supported(s3.compile(), rx3)
+    s4, rx4 = g._build_scene(ground=False)
+    s4.medium = HeterogeneousMedium.make(np.ones((16, 16, 16), np.float32))
+    why4 = []
+    assert not supported(s4.compile(), rx4, why4)
+    assert any('grid' in w for w in why4)
