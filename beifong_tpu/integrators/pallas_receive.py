@@ -3118,9 +3118,19 @@ def receive_pallas(scene_host, scene_data, rx, spp: int, seed: int = 0,
     eoff = None
     if mimo:
         if elem_offsets is None:
-            from ..radar.endpoints import rx_elem_offsets
-            elem_offsets = rx_elem_offsets(scene_data, rx, shape_idx)
-        eoff = jnp.asarray(np.asarray(elem_offsets), jnp.float32)
+            # cache per (scene, rx): rx_elem_offsets traces device ops and
+            # pulls results back over the tunneled chip — re-deriving it
+            # per call cost ~40-50 ms/call, 4x the whole 4M-lane dispatch
+            # (measured: the entire config-5 'floor' was this host work)
+            eck = ('_eoff', ck)
+            eoff = cache.get(eck)
+            if eoff is None:
+                from ..radar.endpoints import rx_elem_offsets
+                eoff = jnp.asarray(np.asarray(
+                    rx_elem_offsets(scene_data, rx, shape_idx)), jnp.float32)
+                cache[eck] = eoff
+        else:
+            eoff = jnp.asarray(np.asarray(elem_offsets), jnp.float32)
         mimo_e = int(eoff.shape[0])
     out, out_q, out_s2, out_s3, cnt = _run(
         jnp.asarray(params), prim_dev, txp_dev, php_dev, rxph_dev,
