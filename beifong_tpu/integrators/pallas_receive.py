@@ -2097,7 +2097,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 # idoth > 0 and the wo test is (wo.hw)(wo.f) > 0)
                 co_rd2 = rdx_ * fx + rdy_ * fy + rdz_ * fz
                 odh_s = rdx_ * hwx + rdy_ * hwy + rdz_ * hwz
-                rd_ok2 = (jnp.where(pick_rf, co_rd2 > 0.0, co_rd2 < 0.0)
+                # float select then compare — Mosaic rejects selects on
+                # i1 vectors ("unsupported target bitwidth for truncation")
+                rd_ok2 = ((jnp.where(pick_rf, co_rd2, -co_rd2) > 0.0)
                           & (idoth > 0.0) & (odh_s * co_rd2 > 0.0))
                 w_rd2 = jnp.where(rd_ok2 & (p_c > 0.0),
                                   f_c / jnp.maximum(p_c, 1e-20), 0.0)
