@@ -1462,11 +1462,14 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                 """16-point midpoint quadrature of the (D,H,W) sigma grid
                 along a segment — mirrors HeterogeneousMedium.optical_depth
                 (nearest lookup, zero outside the box); each point is one
-                one-hot MXU gather from the shared texture table."""
+                one-hot MXU gather from the shared texture table.  The
+                quadrature is a ROLLED fori_loop: unrolling 16 gathers x 8
+                rows per application site blew the Mosaic program past the
+                compile helper (case 17 of the hardware sweep)."""
                 gk = 16
-                tot = jnp.zeros(shape)
-                for k in range(gk):
-                    tk = (k + 0.5) / gk
+
+                def _one(k, tot):
+                    tk = (k.astype(jnp.float32) + 0.5) * (1.0 / gk)
                     qx = (ax + dxx * ln * tk - sp(43)) * sp(46)
                     qy = (ay + dyy * ln * tk - sp(44)) * sp(47)
                     qz = (az + dzz * ln * tk - sp(45)) * sp(48)
@@ -1480,7 +1483,9 @@ def _make_kernel(prim_kinds: tuple, prim_tx: tuple, prim_bsdf: tuple,
                                       float(g_d - 1))
                     row = izg * float(g_h) + iyg
                     sv = _bitmap_fetch(g_off, g_d * g_h, g_w, row, ixg)
-                    tot = tot + jnp.where(inside, sv, 0.0)
+                    return tot + jnp.where(inside, sv, 0.0)
+
+                tot = jax.lax.fori_loop(0, gk, _one, jnp.zeros(shape))
                 return tot * ln * (1.0 / gk)
 
         for depth in range(max_depth):
